@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (no TPU pod needed, mirroring the
+strategy in SURVEY.md §4) with x64 enabled so the engine can be checked
+tightly against the C MuJoCo oracle.
+
+Note: the session environment pre-imports jax via sitecustomize with
+JAX_PLATFORMS=axon (single tunneled TPU chip), so the env var is already
+captured; we must override through jax.config instead.  XLA_FLAGS is read at
+backend-init time, which has not happened yet when conftest runs.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
