@@ -1,0 +1,709 @@
+"""Spec -> frozen Model compiler (host side).
+
+Replaces the reference's reliance on mj_loadXML + mjModel (reference:
+include/mujoco_sim/mj_util.h:185-193, src/mujoco_sim/mj_sim.cpp:804-845) with
+our own compiler that produces a padded, device-ready pytree.  Field
+semantics are oracle-tested against mujoco.MjModel in tests/test_compile.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from mujoco_sim_tpu.models import mjcf, rotations as R
+from mujoco_sim_tpu.models.model import (
+    Model, Option, NameTable, Layout, JointType, GeomType, EqType, Integrator,
+    ConeType, SensorType, np_f, np_i,
+)
+
+_JNT_TYPE = {"free": JointType.FREE, "ball": JointType.BALL,
+             "slide": JointType.SLIDE, "hinge": JointType.HINGE}
+_GEOM_TYPE = {"plane": GeomType.PLANE, "hfield": GeomType.HFIELD,
+              "sphere": GeomType.SPHERE, "capsule": GeomType.CAPSULE,
+              "ellipsoid": GeomType.ELLIPSOID, "cylinder": GeomType.CYLINDER,
+              "box": GeomType.BOX, "mesh": GeomType.MESH}
+_JNT_NQ = {JointType.FREE: 7, JointType.BALL: 4, JointType.SLIDE: 1,
+           JointType.HINGE: 1}
+_JNT_NV = {JointType.FREE: 6, JointType.BALL: 3, JointType.SLIDE: 1,
+           JointType.HINGE: 1}
+_INTEGRATOR = {"Euler": Integrator.EULER, "RK4": Integrator.RK4,
+               "implicit": Integrator.IMPLICIT,
+               "implicitfast": Integrator.IMPLICITFAST}
+
+# contact capacity per (type1, type2) pair — static padding for the
+# masked-slot contact buffer (SURVEY §7 "static shapes everywhere")
+_PAIR_NCON = {
+    (GeomType.PLANE, GeomType.SPHERE): 1,
+    (GeomType.PLANE, GeomType.CAPSULE): 2,
+    (GeomType.PLANE, GeomType.CYLINDER): 4,
+    (GeomType.PLANE, GeomType.BOX): 4,
+    (GeomType.PLANE, GeomType.ELLIPSOID): 1,
+    (GeomType.PLANE, GeomType.MESH): 4,
+    (GeomType.SPHERE, GeomType.SPHERE): 1,
+    (GeomType.SPHERE, GeomType.CAPSULE): 1,
+    (GeomType.SPHERE, GeomType.CYLINDER): 1,
+    (GeomType.SPHERE, GeomType.BOX): 1,
+    (GeomType.SPHERE, GeomType.MESH): 1,
+    (GeomType.CAPSULE, GeomType.CAPSULE): 1,
+    (GeomType.CAPSULE, GeomType.BOX): 2,
+    (GeomType.CAPSULE, GeomType.MESH): 2,
+    (GeomType.CYLINDER, GeomType.CYLINDER): 4,
+    (GeomType.CYLINDER, GeomType.BOX): 4,
+    (GeomType.CYLINDER, GeomType.MESH): 4,
+    (GeomType.BOX, GeomType.BOX): 8,
+    (GeomType.BOX, GeomType.MESH): 4,
+    (GeomType.MESH, GeomType.MESH): 4,
+}
+
+
+def _geom_mass_inertia(g: mjcf.GeomSpec, mesh_props=None):
+    """(mass, com(3) in geom frame, inertia about com in geom frame).
+
+    Inertia is returned as a diag 3-vector for primitives and a full 3x3
+    matrix for meshes.  Formulas match MuJoCo's mjCGeom::SetInertia.
+    """
+    t = _GEOM_TYPE[g.type]
+    s = g.size
+    if t == GeomType.SPHERE:
+        vol = 4.0 / 3.0 * np.pi * s[0] ** 3
+        m = g.mass if g.mass is not None else g.density * vol
+        i = 0.4 * m * s[0] ** 2
+        return m, np.zeros(3), np.array([i, i, i])
+    if t == GeomType.BOX:
+        vol = 8.0 * s[0] * s[1] * s[2]
+        m = g.mass if g.mass is not None else g.density * vol
+        return m, np.zeros(3), m / 3.0 * np.array(
+            [s[1] ** 2 + s[2] ** 2, s[0] ** 2 + s[2] ** 2, s[0] ** 2 + s[1] ** 2])
+    if t == GeomType.CYLINDER:
+        r, hh = s[0], s[1]
+        vol = 2.0 * np.pi * r * r * hh
+        m = g.mass if g.mass is not None else g.density * vol
+        ix = m * (3.0 * r * r + 4.0 * hh * hh) / 12.0
+        return m, np.zeros(3), np.array([ix, ix, 0.5 * m * r * r])
+    if t == GeomType.CAPSULE:
+        r, hh = s[0], s[1]
+        vs = 4.0 / 3.0 * np.pi * r ** 3
+        vc = 2.0 * np.pi * r * r * hh
+        m = g.mass if g.mass is not None else g.density * (vs + vc)
+        ms = m * vs / (vs + vc)
+        mc = m - ms
+        iz = 0.4 * ms * r * r + 0.5 * mc * r * r
+        ix = (0.4 * ms * r * r + ms * (0.75 * r * hh + hh * hh)
+              + mc * (r * r / 4.0 + hh * hh / 3.0))
+        return m, np.zeros(3), np.array([ix, ix, iz])
+    if t == GeomType.ELLIPSOID:
+        vol = 4.0 / 3.0 * np.pi * s[0] * s[1] * s[2]
+        m = g.mass if g.mass is not None else g.density * vol
+        return m, np.zeros(3), m / 5.0 * np.array(
+            [s[1] ** 2 + s[2] ** 2, s[0] ** 2 + s[2] ** 2, s[0] ** 2 + s[1] ** 2])
+    if t == GeomType.MESH:
+        assert mesh_props is not None, "mesh geom without mesh data"
+        vol, com, imat = mesh_props  # unit-density inertia about com
+        m = g.mass if g.mass is not None else g.density * vol
+        return m, com, imat * (m / max(vol, 1e-30))
+    if t == GeomType.PLANE:
+        return 0.0, np.zeros(3), np.zeros(3)
+    raise NotImplementedError(f"geom type {g.type}")
+
+
+def _accumulate_inertia(geoms, mesh_lookup):
+    """Combine per-geom mass properties into body (mass, ipos, iquat, diag)."""
+    masses, coms, inertias = [], [], []
+    for g in geoms:
+        mesh_props = mesh_lookup(g) if g.type == "mesh" else None
+        m, com_g, diag = _geom_mass_inertia(g, mesh_props)
+        if m <= 0:
+            continue
+        rot = R.quat_to_mat_np(g.quat)
+        com_b = g.pos + rot @ com_g
+        local = diag if np.ndim(diag) == 2 else np.diag(diag)
+        imat = rot @ local @ rot.T
+        masses.append(m)
+        coms.append(com_b)
+        inertias.append(imat)
+    if not masses:
+        return 0.0, np.zeros(3), np.array([1.0, 0, 0, 0]), np.zeros(3)
+    mass = float(np.sum(masses))
+    com = np.sum([m * c for m, c in zip(masses, coms)], axis=0) / mass
+    total = np.zeros((3, 3))
+    for m, c, imat in zip(masses, coms, inertias):
+        d = c - com
+        total += imat + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+    evals, evecs = np.linalg.eigh(total)
+    # MuJoCo orders principal axes by decreasing inertia
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    evecs = evecs[:, order]
+    if np.linalg.det(evecs) < 0:
+        evecs[:, 2] *= -1
+    return mass, com, R.mat_to_quat_np(evecs), np.maximum(evals, 0.0)
+
+
+def compile_spec(spec: mjcf.SpecTree, ncon_extra: int = 0) -> Model:
+    """Flatten a SpecTree into a frozen Model (numpy-backed; f64)."""
+    from mujoco_sim_tpu.models import mesh_io
+
+    # ---- meshes
+    mesh_names = [m.name for m in spec.meshes]
+    mesh_idx = {n: i for i, n in enumerate(mesh_names)}
+    mesh_verts, mesh_props = [], []
+    meshdir = os.path.join(spec.base_dir, spec.compiler.meshdir)
+    for msp in spec.meshes:
+        path = os.path.join(meshdir, msp.file)
+        verts = mesh_io.load_mesh_vertices(path, msp.scale)
+        hull, props = mesh_io.process_mesh(verts)
+        mesh_verts.append(hull)
+        mesh_props.append(props)  # (volume, com, inertia_mat about com)
+
+    # ---- flatten bodies depth-first (preorder = MuJoCo id order)
+    bodies: list[mjcf.BodySpec] = []
+    parents: list[int] = []
+
+    def walk(b, parent_id):
+        bid = len(bodies)
+        bodies.append(b)
+        parents.append(parent_id)
+        for c in b.children:
+            walk(c, bid)
+
+    walk(spec.world, -1)
+    nbody = len(bodies)
+
+    body_name = [b.name or f"body{i}" for i, b in enumerate(bodies)]
+    body_name[0] = "world"
+    body_parentid = np.array(parents)
+    body_parentid[0] = 0
+
+    # joints / dofs / qpos layout
+    jnt_specs, jnt_bodyid = [], []
+    body_jntadr = np.full(nbody, -1)
+    body_jntnum = np.zeros(nbody, dtype=int)
+    for i, b in enumerate(bodies):
+        if b.joints:
+            body_jntadr[i] = len(jnt_specs)
+            body_jntnum[i] = len(b.joints)
+        for j in b.joints:
+            jnt_specs.append(j)
+            jnt_bodyid.append(i)
+    njnt = len(jnt_specs)
+    jnt_type = np.array([int(_JNT_TYPE[j.type]) for j in jnt_specs])
+    jnt_qposadr = np.zeros(njnt, dtype=int)
+    jnt_dofadr = np.zeros(njnt, dtype=int)
+    nq = nv = 0
+    for k, j in enumerate(jnt_specs):
+        jnt_qposadr[k] = nq
+        jnt_dofadr[k] = nv
+        nq += _JNT_NQ[JointType(jnt_type[k])]
+        nv += _JNT_NV[JointType(jnt_type[k])]
+
+    body_dofadr = np.full(nbody, -1)
+    body_dofnum = np.zeros(nbody, dtype=int)
+    for i in range(nbody):
+        if body_jntnum[i]:
+            body_dofadr[i] = jnt_dofadr[body_jntadr[i]]
+            body_dofnum[i] = sum(
+                _JNT_NV[JointType(jnt_type[body_jntadr[i] + k])]
+                for k in range(body_jntnum[i]))
+
+    # dof tables
+    dof_bodyid = np.zeros(nv, dtype=int)
+    dof_jntid = np.zeros(nv, dtype=int)
+    dof_parentid = np.full(nv, -1)
+    dof_armature = np.zeros(nv)
+    dof_damping = np.zeros(nv)
+    dof_frictionloss = np.zeros(nv)
+    # last dof of each body's chain (walking up to find dof parent)
+    last_dof_of_body = np.full(nbody, -1)
+    for i in range(nbody):
+        if i == 0:
+            continue
+        p = body_parentid[i]
+        inherited = last_dof_of_body[p]
+        cursor = inherited
+        for k in range(body_jntnum[i]):
+            jid = body_jntadr[i] + k
+            j = jnt_specs[jid]
+            ndof = _JNT_NV[JointType(jnt_type[jid])]
+            for d in range(ndof):
+                dv = jnt_dofadr[jid] + d
+                dof_bodyid[dv] = i
+                dof_jntid[dv] = jid
+                dof_parentid[dv] = cursor
+                cursor = dv
+                dof_armature[dv] = j.armature
+                dof_damping[dv] = j.damping
+                dof_frictionloss[dv] = j.frictionloss
+        last_dof_of_body[i] = cursor if body_jntnum[i] else inherited
+
+    # weldid: body welded to parent when jointless
+    body_weldid = np.zeros(nbody, dtype=int)
+    for i in range(1, nbody):
+        body_weldid[i] = i if body_jntnum[i] else body_weldid[body_parentid[i]]
+
+    # rootid: top-level ancestor under world
+    body_rootid = np.zeros(nbody, dtype=int)
+    for i in range(1, nbody):
+        p = body_parentid[i]
+        body_rootid[i] = i if p == 0 else body_rootid[p]
+
+    # tree levels (world excluded)
+    depth = np.zeros(nbody, dtype=int)
+    for i in range(1, nbody):
+        depth[i] = depth[body_parentid[i]] + 1
+    maxd = depth.max() if nbody > 1 else 0
+    body_levels = tuple(
+        tuple(int(i) for i in np.nonzero(depth == lv)[0])
+        for lv in range(1, maxd + 1))
+
+    # ancestor dof mask
+    ancestor_mask = np.zeros((nbody, nv))
+    for i in range(1, nbody):
+        b = i
+        while b != 0:
+            if body_dofnum[b]:
+                a = body_dofadr[b]
+                ancestor_mask[i, a:a + body_dofnum[b]] = 1.0
+            b = body_parentid[b]
+
+    # ---- inertial properties
+    comp = spec.compiler
+    body_pos = np.stack([b.pos for b in bodies])
+    body_quat = np.stack([b.quat for b in bodies])
+    body_mass = np.zeros(nbody)
+    body_ipos = np.zeros((nbody, 3))
+    body_iquat = np.tile(np.array([1.0, 0, 0, 0]), (nbody, 1))
+    body_inertia = np.zeros((nbody, 3))
+    body_gravcomp = np.array([b.gravcomp for b in bodies])
+
+    def mesh_lookup(g):
+        return mesh_props[mesh_idx[g.mesh]]
+
+    for i, b in enumerate(bodies):
+        if i == 0:
+            continue
+        use_geom = (comp.inertiafromgeom == "true"
+                    or (comp.inertiafromgeom == "auto" and b.inertial is None))
+        if use_geom:
+            m, com, iquat, diag = _accumulate_inertia(b.geoms, mesh_lookup)
+        elif b.inertial is not None:
+            ine = b.inertial
+            m = ine.mass
+            com = ine.pos
+            if ine.fullinertia is not None:
+                fi = ine.fullinertia
+                mat = np.array([[fi[0], fi[3], fi[4]],
+                                [fi[3], fi[1], fi[5]],
+                                [fi[4], fi[5], fi[2]]])
+                evals, evecs = np.linalg.eigh(mat)
+                order = np.argsort(evals)[::-1]
+                evals, evecs = evals[order], evecs[:, order]
+                if np.linalg.det(evecs) < 0:
+                    evecs[:, 2] *= -1
+                iquat = R.mat_to_quat_np(evecs)
+                diag = evals
+            else:
+                iquat = ine.quat
+                diag = (ine.diaginertia if ine.diaginertia is not None
+                        else np.zeros(3))
+        else:
+            m, com, iquat, diag = 0.0, np.zeros(3), np.array([1.0, 0, 0, 0]), np.zeros(3)
+        diag = np.asarray(diag, dtype=float).copy()
+        m = float(m)
+        if comp.boundmass > 0:
+            m = max(m, comp.boundmass)
+        if comp.boundinertia > 0:
+            diag = np.maximum(diag, comp.boundinertia)
+        if comp.balanceinertia:
+            A, B, C = np.sort(diag)[::-1]
+            if A > B + C:
+                diag[:] = (A + B + C) / 3.0
+        body_mass[i] = m
+        body_ipos[i] = com
+        body_iquat[i] = iquat
+        body_inertia[i] = diag
+
+    body_subtreemass = body_mass.copy()
+    for i in range(nbody - 1, 0, -1):
+        body_subtreemass[body_parentid[i]] += body_subtreemass[i]
+
+    # ---- joints arrays
+    jnt_pos = np.stack([j.pos for j in jnt_specs]) if njnt else np.zeros((0, 3))
+    jnt_axis = np.stack([j.axis for j in jnt_specs]) if njnt else np.zeros((0, 3))
+    jnt_range = np.stack([j.range for j in jnt_specs]) if njnt else np.zeros((0, 2))
+    jnt_limited = (np.array([j.limited for j in jnt_specs])
+                   if njnt else np.zeros(0, dtype=bool))
+    jnt_stiffness = np.array([j.stiffness for j in jnt_specs]) if njnt else np.zeros(0)
+    jnt_springref = np.array([j.springref for j in jnt_specs]) if njnt else np.zeros(0)
+    jnt_ref = np.array([j.ref for j in jnt_specs]) if njnt else np.zeros(0)
+    jnt_margin = np.array([j.margin for j in jnt_specs]) if njnt else np.zeros(0)
+    jnt_solref = (np.stack([j.solref_limit for j in jnt_specs])
+                  if njnt else np.zeros((0, 2)))
+    jnt_solimp = (np.stack([j.solimp_limit for j in jnt_specs])
+                  if njnt else np.zeros((0, 5)))
+
+    # ---- geoms
+    geom_specs, geom_bodyid = [], []
+    for i, b in enumerate(bodies):
+        for g in b.geoms:
+            geom_specs.append(g)
+            geom_bodyid.append(i)
+    ngeom = len(geom_specs)
+    geom_type = np.array([int(_GEOM_TYPE[g.type]) for g in geom_specs])
+    geom_dataid = np.array([mesh_idx.get(g.mesh, -1) if g.type == "mesh" else -1
+                            for g in geom_specs])
+    geom_pos = (np.stack([g.pos for g in geom_specs]) if ngeom
+                else np.zeros((0, 3)))
+    geom_quat = (np.stack([g.quat for g in geom_specs]) if ngeom
+                 else np.zeros((0, 4)))
+    geom_size = (np.stack([g.size for g in geom_specs]) if ngeom
+                 else np.zeros((0, 3)))
+
+    # mesh re-centering: shift hull verts to COM/principal frame, compose the
+    # offset into geom pos/quat (MuJoCo does the same; the reference works
+    # around it in save_geom_quat, src/mujoco_sim/mj_sim.cpp:715-793)
+    mesh_vert_list, mesh_vertadr, mesh_vertnum = [], [], []
+    adr = 0
+    recentered = []
+    for verts, (vol, com, imat) in zip(mesh_verts, mesh_props):
+        evals, evecs = np.linalg.eigh(imat)
+        order = np.argsort(evals)[::-1]
+        evecs = evecs[:, order]
+        if np.linalg.det(evecs) < 0:
+            evecs[:, 2] *= -1
+        local = (verts - com) @ evecs
+        recentered.append((com, R.mat_to_quat_np(evecs)))
+        mesh_vert_list.append(local)
+        mesh_vertadr.append(adr)
+        mesh_vertnum.append(len(local))
+        adr += len(local)
+    for gi, g in enumerate(geom_specs):
+        if geom_dataid[gi] >= 0:
+            com, mq = recentered[geom_dataid[gi]]
+            rot = R.quat_to_mat_np(geom_quat[gi])
+            geom_pos[gi] = geom_pos[gi] + rot @ com
+            geom_quat[gi] = R.quat_mul_np(geom_quat[gi], mq)
+    mesh_vert = (np.concatenate(mesh_vert_list, axis=0) if mesh_vert_list
+                 else np.zeros((0, 3)))
+
+    # mesh geoms inherit the recentered hull's AABB half-extents as size
+    # (matches mjModel.geom_size semantics for meshes)
+    for gi in range(ngeom):
+        if geom_dataid[gi] >= 0:
+            v = mesh_vert_list[geom_dataid[gi]]
+            geom_size[gi] = (v.max(axis=0) - v.min(axis=0)) / 2.0
+
+    # bounding radius
+    geom_rbound = np.zeros(ngeom)
+    for gi, g in enumerate(geom_specs):
+        t = GeomType(geom_type[gi])
+        s = geom_size[gi]
+        if t == GeomType.PLANE:
+            geom_rbound[gi] = 0.0
+        elif t == GeomType.SPHERE:
+            geom_rbound[gi] = s[0]
+        elif t == GeomType.CAPSULE:
+            geom_rbound[gi] = s[0] + s[1]
+        elif t == GeomType.CYLINDER:
+            geom_rbound[gi] = np.sqrt(s[0] ** 2 + s[1] ** 2)
+        elif t in (GeomType.BOX,):
+            geom_rbound[gi] = np.linalg.norm(s)
+        elif t == GeomType.ELLIPSOID:
+            geom_rbound[gi] = s.max()
+        elif t == GeomType.MESH:
+            v = mesh_vert_list[geom_dataid[gi]]
+            geom_rbound[gi] = np.linalg.norm(v, axis=1).max() if len(v) else 0.0
+
+    # ---- sites
+    site_specs, site_bodyid = [], []
+    for i, b in enumerate(bodies):
+        for s in b.sites:
+            site_specs.append(s)
+            site_bodyid.append(i)
+    nsite = len(site_specs)
+
+    # ---- equality constraints
+    name2body = {n: i for i, n in enumerate(body_name)}
+    name2jnt = {j.name: k for k, j in enumerate(jnt_specs) if j.name}
+    eq_rows = []
+    for e in spec.equalities:
+        et = {"connect": EqType.CONNECT, "weld": EqType.WELD,
+              "joint": EqType.JOINT}[e.type]
+        data = np.array(e.data, dtype=float)
+        if et == EqType.JOINT:
+            o1 = name2jnt[e.obj1]
+            o2 = name2jnt[e.obj2] if e.obj2 else -1
+        else:
+            o1 = name2body[e.obj1]
+            o2 = name2body[e.obj2] if e.obj2 else 0
+            if et == EqType.WELD:
+                data[10] = e.torquescale
+        eq_rows.append((int(et), o1, o2, e.active, data, e.solref, e.solimp,
+                        e.name))
+    neq = len(eq_rows)
+
+    # ---- collision pair list (static broadphase filter; SURVEY §2.2)
+    exclude_sig = set()
+    for b1, b2 in spec.excludes:
+        i1, i2 = name2body.get(b1, -1), name2body.get(b2, -1)
+        if i1 >= 0 and i2 >= 0:
+            exclude_sig.add((min(i1, i2), max(i1, i2)))
+    pair_g1, pair_g2 = [], []
+    for g1 in range(ngeom):
+        for g2 in range(g1 + 1, ngeom):
+            b1, b2 = geom_bodyid[g1], geom_bodyid[g2]
+            w1, w2 = body_weldid[b1], body_weldid[b2]
+            if w1 == w2:
+                continue
+            # parent-child filter (unless parent weld is world)
+            pw1 = body_weldid[body_parentid[w1]]
+            pw2 = body_weldid[body_parentid[w2]]
+            if (w1 == pw2 and w1 != 0) or (w2 == pw1 and w2 != 0):
+                continue
+            g1s, g2s = geom_specs[g1], geom_specs[g2]
+            if not ((g1s.contype & g2s.conaffinity)
+                    or (g2s.contype & g1s.conaffinity)):
+                continue
+            if (min(b1, b2), max(b1, b2)) in exclude_sig:
+                continue
+            t1, t2 = GeomType(geom_type[g1]), GeomType(geom_type[g2])
+            if t1 == GeomType.PLANE and t2 == GeomType.PLANE:
+                continue
+            key = (t1, t2) if (t1, t2) in _PAIR_NCON else (t2, t1)
+            if key not in _PAIR_NCON:
+                continue
+            if (t1, t2) in _PAIR_NCON:
+                pair_g1.append(g1)
+                pair_g2.append(g2)
+            else:
+                pair_g1.append(g2)
+                pair_g2.append(g1)
+    npair = len(pair_g1)
+    ncon_max = sum(
+        _PAIR_NCON[(GeomType(geom_type[a]), GeomType(geom_type[b]))]
+        for a, b in zip(pair_g1, pair_g2)) + ncon_extra
+
+    # constraint row capacity
+    neq_rows = sum({int(EqType.CONNECT): 3, int(EqType.WELD): 6,
+                    int(EqType.JOINT): 1}[r[0]] for r in eq_rows)
+    nlimit = int(np.sum(jnt_limited)) if njnt else 0
+    nfloss = int(np.sum(dof_frictionloss > 0))
+    # worst-case contact rows: condim from pair params (computed below)
+
+    # ---- per-geom solver params already parsed; sensors
+    sens = []
+    name2site = {s.name: k for k, s in enumerate(site_specs) if s.name}
+    sadr = 0
+    for s in spec.sensors:
+        st = SensorType.FORCE if s.type == "force" else SensorType.TORQUE
+        sens.append((int(st), name2site.get(s.site, -1), sadr, s.name))
+        sadr += 3
+    nsensor = len(sens)
+    nsensordata = sadr
+
+    # ---- qpos0 / qpos_spring
+    qpos0 = np.zeros(nq)
+    qpos_spring = np.zeros(nq)
+    # accumulate world pose at reference for free joints
+    world_pos0 = np.zeros((nbody, 3))
+    world_quat0 = np.tile(np.array([1.0, 0, 0, 0]), (nbody, 1))
+    for i in range(1, nbody):
+        p = body_parentid[i]
+        world_pos0[i] = world_pos0[p] + R.rot_vec_np(body_pos[i], world_quat0[p])
+        world_quat0[i] = R.quat_mul_np(world_quat0[p], body_quat[i])
+    for k, j in enumerate(jnt_specs):
+        t = JointType(jnt_type[k])
+        a = jnt_qposadr[k]
+        if t == JointType.FREE:
+            bid = jnt_bodyid[k]
+            qpos0[a:a + 3] = world_pos0[bid]
+            qpos0[a + 3:a + 7] = world_quat0[bid]
+            qpos_spring[a:a + 7] = qpos0[a:a + 7]
+        elif t == JointType.BALL:
+            qpos0[a:a + 4] = [1, 0, 0, 0]
+            qpos_spring[a:a + 4] = [1, 0, 0, 0]
+        else:
+            qpos0[a] = j.ref
+            qpos_spring[a] = j.springref
+
+    # contact rows capacity needs pair condims
+    pair_condim = []
+    for a, b in zip(pair_g1, pair_g2):
+        ga, gb = geom_specs[a], geom_specs[b]
+        if ga.priority != gb.priority:
+            c = ga.condim if ga.priority > gb.priority else gb.condim
+        else:
+            c = max(ga.condim, gb.condim)
+        pair_condim.append(c)
+    ncontact_rows = sum(
+        max(1, 2 * (c - 1)) * _PAIR_NCON[(GeomType(geom_type[a]), GeomType(geom_type[b]))]
+        for a, b, c in zip(pair_g1, pair_g2, pair_condim))
+    nefc_max = neq_rows + nfloss + nlimit + ncontact_rows + ncon_extra * 6
+
+    # ---- option
+    ospec = spec.option
+    opt = Option(
+        timestep=np_f(ospec.timestep),
+        gravity=np_f(ospec.gravity),
+        wind=np_f(ospec.wind),
+        density=np_f(ospec.density),
+        viscosity=np_f(ospec.viscosity),
+        impratio=np_f(ospec.impratio),
+        o_margin=np_f(ospec.o_margin),
+        o_solref=np_f(ospec.o_solref),
+        o_solimp=np_f(ospec.o_solimp),
+        integrator=int(_INTEGRATOR[ospec.integrator]),
+        cone=int(ConeType.PYRAMIDAL if ospec.cone == "pyramidal"
+                 else ConeType.ELLIPTIC),
+        solver_iterations=ospec.iterations,
+        ls_iterations=ospec.ls_iterations,
+        tolerance=ospec.tolerance,
+        disableflags=ospec.disableflags,
+    )
+
+    layout = Layout(
+        body_parentid=body_parentid,
+        body_rootid=body_rootid,
+        body_weldid=body_weldid,
+        body_jntadr=body_jntadr,
+        body_jntnum=body_jntnum,
+        body_dofadr=body_dofadr,
+        body_dofnum=body_dofnum,
+        jnt_type=jnt_type,
+        jnt_qposadr=jnt_qposadr,
+        jnt_dofadr=jnt_dofadr,
+        jnt_bodyid=np.asarray(jnt_bodyid, dtype=int),
+        dof_bodyid=dof_bodyid,
+        dof_jntid=dof_jntid,
+        dof_parentid=dof_parentid,
+        geom_bodyid=np.asarray(geom_bodyid, dtype=int),
+        geom_type=geom_type,
+        geom_dataid=geom_dataid,
+        site_bodyid=np.asarray(site_bodyid, dtype=int),
+        mesh_vertadr=np.asarray(mesh_vertadr, dtype=int),
+        mesh_vertnum=np.asarray(mesh_vertnum, dtype=int),
+        eq_type=np.asarray([r[0] for r in eq_rows], dtype=int),
+        eq_obj1id=np.asarray([r[1] for r in eq_rows], dtype=int),
+        eq_obj2id=np.asarray([r[2] for r in eq_rows], dtype=int),
+        pair_geom1=np.asarray(pair_g1, dtype=int),
+        pair_geom2=np.asarray(pair_g2, dtype=int),
+        pair_condim=np.asarray(pair_condim, dtype=int),
+        jnt_limited=np.asarray(jnt_limited, dtype=bool),
+        sensor_type=np.asarray([s[0] for s in sens], dtype=int),
+        sensor_objid=np.asarray([s[1] for s in sens], dtype=int),
+        sensor_adr=np.asarray([s[2] for s in sens], dtype=int),
+    )
+
+    names = NameTable(
+        body=body_name,
+        joint=[j.name or f"joint{k}" for k, j in enumerate(jnt_specs)],
+        geom=[g.name or f"geom{k}" for k, g in enumerate(geom_specs)],
+        site=[s.name or f"site{k}" for k, s in enumerate(site_specs)],
+        mesh=mesh_names,
+        sensor=[s[3] or f"sensor{k}" for k, s in enumerate(sens)],
+        eq=[r[7] or f"eq{k}" for k, r in enumerate(eq_rows)],
+    )
+
+    model = Model(
+        opt=opt,
+        body_parentid=np_i(body_parentid),
+        body_rootid=np_i(body_rootid),
+        body_weldid=np_i(body_weldid),
+        body_jntadr=np_i(body_jntadr),
+        body_jntnum=np_i(body_jntnum),
+        body_dofadr=np_i(body_dofadr),
+        body_dofnum=np_i(body_dofnum),
+        body_pos=np_f(body_pos),
+        body_quat=np_f(body_quat),
+        body_ipos=np_f(body_ipos),
+        body_iquat=np_f(body_iquat),
+        body_mass=np_f(body_mass),
+        body_inertia=np_f(body_inertia),
+        body_gravcomp=np_f(body_gravcomp),
+        body_invweight0=np_f(np.zeros((nbody, 2))),
+        body_subtreemass=np_f(body_subtreemass),
+        jnt_type=np_i(jnt_type),
+        jnt_qposadr=np_i(jnt_qposadr),
+        jnt_dofadr=np_i(jnt_dofadr),
+        jnt_bodyid=np_i(jnt_bodyid),
+        jnt_pos=np_f(jnt_pos),
+        jnt_axis=np_f(jnt_axis),
+        jnt_range=np_f(jnt_range),
+        jnt_limited=np.asarray(jnt_limited, dtype=bool),
+        jnt_stiffness=np_f(jnt_stiffness),
+        jnt_springref=np_f(jnt_springref),
+        jnt_ref=np_f(jnt_ref),
+        jnt_margin=np_f(jnt_margin),
+        jnt_solref=np_f(jnt_solref),
+        jnt_solimp=np_f(jnt_solimp),
+        dof_bodyid=np_i(dof_bodyid),
+        dof_jntid=np_i(dof_jntid),
+        dof_parentid=np_i(dof_parentid),
+        dof_armature=np_f(dof_armature),
+        dof_damping=np_f(dof_damping),
+        dof_frictionloss=np_f(dof_frictionloss),
+        dof_invweight0=np_f(np.zeros(nv)),
+        geom_type=np_i(geom_type),
+        geom_bodyid=np_i(geom_bodyid),
+        geom_dataid=np_i(geom_dataid),
+        geom_pos=np_f(geom_pos),
+        geom_quat=np_f(geom_quat),
+        geom_size=np_f(geom_size),
+        geom_rbound=np_f(geom_rbound),
+        geom_friction=np_f(np.stack([g.friction for g in geom_specs])
+                           if ngeom else np.zeros((0, 3))),
+        geom_contype=np_i([g.contype for g in geom_specs]),
+        geom_conaffinity=np_i([g.conaffinity for g in geom_specs]),
+        geom_condim=np_i([g.condim for g in geom_specs]),
+        geom_priority=np_i([g.priority for g in geom_specs]),
+        geom_solmix=np_f([g.solmix for g in geom_specs]),
+        geom_solref=np_f(np.stack([g.solref for g in geom_specs])
+                         if ngeom else np.zeros((0, 2))),
+        geom_solimp=np_f(np.stack([g.solimp for g in geom_specs])
+                         if ngeom else np.zeros((0, 5))),
+        geom_margin=np_f([g.margin for g in geom_specs]),
+        geom_gap=np_f([g.gap for g in geom_specs]),
+        geom_rgba=np_f(np.stack([g.rgba for g in geom_specs])
+                       if ngeom else np.zeros((0, 4))),
+        site_bodyid=np_i(site_bodyid),
+        site_pos=np_f(np.stack([s.pos for s in site_specs])
+                      if nsite else np.zeros((0, 3))),
+        site_quat=np_f(np.stack([s.quat for s in site_specs])
+                       if nsite else np.zeros((0, 4))),
+        mesh_vert=np_f(mesh_vert),
+        mesh_vertadr=np_i(mesh_vertadr),
+        mesh_vertnum=np_i(mesh_vertnum),
+        eq_type=np_i([r[0] for r in eq_rows]),
+        eq_obj1id=np_i([r[1] for r in eq_rows]),
+        eq_obj2id=np_i([r[2] for r in eq_rows]),
+        eq_active0=np.asarray([r[3] for r in eq_rows], dtype=bool),
+        eq_data=np_f(np.stack([r[4] for r in eq_rows])
+                     if neq else np.zeros((0, 11))),
+        eq_solref=np_f(np.stack([r[5] for r in eq_rows])
+                       if neq else np.zeros((0, 2))),
+        eq_solimp=np_f(np.stack([r[6] for r in eq_rows])
+                       if neq else np.zeros((0, 5))),
+        pair_geom1=np_i(pair_g1),
+        pair_geom2=np_i(pair_g2),
+        sensor_type=np_i([s[0] for s in sens]),
+        sensor_objid=np_i([s[1] for s in sens]),
+        sensor_adr=np_i([s[2] for s in sens]),
+        qpos0=np_f(qpos0),
+        qpos_spring=np_f(qpos_spring),
+        nq=nq, nv=nv, nbody=nbody, njnt=njnt, ngeom=ngeom, nsite=nsite,
+        nmesh=len(mesh_names), neq=neq, npair=npair, nsensor=nsensor,
+        nsensordata=nsensordata, ncon_max=ncon_max, nefc_max=nefc_max,
+        body_levels=body_levels,
+        max_jnt_per_body=int(body_jntnum.max()) if nbody else 0,
+        ancestor_mask=np_f(ancestor_mask),
+        dof_jnt_slot=np_i(np.zeros(nv)),
+        layout=layout,
+        names=names,
+    )
+    return model
+
+
+def load_model(path: str) -> Model:
+    """MJCF file -> compiled Model (the mj_loadXML equivalent)."""
+    return compile_spec(mjcf.parse_mjcf(path))

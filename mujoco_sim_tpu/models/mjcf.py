@@ -1,0 +1,563 @@
+"""MJCF parser: XML -> intermediate SpecTree (host side, pure Python).
+
+Our own parser for the MJCF subset exercised by the reference model set
+(reference loads MJCF via mj_loadXML, include/mujoco_sim/mj_util.h:185-193;
+scene composition writes <include>-based files, src/mujoco_sim/mj_sim.cpp:185-457).
+
+Supported: compiler settings (angle/meshdir/autolimits/eulerseq/boundmass/
+boundinertia/balanceinertia), option+flags, defaults classes, nested bodies,
+all four joint types, primitive+mesh geoms, sites, inertial, equality
+(joint/weld/connect), contact excludes/pairs, force/torque sensors,
+multiple <worldbody> blocks, <include> files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Intermediate spec dataclasses (mutable, host-only)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class JointSpec:
+    name: str = ""
+    type: str = "hinge"
+    pos: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    axis: np.ndarray = dataclasses.field(default_factory=lambda: np.array([0.0, 0.0, 1.0]))
+    range: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(2))
+    limited: Optional[bool] = None  # None = auto
+    stiffness: float = 0.0
+    springref: float = 0.0
+    ref: float = 0.0
+    damping: float = 0.0
+    armature: float = 0.0
+    frictionloss: float = 0.0
+    margin: float = 0.0
+    solref_limit: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.02, 1.0]))
+    solimp_limit: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.9, 0.95, 0.001, 0.5, 2.0]))
+
+
+@dataclasses.dataclass
+class GeomSpec:
+    name: str = ""
+    type: str = "sphere"
+    pos: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    quat: np.ndarray = dataclasses.field(default_factory=lambda: np.array([1.0, 0, 0, 0]))
+    size: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    density: float = 1000.0
+    mass: Optional[float] = None
+    friction: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([1.0, 0.005, 0.0001]))
+    contype: int = 1
+    conaffinity: int = 1
+    condim: int = 3
+    priority: int = 0
+    solmix: float = 1.0
+    solref: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.02, 1.0]))
+    solimp: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.9, 0.95, 0.001, 0.5, 2.0]))
+    margin: float = 0.0
+    gap: float = 0.0
+    rgba: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.5, 0.5, 0.5, 1.0]))
+    mesh: str = ""
+    group: int = 0
+
+
+@dataclasses.dataclass
+class SiteSpec:
+    name: str = ""
+    pos: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    quat: np.ndarray = dataclasses.field(default_factory=lambda: np.array([1.0, 0, 0, 0]))
+
+
+@dataclasses.dataclass
+class InertialSpec:
+    pos: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    quat: np.ndarray = dataclasses.field(default_factory=lambda: np.array([1.0, 0, 0, 0]))
+    mass: float = 0.0
+    diaginertia: Optional[np.ndarray] = None
+    fullinertia: Optional[np.ndarray] = None  # (ixx iyy izz ixy ixz iyz)
+
+
+@dataclasses.dataclass
+class BodySpec:
+    name: str = ""
+    pos: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    quat: np.ndarray = dataclasses.field(default_factory=lambda: np.array([1.0, 0, 0, 0]))
+    gravcomp: float = 0.0
+    mocap: bool = False
+    inertial: Optional[InertialSpec] = None
+    joints: list = dataclasses.field(default_factory=list)
+    geoms: list = dataclasses.field(default_factory=list)
+    sites: list = dataclasses.field(default_factory=list)
+    children: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class MeshSpec:
+    name: str = ""
+    file: str = ""
+    scale: np.ndarray = dataclasses.field(default_factory=lambda: np.ones(3))
+
+
+@dataclasses.dataclass
+class EqSpec:
+    type: str = "joint"         # connect | weld | joint
+    name: str = ""
+    obj1: str = ""
+    obj2: str = ""
+    active: bool = True
+    data: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(11))
+    solref: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.02, 1.0]))
+    solimp: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.9, 0.95, 0.001, 0.5, 2.0]))
+    torquescale: float = 1.0
+
+
+@dataclasses.dataclass
+class SensorSpec:
+    type: str = "force"
+    name: str = ""
+    site: str = ""
+
+
+@dataclasses.dataclass
+class OptionSpec:
+    timestep: float = 0.002
+    gravity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 0.0, -9.81]))
+    wind: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    density: float = 0.0
+    viscosity: float = 0.0
+    impratio: float = 1.0
+    integrator: str = "Euler"
+    cone: str = "pyramidal"
+    solver: str = "Newton"
+    iterations: int = 100
+    ls_iterations: int = 50
+    tolerance: float = 1e-8
+    o_margin: float = 0.0
+    o_solref: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.02, 1.0]))
+    o_solimp: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.9, 0.95, 0.001, 0.5, 2.0]))
+    disableflags: int = 0
+    energy: bool = False
+
+
+@dataclasses.dataclass
+class CompilerSpec:
+    angle: str = "degree"
+    eulerseq: str = "xyz"
+    meshdir: str = ""
+    autolimits: bool = True
+    boundmass: float = 0.0
+    boundinertia: float = 0.0
+    balanceinertia: bool = False
+    inertiafromgeom: str = "auto"
+
+
+@dataclasses.dataclass
+class SpecTree:
+    """Full parsed model, pre-compilation."""
+
+    model_name: str = "MuJoCo Model"
+    compiler: CompilerSpec = dataclasses.field(default_factory=CompilerSpec)
+    option: OptionSpec = dataclasses.field(default_factory=OptionSpec)
+    world: BodySpec = dataclasses.field(default_factory=lambda: BodySpec(name="world"))
+    meshes: list = dataclasses.field(default_factory=list)
+    equalities: list = dataclasses.field(default_factory=list)
+    excludes: list = dataclasses.field(default_factory=list)   # (body1, body2)
+    pairs: list = dataclasses.field(default_factory=list)      # explicit geom pairs
+    sensors: list = dataclasses.field(default_factory=list)
+    base_dir: str = ""
+
+
+# ---------------------------------------------------------------------------
+# Attribute helpers
+# ---------------------------------------------------------------------------
+
+def _floats(s: str) -> np.ndarray:
+    return np.array([float(x) for x in s.split()])
+
+
+def _get_f(el, name, default=None):
+    v = el.get(name)
+    return float(v) if v is not None else default
+
+
+def _get_v(el, name, default=None):
+    v = el.get(name)
+    return _floats(v) if v is not None else default
+
+
+def _get_b(el, name, default=None):
+    v = el.get(name)
+    if v is None:
+        return default
+    return v.lower() in ("true", "1")
+
+
+def _quat_from_attrs(el, angle_mode: str, eulerseq: str) -> np.ndarray:
+    """Resolve MJCF orientation attributes to a quaternion (w,x,y,z)."""
+    from mujoco_sim_tpu.models import rotations as R
+
+    deg = angle_mode == "degree"
+    if el.get("quat") is not None:
+        q = _floats(el.get("quat"))
+        return q / np.linalg.norm(q)
+    if el.get("euler") is not None:
+        e = _floats(el.get("euler"))
+        if deg:
+            e = np.deg2rad(e)
+        return R.euler_to_quat(e, eulerseq)
+    if el.get("axisangle") is not None:
+        aa = _floats(el.get("axisangle"))
+        axis = aa[:3] / np.linalg.norm(aa[:3])
+        ang = np.deg2rad(aa[3]) if deg else aa[3]
+        return R.axis_angle_quat(axis, ang)
+    if el.get("zaxis") is not None:
+        z = _floats(el.get("zaxis"))
+        return R.zaxis_to_quat(z)
+    if el.get("xyaxes") is not None:
+        xy = _floats(el.get("xyaxes"))
+        return R.xyaxes_to_quat(xy[:3], xy[3:])
+    return np.array([1.0, 0.0, 0.0, 0.0])
+
+
+# ---------------------------------------------------------------------------
+# Defaults handling
+# ---------------------------------------------------------------------------
+
+class _Defaults:
+    """A resolved default class: dict of tag -> dict of attr -> string."""
+
+    def __init__(self, parent=None):
+        self.attrs = {t: dict(parent.attrs[t]) if parent else {}
+                      for t in ("joint", "geom", "site", "mesh", "equality", "freejoint")}
+        self.children = {}
+
+    def update_from(self, el):
+        for child in el:
+            if child.tag in self.attrs:
+                self.attrs[child.tag].update(child.attrib)
+
+
+def _parse_defaults(root) -> dict:
+    classes = {"main": _Defaults()}
+
+    def recurse(el, parent: _Defaults):
+        d = _Defaults(parent)
+        d.update_from(el)
+        name = el.get("class", "main")
+        classes[name] = d
+        for sub in el.findall("default"):
+            recurse(sub, d)
+
+    for el in root.findall("default"):
+        recurse(el, classes["main"])
+    return classes
+
+
+def _with_defaults(el, defaults: dict, cls: str, childclass: str):
+    """Return a merged attribute view of element `el` of its tag's defaults."""
+    klass = el.get("class", childclass or cls)
+    d = defaults.get(klass, defaults["main"])
+    merged = dict(d.attrs.get(el.tag, {}))
+    merged.update(el.attrib)
+    fake = ET.Element(el.tag, merged)
+    return fake
+
+
+# ---------------------------------------------------------------------------
+# Main parse
+# ---------------------------------------------------------------------------
+
+def _resolve_includes(root: ET.Element, base_dir: str) -> ET.Element:
+    """Inline <include file=.../> elements (recursive), MuJoCo-style."""
+    def process(parent):
+        i = 0
+        while i < len(parent):
+            child = parent[i]
+            if child.tag == "include":
+                path = os.path.join(base_dir, child.get("file"))
+                sub = ET.parse(path).getroot()
+                # splice children of the included <mujoco> (or raw) root
+                items = list(sub) if sub.tag == "mujoco" else [sub]
+                parent.remove(child)
+                for j, item in enumerate(items):
+                    parent.insert(i + j, item)
+            else:
+                process(child)
+                i += 1
+    process(root)
+    return root
+
+
+def parse_mjcf(path: str) -> SpecTree:
+    base_dir = os.path.dirname(os.path.abspath(path))
+    root = ET.parse(path).getroot()
+    root = _resolve_includes(root, base_dir)
+    return parse_mjcf_tree(root, base_dir)
+
+
+def parse_mjcf_string(xml: str, base_dir: str = ".") -> SpecTree:
+    root = ET.fromstring(xml)
+    root = _resolve_includes(root, base_dir)
+    return parse_mjcf_tree(root, base_dir)
+
+
+def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
+    spec = SpecTree(base_dir=base_dir)
+    spec.model_name = root.get("model", "MuJoCo Model")
+
+    # -- compiler
+    comp = spec.compiler
+    for el in root.findall("compiler"):
+        comp.angle = el.get("angle", comp.angle)
+        comp.eulerseq = el.get("eulerseq", comp.eulerseq)
+        comp.meshdir = el.get("meshdir", comp.meshdir)
+        comp.autolimits = _get_b(el, "autolimits", comp.autolimits)
+        comp.boundmass = _get_f(el, "boundmass", comp.boundmass)
+        comp.boundinertia = _get_f(el, "boundinertia", comp.boundinertia)
+        comp.balanceinertia = _get_b(el, "balanceinertia", comp.balanceinertia)
+        comp.inertiafromgeom = el.get("inertiafromgeom", comp.inertiafromgeom)
+
+    # -- option
+    opt = spec.option
+    for el in root.findall("option"):
+        opt.timestep = _get_f(el, "timestep", opt.timestep)
+        g = _get_v(el, "gravity")
+        if g is not None:
+            opt.gravity = g
+        w = _get_v(el, "wind")
+        if w is not None:
+            opt.wind = w
+        opt.density = _get_f(el, "density", opt.density)
+        opt.viscosity = _get_f(el, "viscosity", opt.viscosity)
+        opt.impratio = _get_f(el, "impratio", opt.impratio)
+        opt.integrator = el.get("integrator", opt.integrator)
+        opt.cone = el.get("cone", opt.cone)
+        opt.solver = el.get("solver", opt.solver)
+        opt.iterations = int(_get_f(el, "iterations", opt.iterations))
+        opt.ls_iterations = int(_get_f(el, "ls_iterations", opt.ls_iterations))
+        opt.tolerance = _get_f(el, "tolerance", opt.tolerance)
+        opt.o_margin = _get_f(el, "o_margin", opt.o_margin)
+        for fl in el.findall("flag"):
+            from mujoco_sim_tpu.models.model import DisableBit
+            flag_bits = {
+                "constraint": DisableBit.CONSTRAINT,
+                "equality": DisableBit.EQUALITY,
+                "frictionloss": DisableBit.FRICTIONLOSS,
+                "limit": DisableBit.LIMIT,
+                "contact": DisableBit.CONTACT,
+                "passive": DisableBit.PASSIVE,
+                "gravity": DisableBit.GRAVITY,
+                "warmstart": DisableBit.WARMSTART,
+            }
+            for attr, bit in flag_bits.items():
+                v = fl.get(attr)
+                if v == "disable":
+                    opt.disableflags |= int(bit)
+            if fl.get("energy") == "enable":
+                opt.energy = True
+
+    defaults = _parse_defaults(root)
+
+    # -- assets
+    for asset in root.findall("asset"):
+        for el in asset.findall("mesh"):
+            el = _with_defaults(el, defaults, "main", "")
+            name = el.get("name") or os.path.splitext(
+                os.path.basename(el.get("file", "")))[0]
+            scale = _get_v(el, "scale", np.ones(3))
+            spec.meshes.append(MeshSpec(name=name, file=el.get("file", ""),
+                                        scale=scale))
+
+    deg = comp.angle
+
+    def parse_joint(el, childclass) -> JointSpec:
+        el = _with_defaults(el, defaults, "main", childclass)
+        j = JointSpec()
+        j.name = el.get("name", "")
+        j.type = el.get("type", "hinge")
+        j.pos = _get_v(el, "pos", j.pos)
+        axis = _get_v(el, "axis", j.axis)
+        j.axis = axis / np.linalg.norm(axis)
+        rng = _get_v(el, "range", j.range)
+        if deg == "degree" and j.type in ("hinge", "ball"):
+            rng = np.deg2rad(rng)
+        j.range = rng
+        limited = _get_b(el, "limited", None)
+        if limited is None:
+            j.limited = bool(comp.autolimits and el.get("range") is not None
+                             and np.any(j.range != 0))
+        else:
+            j.limited = limited
+        j.stiffness = _get_f(el, "stiffness", j.stiffness)
+        springref = _get_f(el, "springref", j.springref)
+        ref = _get_f(el, "ref", j.ref)
+        if deg == "degree" and j.type == "hinge":
+            springref = np.deg2rad(springref)
+            ref = np.deg2rad(ref)
+        j.springref = springref
+        j.ref = ref
+        j.damping = _get_f(el, "damping", j.damping)
+        j.armature = _get_f(el, "armature", j.armature)
+        j.frictionloss = _get_f(el, "frictionloss", j.frictionloss)
+        j.margin = _get_f(el, "margin", j.margin)
+        sr = _get_v(el, "solreflimit", None)
+        if sr is not None:
+            j.solref_limit = sr
+        si = _get_v(el, "solimplimit", None)
+        if si is not None:
+            j.solimp_limit = si
+        return j
+
+    def parse_geom(el, childclass) -> GeomSpec:
+        el = _with_defaults(el, defaults, "main", childclass)
+        g = GeomSpec()
+        g.name = el.get("name", "")
+        g.type = el.get("type", "sphere")
+        g.pos = _get_v(el, "pos", g.pos)
+        g.quat = _quat_from_attrs(el, deg, comp.eulerseq)
+        size = _get_v(el, "size", np.zeros(3))
+        g.size = np.pad(size, (0, 3 - len(size)))[:3]
+        g.density = _get_f(el, "density", g.density)
+        g.mass = _get_f(el, "mass", None)
+        fr = _get_v(el, "friction", None)
+        if fr is not None:
+            full = g.friction.copy()
+            full[: len(fr)] = fr
+            g.friction = full
+        g.contype = int(_get_f(el, "contype", g.contype))
+        g.conaffinity = int(_get_f(el, "conaffinity", g.conaffinity))
+        g.condim = int(_get_f(el, "condim", g.condim))
+        g.priority = int(_get_f(el, "priority", g.priority))
+        g.solmix = _get_f(el, "solmix", g.solmix)
+        sr = _get_v(el, "solref", None)
+        if sr is not None:
+            g.solref = sr
+        si = _get_v(el, "solimp", None)
+        if si is not None:
+            full = g.solimp.copy()
+            full[: len(si)] = si
+            g.solimp = full
+        g.margin = _get_f(el, "margin", g.margin)
+        g.gap = _get_f(el, "gap", g.gap)
+        rgba = _get_v(el, "rgba", None)
+        if rgba is not None:
+            g.rgba = rgba
+        g.mesh = el.get("mesh", "")
+        g.group = int(_get_f(el, "group", 0))
+        if g.type == "mesh" or (g.mesh and el.get("type") is None):
+            g.type = "mesh"
+        return g
+
+    def parse_body(el, childclass) -> BodySpec:
+        b = BodySpec()
+        b.name = el.get("name", "")
+        b.pos = _get_v(el, "pos", np.zeros(3))
+        b.quat = _quat_from_attrs(el, deg, comp.eulerseq)
+        b.gravcomp = _get_f(el, "gravcomp", 0.0)
+        b.mocap = _get_b(el, "mocap", False)
+        cc = el.get("childclass", childclass)
+        for child in el:
+            if child.tag == "joint":
+                b.joints.append(parse_joint(child, cc))
+            elif child.tag == "freejoint":
+                j = JointSpec(name=child.get("name", ""), type="free",
+                              limited=False)
+                b.joints.append(j)
+            elif child.tag == "geom":
+                b.geoms.append(parse_geom(child, cc))
+            elif child.tag == "site":
+                s = _with_defaults(child, defaults, "main", cc)
+                b.sites.append(SiteSpec(
+                    name=s.get("name", ""),
+                    pos=_get_v(s, "pos", np.zeros(3)),
+                    quat=_quat_from_attrs(s, deg, comp.eulerseq)))
+            elif child.tag == "inertial":
+                ine = InertialSpec()
+                ine.pos = _get_v(child, "pos", np.zeros(3))
+                ine.quat = _quat_from_attrs(child, deg, comp.eulerseq)
+                ine.mass = _get_f(child, "mass", 0.0)
+                ine.diaginertia = _get_v(child, "diaginertia", None)
+                ine.fullinertia = _get_v(child, "fullinertia", None)
+                b.inertial = ine
+            elif child.tag == "body":
+                b.children.append(parse_body(child, cc))
+        return b
+
+    # -- worldbody blocks (possibly several; reference pendulum.xml has two)
+    for wb in root.findall("worldbody"):
+        fake_world = parse_body(wb, "")
+        spec.world.geoms.extend(fake_world.geoms)
+        spec.world.sites.extend(fake_world.sites)
+        spec.world.children.extend(fake_world.children)
+
+    # -- equality
+    for eq_root in root.findall("equality"):
+        for el in eq_root:
+            el2 = _with_defaults(el, defaults, "main", "")
+            e = EqSpec(type=el.tag, name=el2.get("name", ""))
+            e.active = _get_b(el2, "active", True)
+            sr = _get_v(el2, "solref", None)
+            if sr is not None:
+                e.solref = sr
+            si = _get_v(el2, "solimp", None)
+            if si is not None:
+                e.solimp = si
+            if el.tag == "joint":
+                e.obj1 = el2.get("joint1", "")
+                e.obj2 = el2.get("joint2", "")
+                poly = _get_v(el2, "polycoef", np.array([0.0, 1, 0, 0, 0]))
+                e.data[: len(poly)] = poly
+            elif el.tag == "weld":
+                e.obj1 = el2.get("body1", "")
+                e.obj2 = el2.get("body2", "")
+                relpose = _get_v(el2, "relpose", None)
+                if relpose is not None:
+                    e.data[3:10] = relpose
+                else:
+                    e.data[6] = 1.0  # identity quat; resolved at compile
+                    e.data[10] = -1.0  # sentinel: compute from qpos0
+                e.torquescale = _get_f(el2, "torquescale", 1.0)
+            elif el.tag == "connect":
+                e.obj1 = el2.get("body1", "")
+                e.obj2 = el2.get("body2", "")
+                anchor = _get_v(el2, "anchor", np.zeros(3))
+                e.data[:3] = anchor
+            else:
+                continue
+            spec.equalities.append(e)
+
+    # -- contact overrides
+    for c_root in root.findall("contact"):
+        for el in c_root:
+            if el.tag == "exclude":
+                spec.excludes.append((el.get("body1"), el.get("body2")))
+            elif el.tag == "pair":
+                spec.pairs.append(dict(el.attrib))
+
+    # -- sensors
+    for s_root in root.findall("sensor"):
+        for el in s_root:
+            if el.tag in ("force", "torque"):
+                spec.sensors.append(SensorSpec(
+                    type=el.tag, name=el.get("name", ""),
+                    site=el.get("site", "")))
+
+    return spec
