@@ -1,0 +1,323 @@
+"""Public engine API: make_data, forward, step, inverse.
+
+TPU-native replacement for the libmujoco step pipeline the reference drives
+through mj_step1/mj_step2/mj_forward/mj_inverse (reference call sites:
+src/mj_main.cpp:83,108; src/mujoco_sim/mj_ros.cpp:608; mj_hw_interface.cpp:61).
+
+All functions are pure: ``d' = f(m, d)``; batching is ``jax.vmap`` over Data,
+sharding is pjit/shard_map over the env axis (mujoco_sim_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_sim_tpu.models.model import (
+    Model, Data, Contact, Integrator, DisableBit,
+)
+from mujoco_sim_tpu.ops import smooth, passive as passive_mod, support
+from mujoco_sim_tpu.ops import integrate as integrate_mod
+
+
+def put_model(m: Model, dtype=jnp.float32, device=None) -> Model:
+    """Cast float leaves and place the model on device."""
+    def cast(x):
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(dtype)
+        if device is not None:
+            x = jax.device_put(x, device)
+        return x
+
+    return jax.tree.map(cast, m)
+
+
+def make_data(m: Model, dtype=None) -> Data:
+    """Fresh Data at qpos0 (mj_makeData + reset equivalent)."""
+    if dtype is None:
+        dtype = jnp.asarray(m.qpos0).dtype
+    z = lambda *shape: jnp.zeros(shape, dtype)
+    nv, nbody, njnt = m.nv, m.nbody, m.njnt
+    ncon, nefc = m.ncon_max, m.nefc_max
+    contact = Contact(
+        dist=z(ncon), pos=z(ncon, 3), frame=z(ncon, 3, 3),
+        geom1=jnp.full((ncon,), -1, jnp.int32),
+        geom2=jnp.full((ncon,), -1, jnp.int32),
+        includemargin=z(ncon), friction=z(ncon, 5),
+        solref=z(ncon, 2), solimp=z(ncon, 5),
+        dim=jnp.ones((ncon,), jnp.int32),
+        efc_address=jnp.full((ncon,), -1, jnp.int32),
+        active=jnp.zeros((ncon,), bool),
+    )
+    return Data(
+        time=jnp.asarray(0.0, dtype),
+        qpos=jnp.asarray(m.qpos0, dtype),
+        qvel=z(nv), qacc=z(nv), qacc_warmstart=z(nv),
+        qfrc_applied=z(nv), xfrc_applied=z(nbody, 6),
+        ctrl=z(0),
+        body_active=jnp.ones((nbody,), bool),
+        xpos=z(nbody, 3), xquat=z(nbody, 4).at[:, 0].set(1.0),
+        xipos=z(nbody, 3), ximat=z(nbody, 3, 3),
+        xanchor=z(njnt, 3), xaxis=z(njnt, 3),
+        geom_xpos=z(m.ngeom, 3), geom_xmat=z(m.ngeom, 3, 3),
+        site_xpos=z(m.nsite, 3), site_xmat=z(m.nsite, 3, 3),
+        subtree_com=z(nbody, 3),
+        cvel=z(nbody, 6), cdof=z(nv, 6), cdof_dot=z(nv, 6),
+        qM=z(nv, nv), qLD=z(nv, nv),
+        qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_spring=z(nv),
+        qfrc_damper=z(nv), qfrc_gravcomp=z(nv), qfrc_smooth=z(nv),
+        qacc_smooth=z(nv), qfrc_constraint=z(nv), qfrc_inverse=z(nv),
+        contact=contact, ncon=jnp.asarray(0, jnp.int32),
+        efc_J=z(nefc, nv), efc_D=z(nefc), efc_aref=z(nefc), efc_R=z(nefc),
+        efc_frictionloss=z(nefc),
+        efc_floss_active=jnp.zeros((nefc,), bool),
+        efc_active=jnp.zeros((nefc,), bool),
+        efc_type=jnp.zeros((nefc,), jnp.int32),
+        efc_force=z(nefc),
+        sensordata=z(m.nsensordata),
+        energy=z(2),
+    )
+
+
+def set_const(m: Model) -> Model:
+    """Compute qpos0-derived constants: dof/body invweight0 (mj_setConst).
+
+    These feed the constraint regularization diagApprox (ops/constraint.py).
+    """
+    qpos0 = jnp.asarray(m.qpos0)
+    kin = smooth.kinematics(m, qpos0)
+    com = smooth.com_pos(m, kin)
+    qM = smooth.crb(m, com)
+    Minv = jnp.linalg.inv(qM)
+    dof_invweight0 = jnp.diag(Minv)
+
+    dtype = qpos0.dtype
+    lay = m.layout
+    origin = com["subtree_com"][lay.body_rootid]
+    cdof = com["cdof"]
+    ang, lin = cdof[:, :3], cdof[:, 3:]
+    mask = jnp.asarray(m.ancestor_mask, dtype)  # (nbody, nv)
+    r = kin["xipos"] - origin  # (nbody, 3)
+    # translational jacobian at body COM: (nbody, 3, nv)
+    Jt = (lin.T[None] + jnp.cross(ang[None, :, :],
+                                  r[:, None, :]).swapaxes(-1, -2))
+    Jt = Jt * mask[:, None, :]
+    Jr = ang.T[None] * mask[:, None, :]
+    At = jnp.einsum("biv,vw,biw->b", Jt, Minv, Jt) / 3.0
+    Ar = jnp.einsum("biv,vw,biw->b", Jr, Minv, Jr) / 3.0
+    body_invweight0 = jnp.stack([At, Ar], axis=-1)
+    import numpy as np_
+    return m.replace(dof_invweight0=np_.asarray(dof_invweight0),
+                     body_invweight0=np_.asarray(body_invweight0))
+
+
+def _com_dict(m: Model, d: Data) -> dict:
+    lay = m.layout
+    return dict(subtree_com=d.subtree_com,
+                origin=d.subtree_com[lay.body_rootid],
+                cdof=d.cdof)
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+    kin = smooth.kinematics(m, d.qpos)
+    com = smooth.com_pos(m, kin)
+    qM = smooth.crb(m, com)
+    qLD = smooth.factor_chol(qM)
+    d = d.replace(
+        xpos=kin["xpos"], xquat=kin["xquat"], xipos=kin["xipos"],
+        ximat=kin["ximat"], xanchor=kin["xanchor"], xaxis=kin["xaxis"],
+        geom_xpos=kin["geom_xpos"], geom_xmat=kin["geom_xmat"],
+        site_xpos=kin["site_xpos"], site_xmat=kin["site_xmat"],
+        subtree_com=com["subtree_com"], cdof=com["cdof"],
+        qM=qM, qLD=qLD,
+    )
+    # collision + constraint assembly
+    from mujoco_sim_tpu.ops import collision as collision_mod
+    from mujoco_sim_tpu.ops import constraint as constraint_mod
+    d = collision_mod.collision(m, d)
+    d = constraint_mod.make_constraint(m, d, com)
+    return d
+
+
+def fwd_velocity(m: Model, d: Data) -> Data:
+    com = _com_dict(m, d)
+    kin_stub = {"xanchor": d.xanchor, "xaxis": d.xaxis, "xmat": _xmat(d)}
+    com_full = dict(com, cinert=_cinert(m, d))
+    vel = smooth.com_vel(m, com_full, d.qvel)
+    qfrc_bias = smooth.rne(m, com_full, vel, d.qvel)
+    qfrc_passive, qsp, qdm, qgc = passive_mod.passive(
+        m, com, d.qpos, d.qvel, d.xipos)
+    return d.replace(cvel=vel["cvel"], cdof_dot=vel["cdof_dot"],
+                     qfrc_bias=qfrc_bias, qfrc_passive=qfrc_passive,
+                     qfrc_spring=qsp, qfrc_damper=qdm, qfrc_gravcomp=qgc)
+
+
+def _xmat(d: Data):
+    from mujoco_sim_tpu.ops import math as mm
+    return mm.quat_to_mat(d.xquat)
+
+
+def _cinert(m: Model, d: Data):
+    from mujoco_sim_tpu.ops import math as mm
+    dtype = d.qpos.dtype
+    lay = m.layout
+    inert_world = jnp.einsum("bij,bj,bkj->bik", d.ximat,
+                             jnp.asarray(m.body_inertia, dtype), d.ximat)
+    origin = d.subtree_com[lay.body_rootid]
+    return mm.spatial_inertia(jnp.asarray(m.body_mass, dtype), inert_world,
+                              d.xipos - origin)
+
+
+def fwd_actuation(m: Model, d: Data) -> Data:
+    return d  # no <actuator> models in the reference set yet
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+    com = _com_dict(m, d)
+    qfrc_x = support.xfrc_accumulate(m, com, d.xipos, d.xfrc_applied)
+    qfrc_smooth = (d.qfrc_passive + d.qfrc_applied + qfrc_x - d.qfrc_bias)
+    qacc_smooth = smooth.solve_chol(d.qLD, qfrc_smooth)
+    return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+def fwd_constraint(m: Model, d: Data) -> Data:
+    from mujoco_sim_tpu.ops import solver as solver_mod
+    if m.nefc_max == 0 or (m.opt.disableflags & int(DisableBit.CONSTRAINT)):
+        return d.replace(qacc=d.qacc_smooth,
+                         qfrc_constraint=jnp.zeros_like(d.qacc_smooth))
+    return solver_mod.solve(m, d)
+
+
+def forward_core(m: Model, d: Data) -> Data:
+    d = fwd_position(m, d)
+    d = fwd_velocity(m, d)
+    d = fwd_actuation(m, d)
+    d = fwd_acceleration(m, d)
+    d = fwd_constraint(m, d)
+    return d
+
+
+def forward(m: Model, d: Data) -> Data:
+    """Full forward dynamics + derived outputs (mj_forward equivalent)."""
+    d = forward_core(m, d)
+    d = sensor_energy(m, d)
+    return d
+
+
+def sensor_energy(m: Model, d: Data) -> Data:
+    dtype = d.qpos.dtype
+    g = jnp.asarray(m.opt.gravity, dtype)
+    mass = jnp.asarray(m.body_mass, dtype)
+    potential = -jnp.sum(mass * jnp.einsum("bi,i->b", d.xipos, g))
+    # joint springs
+    lay = m.layout
+    from mujoco_sim_tpu.models.model import JointType
+    from mujoco_sim_tpu.ops import math as mm
+    spring = jnp.asarray(0.0, dtype)
+    for jt in (JointType.SLIDE, JointType.HINGE):
+        jsel = np.nonzero(lay.jnt_type == int(jt))[0]
+        if len(jsel) == 0:
+            continue
+        k = jnp.asarray(m.jnt_stiffness, dtype)[jsel]
+        qadr = lay.jnt_qposadr[jsel]
+        disp = d.qpos[qadr] - jnp.asarray(m.qpos_spring, dtype)[qadr]
+        spring = spring + 0.5 * jnp.sum(k * disp * disp)
+    for jt in (JointType.BALL,):
+        jsel = np.nonzero(lay.jnt_type == int(jt))[0]
+        if len(jsel):
+            k = jnp.asarray(m.jnt_stiffness, dtype)[jsel]
+            qadr = lay.jnt_qposadr[jsel]
+            q = d.qpos[qadr[:, None] + np.arange(4)]
+            qref = jnp.asarray(m.qpos_spring, dtype)[qadr[:, None] + np.arange(4)]
+            rot = mm.quat_sub(q, qref)
+            spring = spring + 0.5 * jnp.sum(k * jnp.sum(rot * rot, axis=-1))
+    kinetic = 0.5 * d.qvel @ d.qM @ d.qvel
+    d = d.replace(energy=jnp.stack([potential + spring, kinetic]))
+    from mujoco_sim_tpu.ops import sensor as sensor_mod
+    return sensor_mod.sensors(m, d)
+
+
+def _euler(m: Model, d: Data) -> Data:
+    dtype = d.qpos.dtype
+    h = jnp.asarray(m.opt.timestep, dtype)
+    damping = jnp.asarray(m.dof_damping, dtype)
+    # implicit joint damping: (M + h*diag(B)) qacc' = qfrc_smooth + qfrc_constraint
+    # (matches mj_Euler; qfrc_smooth already contains the explicit -B qvel)
+    MhB = d.qM + jnp.diag(h * damping)
+    rhs = d.qfrc_smooth + d.qfrc_constraint
+    L = jnp.linalg.cholesky(MhB)
+    qacc = smooth.solve_chol(L, rhs)
+    qvel = d.qvel + h * qacc
+    qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)
+    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+
+
+def _euler_explicit_damping(m: Model, d: Data) -> Data:
+    dtype = d.qpos.dtype
+    h = jnp.asarray(m.opt.timestep, dtype)
+    qvel = d.qvel + h * d.qacc
+    qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)
+    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+
+
+_RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
+_RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+
+
+def _rk4(m: Model, d: Data) -> Data:
+    """mj_RungeKutta(4): stages re-run forward_core; pos via manifold update."""
+    h = jnp.asarray(m.opt.timestep, d.qpos.dtype)
+    qpos0, qvel0 = d.qpos, d.qvel
+    F = [(d.qvel, d.qacc)]
+    dcur = d
+    for i in range(3):
+        dq = sum(a * f[0] for a, f in zip(_RK4_A[i], F) if a)
+        dv = sum(a * f[1] for a, f in zip(_RK4_A[i], F) if a)
+        qpos_i = integrate_mod.integrate_pos(m, qpos0, dq, h)
+        qvel_i = qvel0 + h * dv
+        dcur = dcur.replace(qpos=qpos_i, qvel=qvel_i)
+        dcur = forward_core(m, dcur)
+        F.append((dcur.qvel, dcur.qacc))
+    dq = sum(b * f[0] for b, f in zip(_RK4_B, F))
+    dv = sum(b * f[1] for b, f in zip(_RK4_B, F))
+    qpos = integrate_mod.integrate_pos(m, qpos0, dq, h)
+    qvel = qvel0 + h * dv
+    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+
+
+def step(m: Model, d: Data) -> Data:
+    """One physics step (mj_step equivalent)."""
+    d = forward(m, d)
+    d = d.replace(qacc_warmstart=d.qacc)
+    if m.opt.integrator == int(Integrator.RK4):
+        return _rk4(m, d)
+    return _euler(m, d)
+
+
+def step1(m: Model, d: Data) -> Data:
+    """Position+velocity stages only — the hook point where the reference
+    runs controllers between mj_step1 and mj_step2 (src/mj_main.cpp:83-108)."""
+    d = fwd_position(m, d)
+    d = fwd_velocity(m, d)
+    return d
+
+
+def step2(m: Model, d: Data) -> Data:
+    d = fwd_actuation(m, d)
+    d = fwd_acceleration(m, d)
+    d = fwd_constraint(m, d)
+    d = sensor_energy(m, d)
+    d = d.replace(qacc_warmstart=d.qacc)
+    if m.opt.integrator == int(Integrator.RK4):
+        return _rk4(m, d)
+    return _euler(m, d)
+
+
+def inverse(m: Model, d: Data, qacc: jax.Array) -> jax.Array:
+    """Inverse dynamics: applied generalized force that would produce qacc
+    (mj_inverse equivalent; used for effort feedback, mj_hw_interface.cpp:61)."""
+    d = fwd_position(m, d)
+    d = fwd_velocity(m, d)
+    return d.qM @ qacc + d.qfrc_bias - d.qfrc_passive - d.qfrc_constraint

@@ -141,7 +141,7 @@ def _accumulate_inertia(geoms, mesh_lookup):
     return mass, com, R.mat_to_quat_np(evecs), np.maximum(evals, 0.0)
 
 
-def compile_spec(spec: mjcf.SpecTree, ncon_extra: int = 0) -> Model:
+def compile_spec(spec: mjcf.SpecTree) -> Model:
     """Flatten a SpecTree into a frozen Model (numpy-backed; f64)."""
     from mujoco_sim_tpu.models import mesh_io
 
@@ -482,14 +482,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_extra: int = 0) -> Model:
     npair = len(pair_g1)
     ncon_max = sum(
         _PAIR_NCON[(GeomType(geom_type[a]), GeomType(geom_type[b]))]
-        for a, b in zip(pair_g1, pair_g2)) + ncon_extra
-
-    # constraint row capacity
-    neq_rows = sum({int(EqType.CONNECT): 3, int(EqType.WELD): 6,
-                    int(EqType.JOINT): 1}[r[0]] for r in eq_rows)
-    nlimit = int(np.sum(jnt_limited)) if njnt else 0
-    nfloss = int(np.sum(dof_frictionloss > 0))
-    # worst-case contact rows: condim from pair params (computed below)
+        for a, b in zip(pair_g1, pair_g2))
 
     # ---- per-geom solver params already parsed; sensors
     sens = []
@@ -527,19 +520,82 @@ def compile_spec(spec: mjcf.SpecTree, ncon_extra: int = 0) -> Model:
             qpos0[a] = j.ref
             qpos_spring[a] = j.springref
 
-    # contact rows capacity needs pair condims
-    pair_condim = []
+    # ---- pair parameter mixing (mj_collideGeoms combination rules)
+    pair_condim, pair_friction = [], []
+    pair_solref, pair_solimp = [], []
+    pair_margin, pair_gap = [], []
     for a, b in zip(pair_g1, pair_g2):
         ga, gb = geom_specs[a], geom_specs[b]
         if ga.priority != gb.priority:
-            c = ga.condim if ga.priority > gb.priority else gb.condim
+            hi = ga if ga.priority > gb.priority else gb
+            condim = hi.condim
+            fr3 = hi.friction
+            solref = hi.solref
+            solimp = hi.solimp
         else:
-            c = max(ga.condim, gb.condim)
-        pair_condim.append(c)
-    ncontact_rows = sum(
-        max(1, 2 * (c - 1)) * _PAIR_NCON[(GeomType(geom_type[a]), GeomType(geom_type[b]))]
-        for a, b, c in zip(pair_g1, pair_g2, pair_condim))
-    nefc_max = neq_rows + nfloss + nlimit + ncontact_rows + ncon_extra * 6
+            condim = max(ga.condim, gb.condim)
+            fr3 = np.maximum(ga.friction, gb.friction)
+            smix = ga.solmix + gb.solmix
+            w1 = ga.solmix / smix if smix > 1e-12 else 0.5
+            w2 = 1.0 - w1
+            if ga.solref[0] > 0 and gb.solref[0] > 0:
+                solref = w1 * ga.solref + w2 * gb.solref
+            else:
+                solref = np.minimum(ga.solref, gb.solref)
+            solimp = w1 * ga.solimp + w2 * gb.solimp
+        pair_condim.append(condim)
+        pair_friction.append(np.array(
+            [fr3[0], fr3[0], fr3[1], fr3[2], fr3[2]]))
+        pair_solref.append(solref)
+        pair_solimp.append(solimp)
+        pair_margin.append(max(ga.margin, gb.margin))
+        pair_gap.append(max(ga.gap, gb.gap))
+
+    # ---- static efc row + contact slot layout
+    # order matches MuJoCo: equality, dof friction, limits, contacts
+    eq_efcadr, adr_cursor = [], 0
+    for r in eq_rows:
+        eq_efcadr.append(adr_cursor)
+        adr_cursor += {int(EqType.CONNECT): 3, int(EqType.WELD): 6,
+                       int(EqType.JOINT): 1}[r[0]]
+    fri_dofid = np.nonzero(dof_frictionloss > 0)[0]
+    fri_efcadr = adr_cursor + np.arange(len(fri_dofid))
+    adr_cursor += len(fri_dofid)
+    lim_jntid = (np.nonzero(np.asarray(jnt_limited))[0]
+                 if njnt else np.zeros(0, dtype=int))
+    lim_efcadr = adr_cursor + np.arange(len(lim_jntid))
+    adr_cursor += len(lim_jntid)
+    # contact slots: per pair, _PAIR_NCON capacity slots; each slot owns
+    # max(1, 2*(condim-1)) pyramidal rows
+    slot_pairid, slot_geom1, slot_geom2, slot_condim = [], [], [], []
+    slot_efcadr, pair_slotadr = [], []
+    for pi, (a, b) in enumerate(zip(pair_g1, pair_g2)):
+        cap = _PAIR_NCON[(GeomType(geom_type[a]), GeomType(geom_type[b]))]
+        pair_slotadr.append(len(slot_pairid))
+        for _ in range(cap):
+            slot_pairid.append(pi)
+            slot_geom1.append(a)
+            slot_geom2.append(b)
+            slot_condim.append(pair_condim[pi])
+            slot_efcadr.append(adr_cursor)
+            adr_cursor += max(1, 2 * (pair_condim[pi] - 1))
+    nefc_max = adr_cursor
+    assert len(slot_pairid) == ncon_max
+
+    # resolve equality reference data needing the qpos0 world poses:
+    # connect anchor2 and weld default relpose (MuJoCo compiler behavior)
+    for idx, (et, o1, o2, act, data, sr, si, nm) in enumerate(eq_rows):
+        if et == int(EqType.CONNECT):
+            p_world = world_pos0[o1] + R.rot_vec_np(data[0:3], world_quat0[o1])
+            q2inv = np.array([1.0, -1, -1, -1]) * world_quat0[o2]
+            data[3:6] = R.rot_vec_np(p_world - world_pos0[o2], q2inv)
+        elif et == int(EqType.WELD):
+            if np.linalg.norm(data[6:10]) < 1e-12:
+                # relpose = inv(T1_0) o T2_0
+                q1inv = np.array([1.0, -1, -1, -1]) * world_quat0[o1]
+                data[3:6] = R.rot_vec_np(world_pos0[o2] - world_pos0[o1], q1inv)
+                data[6:10] = R.quat_mul_np(q1inv, world_quat0[o2])
+        eq_rows[idx] = (et, o1, o2, act, data, sr, si, nm)
 
     # ---- option
     ospec = spec.option
@@ -589,6 +645,17 @@ def compile_spec(spec: mjcf.SpecTree, ncon_extra: int = 0) -> Model:
         pair_geom1=np.asarray(pair_g1, dtype=int),
         pair_geom2=np.asarray(pair_g2, dtype=int),
         pair_condim=np.asarray(pair_condim, dtype=int),
+        eq_efcadr=np.asarray(eq_efcadr, dtype=int),
+        fri_dofid=np.asarray(fri_dofid, dtype=int),
+        fri_efcadr=np.asarray(fri_efcadr, dtype=int),
+        lim_jntid=np.asarray(lim_jntid, dtype=int),
+        lim_efcadr=np.asarray(lim_efcadr, dtype=int),
+        slot_pairid=np.asarray(slot_pairid, dtype=int),
+        slot_geom1=np.asarray(slot_geom1, dtype=int),
+        slot_geom2=np.asarray(slot_geom2, dtype=int),
+        slot_condim=np.asarray(slot_condim, dtype=int),
+        slot_efcadr=np.asarray(slot_efcadr, dtype=int),
+        pair_slotadr=np.asarray(pair_slotadr, dtype=int),
         jnt_limited=np.asarray(jnt_limited, dtype=bool),
         sensor_type=np.asarray([s[0] for s in sens], dtype=int),
         sensor_objid=np.asarray([s[1] for s in sens], dtype=int),
@@ -686,6 +753,14 @@ def compile_spec(spec: mjcf.SpecTree, ncon_extra: int = 0) -> Model:
                        if neq else np.zeros((0, 5))),
         pair_geom1=np_i(pair_g1),
         pair_geom2=np_i(pair_g2),
+        pair_friction=np_f(np.stack(pair_friction)
+                           if npair else np.zeros((0, 5))),
+        pair_solref=np_f(np.stack(pair_solref)
+                         if npair else np.zeros((0, 2))),
+        pair_solimp=np_f(np.stack(pair_solimp)
+                         if npair else np.zeros((0, 5))),
+        pair_margin=np_f(pair_margin),
+        pair_gap=np_f(pair_gap),
         sensor_type=np_i([s[0] for s in sens]),
         sensor_objid=np_i([s[1] for s in sens]),
         sensor_adr=np_i([s[2] for s in sens]),
@@ -706,4 +781,6 @@ def compile_spec(spec: mjcf.SpecTree, ncon_extra: int = 0) -> Model:
 
 def load_model(path: str) -> Model:
     """MJCF file -> compiled Model (the mj_loadXML equivalent)."""
-    return compile_spec(mjcf.parse_mjcf(path))
+    from mujoco_sim_tpu.engine import set_const
+
+    return set_const(compile_spec(mjcf.parse_mjcf(path)))

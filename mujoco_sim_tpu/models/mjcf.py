@@ -528,12 +528,13 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
             elif el.tag == "weld":
                 e.obj1 = el2.get("body1", "")
                 e.obj2 = el2.get("body2", "")
+                anchor = _get_v(el2, "anchor", None)
+                if anchor is not None:
+                    e.data[:3] = anchor
                 relpose = _get_v(el2, "relpose", None)
                 if relpose is not None:
                     e.data[3:10] = relpose
-                else:
-                    e.data[6] = 1.0  # identity quat; resolved at compile
-                    e.data[10] = -1.0  # sentinel: compute from qpos0
+                # else: zeros signal "resolve from qpos0" at compile
                 e.torquescale = _get_f(el2, "torquescale", 1.0)
             elif el.tag == "connect":
                 e.obj1 = el2.get("body1", "")

@@ -204,6 +204,11 @@ class Model:
     # ---- precomputed collision pair list (static shapes; SURVEY §2.2)
     pair_geom1: jax.Array         # (npair,) i32
     pair_geom2: jax.Array         # (npair,) i32
+    pair_friction: jax.Array      # (npair, 5) mixed contact friction
+    pair_solref: jax.Array        # (npair, 2)
+    pair_solimp: jax.Array        # (npair, 5)
+    pair_margin: jax.Array        # (npair,)
+    pair_gap: jax.Array           # (npair,)
 
     # ---- sensors
     sensor_type: jax.Array        # (nsensor,) i32

@@ -1,0 +1,317 @@
+"""Collision: static pair list + batched primitive narrowphase.
+
+The reference relies on libmujoco's broadphase/narrowphase inside mj_step1
+(SURVEY.md §2.2).  Here broadphase is *compile-time*: the candidate pair list
+honoring contype/conaffinity, weld/parent-child filters and <contact><exclude>
+is frozen in the model (models/compile.py), and every pair owns fixed contact
+slots so shapes never change.  Narrowphase runs vectorized per pair-type
+group; inactive slots are masked, not absent.
+
+Contact frame convention matches MuJoCo: normal points from geom1 to geom2,
+frame rows = [normal, tangent1, tangent2], pos = midpoint between surfaces.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_sim_tpu.models.model import Model, Data, GeomType
+from mujoco_sim_tpu.ops import math as mm
+
+
+def _make_tangents(n: jax.Array):
+    """Two unit tangents orthogonal to n (batch-safe)."""
+    # pick the world axis least aligned with n
+    a = jnp.where(jnp.abs(n[..., 0:1]) < 0.5,
+                  jnp.broadcast_to(jnp.array([1.0, 0, 0], n.dtype), n.shape),
+                  jnp.broadcast_to(jnp.array([0.0, 1, 0], n.dtype), n.shape))
+    t1 = jnp.cross(n, a)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def _plane_sphere(pp, pR, s1, sp, sR, size2):
+    """1 contact: (dist, pos, normal). pp/pR plane frame; sp sphere center."""
+    n = pR[..., :, 2]
+    h = jnp.einsum("...i,...i->...", n, sp - pp)
+    r = size2[..., 0]
+    dist = h - r
+    pos = sp - n * (r + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _plane_capsule(pp, pR, s1, cp, cR, size2):
+    """2 contacts at the capsule end-sphere centers."""
+    n = pR[..., :, 2]
+    axis = cR[..., :, 2]
+    r = size2[..., 0]
+    hh = size2[..., 1]
+    ends = jnp.stack([cp + axis * hh[..., None], cp - axis * hh[..., None]],
+                     axis=-2)  # (...,2,3)
+    h = jnp.einsum("...i,...ki->...k", n, ends - pp[..., None, :])
+    dist = h - r[..., None]
+    pos = ends - n[..., None, :] * (r[..., None] + 0.5 * dist)[..., None]
+    nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+    return dist, pos, nrm
+
+
+def _plane_box(pp, pR, s1, bp, bR, size2):
+    """4 deepest corners."""
+    n = pR[..., :, 2]
+    corners = jnp.asarray(np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]),
+        dtype=bp.dtype)  # (8,3)
+    pts = bp[..., None, :] + jnp.einsum(
+        "...ij,...kj->...ki", bR, corners * size2[..., None, :])
+    h = jnp.einsum("...i,...ki->...k", n, pts - pp[..., None, :])
+    # 4 smallest heights
+    neg_h, idx = jax.lax.top_k(-h, 4)
+    dist = -neg_h
+    pos = jnp.take_along_axis(pts, idx[..., None], axis=-2)
+    pos = pos - n[..., None, :] * (0.5 * dist)[..., None]
+    nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+    return dist, pos, nrm
+
+
+def _plane_cylinder(pp, pR, s1, cp, cR, size2):
+    """4 candidate support points (both rim extremes of both caps)."""
+    n = pR[..., :, 2]
+    axis = cR[..., :, 2]
+    r = size2[..., 0]
+    hh = size2[..., 1]
+    # downhill direction in cap plane
+    proj = jnp.einsum("...i,...i->...", n, axis)
+    u = n - axis * proj[..., None]
+    un = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    # if axis || n, pick arbitrary radial dir
+    alt = cR[..., :, 0]
+    u = jnp.where(un > 1e-8, u / jnp.maximum(un, 1e-12), alt)
+    caps = jnp.stack([cp + axis * hh[..., None], cp - axis * hh[..., None]],
+                     axis=-2)
+    pts = jnp.concatenate([
+        caps - u[..., None, :] * r[..., None, None],
+        caps + u[..., None, :] * r[..., None, None],
+    ], axis=-2)  # (...,4,3)
+    h = jnp.einsum("...i,...ki->...k", n, pts - pp[..., None, :])
+    pos = pts - n[..., None, :] * (0.5 * h)[..., None]
+    nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+    return h, pos, nrm
+
+
+def _plane_ellipsoid(pp, pR, s1, ep, eR, size2):
+    n = pR[..., :, 2]
+    # support point in -n direction: x = -E^2 R^T n / |E R^T n|
+    nl = jnp.einsum("...ji,...j->...i", eR, n)  # n in ellipsoid frame
+    en = size2 * nl
+    denom = jnp.linalg.norm(en, axis=-1, keepdims=True)
+    xl = -(size2 * en) / jnp.maximum(denom, 1e-12)
+    x = ep + jnp.einsum("...ij,...j->...i", eR, xl)
+    h = jnp.einsum("...i,...i->...", n, x - pp)
+    pos = x - n * (0.5 * h)[..., None]
+    return h[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _sphere_sphere(p1, R1, s1, p2, R2, s2):
+    d = p2 - p1
+    dist_c = jnp.linalg.norm(d, axis=-1)
+    n = d / jnp.maximum(dist_c[..., None], 1e-12)
+    r1, r2 = s1[..., 0], s2[..., 0]
+    dist = dist_c - r1 - r2
+    pos = p1 + n * (r1 + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _sphere_capsule(p1, R1, s1, p2, R2, s2):
+    axis = R2[..., :, 2]
+    hh = s2[..., 1]
+    t = jnp.clip(jnp.einsum("...i,...i->...", p1 - p2, axis),
+                 -hh, hh)
+    cp = p2 + axis * t[..., None]
+    d = cp - p1
+    dist_c = jnp.linalg.norm(d, axis=-1)
+    n = d / jnp.maximum(dist_c[..., None], 1e-12)
+    r1, r2 = s1[..., 0], s2[..., 0]
+    dist = dist_c - r1 - r2
+    pos = p1 + n * (r1 + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _sphere_box(p1, R1, s1, p2, R2, s2):
+    # sphere center in box frame
+    cl = jnp.einsum("...ji,...j->...i", R2, p1 - p2)
+    clamped = jnp.clip(cl, -s2, s2)
+    inside = jnp.all(jnp.abs(cl) < s2, axis=-1)
+    # outside: closest point on surface
+    d_out = cl - clamped
+    dist_out = jnp.linalg.norm(d_out, axis=-1)
+    n_out = -d_out / jnp.maximum(dist_out[..., None], 1e-12)  # toward box
+    # inside: push out along min-penetration face
+    depth = s2 - jnp.abs(cl)
+    ax = jnp.argmin(depth, axis=-1)
+    sign = jnp.sign(jnp.take_along_axis(cl, ax[..., None], axis=-1))[..., 0]
+    n_in = -(jax.nn.one_hot(ax, 3, dtype=cl.dtype) * sign[..., None])
+    dist_in = -jnp.take_along_axis(depth, ax[..., None], axis=-1)[..., 0]
+    surf = jnp.where(inside[..., None],
+                     clamped + n_in * dist_in[..., None], clamped)
+    nl = jnp.where(inside[..., None], n_in, n_out)
+    dist_l = jnp.where(inside, dist_in, dist_out)
+    r1 = s1[..., 0]
+    dist = dist_l - r1
+    # back to world: normal from sphere toward box
+    n = jnp.einsum("...ij,...j->...i", R2, nl)
+    surf_w = p2 + jnp.einsum("...ij,...j->...i", R2, surf)
+    pos = 0.5 * (surf_w + p1 + n * r1[..., None])
+    return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _box_box(p1, R1, s1, p2, R2, s2):
+    """8 contacts: each box's corners tested against the other box.
+
+    Approximate manifold (corner-in-box both directions, 16 candidates ->
+    deepest 8).  Exact SAT edge-edge cases land in a later round.
+    """
+    corners = jnp.asarray(np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]),
+        dtype=p1.dtype)
+
+    def corner_in_box(pc, Rc, sc, pb, Rb, sb, flip):
+        pts = pc[..., None, :] + jnp.einsum("...ij,...kj->...ki", Rc,
+                                            corners * sc[..., None, :])
+        loc = jnp.einsum("...ji,...kj->...ki", Rb, pts - pb[..., None, :])
+        depth = sb[..., None, :] - jnp.abs(loc)
+        pen = jnp.min(depth, axis=-1)  # >0 inside
+        ax = jnp.argmin(depth, axis=-1)
+        sign = jnp.sign(jnp.take_along_axis(loc, ax[..., None], axis=-1))[..., 0]
+        n_loc = jax.nn.one_hot(ax, 3, dtype=loc.dtype) * sign[..., None]
+        n_w = jnp.einsum("...ij,...kj->...ki", Rb, n_loc)
+        dist = -pen
+        nrm = jnp.where(flip, -n_w, n_w)
+        return dist, pts, nrm
+
+    d1, pts1, n1 = corner_in_box(p1, R1, s1, p2, R2, s2, False)
+    d2, pts2, n2 = corner_in_box(p2, R2, s2, p1, R1, s1, True)
+    dist = jnp.concatenate([d1, d2], axis=-1)
+    pts = jnp.concatenate([pts1, pts2], axis=-2)
+    nrm = jnp.concatenate([n1, n2], axis=-2)
+    neg, idx = jax.lax.top_k(-dist, 8)
+    dist8 = -neg
+    pos8 = jnp.take_along_axis(pts, idx[..., None], axis=-2)
+    nrm8 = jnp.take_along_axis(nrm, idx[..., None], axis=-2)
+    return dist8, pos8, nrm8
+
+
+def _plane_mesh(pp, pR, s1, mp, mR, verts):
+    """4 deepest hull vertices vs plane.  verts: (..., nvert, 3) padded."""
+    n = pR[..., :, 2]
+    pts = mp[..., None, :] + jnp.einsum("...ij,...kj->...ki", mR, verts)
+    h = jnp.einsum("...i,...ki->...k", n, pts - pp[..., None, :])
+    neg_h, idx = jax.lax.top_k(-h, 4)
+    dist = -neg_h
+    pos = jnp.take_along_axis(pts, idx[..., None], axis=-2)
+    pos = pos - n[..., None, :] * (0.5 * dist)[..., None]
+    nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
+    return dist, pos, nrm
+
+
+# dispatch table: (type1, type2) -> (fn, ncon, needs_mesh)
+_DISPATCH = {
+    (GeomType.PLANE, GeomType.SPHERE): (_plane_sphere, 1, False),
+    (GeomType.PLANE, GeomType.CAPSULE): (_plane_capsule, 2, False),
+    (GeomType.PLANE, GeomType.BOX): (_plane_box, 4, False),
+    (GeomType.PLANE, GeomType.CYLINDER): (_plane_cylinder, 4, False),
+    (GeomType.PLANE, GeomType.ELLIPSOID): (_plane_ellipsoid, 1, False),
+    (GeomType.PLANE, GeomType.MESH): (_plane_mesh, 4, True),
+    (GeomType.SPHERE, GeomType.SPHERE): (_sphere_sphere, 1, False),
+    (GeomType.SPHERE, GeomType.CAPSULE): (_sphere_capsule, 1, False),
+    (GeomType.SPHERE, GeomType.BOX): (_sphere_box, 1, False),
+    (GeomType.BOX, GeomType.BOX): (_box_box, 8, False),
+}
+
+
+def collision(m: Model, d: Data) -> Data:
+    """Narrowphase over the static pair list -> padded Contact set."""
+    if m.npair == 0 or m.ncon_max == 0:
+        return d
+    lay = m.layout
+    dtype = d.qpos.dtype
+    con = d.contact
+
+    dist_buf = jnp.full((m.ncon_max,), 1e10, dtype)
+    pos_buf = jnp.zeros((m.ncon_max, 3), dtype)
+    frame_buf = jnp.zeros((m.ncon_max, 3, 3), dtype)
+    active_buf = jnp.zeros((m.ncon_max,), bool)
+
+    # group pairs by (type1, type2)
+    keys = [(GeomType(lay.geom_type[a]), GeomType(lay.geom_type[b]))
+            for a, b in zip(lay.pair_geom1, lay.pair_geom2)]
+    # body_active gating for masked spawn/destroy slots
+    body_act = d.body_active
+
+    for key in sorted(set(keys), key=lambda k: (int(k[0]), int(k[1]))):
+        if key not in _DISPATCH:
+            continue  # unsupported narrowphase: slots stay inactive
+        fn, ncap, needs_mesh = _DISPATCH[key]
+        sel = np.nonzero([k == key for k in keys])[0]
+        g1 = lay.pair_geom1[sel]
+        g2 = lay.pair_geom2[sel]
+        p1, R1 = d.geom_xpos[g1], d.geom_xmat[g1]
+        p2, R2 = d.geom_xpos[g2], d.geom_xmat[g2]
+        s1 = jnp.asarray(m.geom_size, dtype)[g1]
+        s2 = jnp.asarray(m.geom_size, dtype)[g2]
+        if needs_mesh:
+            # pad to the max vert count within this group (static)
+            counts = lay.mesh_vertnum[lay.geom_dataid[g2]]
+            maxv = int(counts.max())
+            vert_idx = np.zeros((len(sel), maxv), dtype=int)
+            vmask = np.zeros((len(sel), maxv), dtype=bool)
+            for i, g in enumerate(g2):
+                did = lay.geom_dataid[g]
+                nvv = lay.mesh_vertnum[did]
+                adr = lay.mesh_vertadr[did]
+                vert_idx[i, :nvv] = adr + np.arange(nvv)
+                vmask[i, :nvv] = True
+            verts = jnp.asarray(m.mesh_vert, dtype)[vert_idx]
+            # mask padding verts far "up" so they never win deepest-k
+            verts = jnp.where(jnp.asarray(vmask)[..., None], verts,
+                              jnp.asarray([0.0, 0.0, 1e6], dtype))
+            dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts)
+        else:
+            dist, pos, nrm = fn(p1, R1, s1, p2, R2, s2)
+
+        margin = jnp.asarray(m.pair_margin, dtype)[sel][..., None]
+        gap = jnp.asarray(m.pair_gap, dtype)[sel][..., None]
+        act = dist < margin
+        # gate on body_active of both geoms' bodies (masked spawn slots)
+        b1 = lay.geom_bodyid[g1]
+        b2 = lay.geom_bodyid[g2]
+        act = act & body_act[b1][..., None] & body_act[b2][..., None]
+
+        t1, t2 = _make_tangents(nrm)
+        frame = jnp.stack([nrm, t1, t2], axis=-2)  # (npairs, ncap, 3, 3)
+
+        # slot addresses for this group (static)
+        slot_adr = np.stack([lay.pair_slotadr[s] + np.arange(ncap)
+                             for s in sel])  # (npairs, ncap)
+        flat = slot_adr.reshape(-1)
+        dist_buf = dist_buf.at[flat].set(dist.reshape(-1))
+        pos_buf = pos_buf.at[flat].set(pos.reshape(-1, 3))
+        frame_buf = frame_buf.at[flat].set(frame.reshape(-1, 3, 3))
+        active_buf = active_buf.at[flat].set(act.reshape(-1))
+
+    con = con.replace(
+        dist=dist_buf, pos=pos_buf, frame=frame_buf, active=active_buf,
+        geom1=jnp.asarray(lay.slot_geom1, jnp.int32),
+        geom2=jnp.asarray(lay.slot_geom2, jnp.int32),
+        includemargin=jnp.asarray(m.pair_margin - m.pair_gap,
+                                  dtype)[lay.slot_pairid],
+        friction=jnp.asarray(m.pair_friction, dtype)[lay.slot_pairid],
+        solref=jnp.asarray(m.pair_solref, dtype)[lay.slot_pairid],
+        solimp=jnp.asarray(m.pair_solimp, dtype)[lay.slot_pairid],
+        dim=jnp.asarray(lay.slot_condim, jnp.int32),
+        efc_address=jnp.asarray(lay.slot_efcadr, jnp.int32),
+    )
+    ncon = jnp.sum(active_buf.astype(jnp.int32))
+    return d.replace(contact=con, ncon=ncon)

@@ -1,0 +1,82 @@
+"""Passive forces: joint springs, dampers, gravity compensation (mj_passive).
+
+Gravity compensation implements the reference's disable_gravity-per-body
+behavior, which it realizes by setting body gravcomp in the composed scene
+XML (reference: src/mujoco_sim/mj_sim.cpp:301-310).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_sim_tpu.models.model import Model, JointType, DisableBit
+from mujoco_sim_tpu.ops import math as mm
+
+
+def spring_damper(m: Model, qpos: jax.Array, qvel: jax.Array):
+    """(qfrc_spring, qfrc_damper)."""
+    lay = m.layout
+    dtype = qpos.dtype
+    qfrc_spring = jnp.zeros(m.nv, dtype)
+
+    for jt in (JointType.FREE, JointType.BALL, JointType.SLIDE,
+               JointType.HINGE):
+        jsel = np.nonzero(lay.jnt_type == int(jt))[0]
+        if len(jsel) == 0:
+            continue
+        stiff = jnp.asarray(m.jnt_stiffness, dtype)[jsel]
+        qadr = lay.jnt_qposadr[jsel]
+        dadr = lay.jnt_dofadr[jsel]
+        if jt in (JointType.SLIDE, JointType.HINGE):
+            disp = qpos[qadr] - jnp.asarray(m.qpos_spring, dtype)[qadr]
+            qfrc_spring = qfrc_spring.at[dadr].add(-stiff * disp)
+        elif jt == JointType.BALL:
+            q = qpos[qadr[:, None] + np.arange(4)]
+            qref = jnp.asarray(m.qpos_spring, dtype)[qadr[:, None] + np.arange(4)]
+            rot = mm.quat_sub(q, qref)  # local-frame 3D displacement
+            for i in range(3):
+                qfrc_spring = qfrc_spring.at[dadr + i].add(
+                    -stiff * rot[:, i])
+        else:  # FREE
+            pos = qpos[qadr[:, None] + np.arange(3)]
+            pref = jnp.asarray(m.qpos_spring, dtype)[qadr[:, None] + np.arange(3)]
+            for i in range(3):
+                qfrc_spring = qfrc_spring.at[dadr + i].add(
+                    -stiff * (pos[:, i] - pref[:, i]))
+            q = qpos[qadr[:, None] + 3 + np.arange(4)]
+            qref = jnp.asarray(m.qpos_spring, dtype)[qadr[:, None] + 3 + np.arange(4)]
+            rot = mm.quat_sub(q, qref)
+            for i in range(3):
+                qfrc_spring = qfrc_spring.at[dadr + 3 + i].add(
+                    -stiff * rot[:, i])
+
+    qfrc_damper = -jnp.asarray(m.dof_damping, dtype) * qvel
+    return qfrc_spring, qfrc_damper
+
+
+def gravcomp(m: Model, com: dict, xipos: jax.Array) -> jax.Array:
+    """Anti-gravity force per body scaled by body_gravcomp."""
+    dtype = xipos.dtype
+    g = jnp.asarray(m.opt.gravity, dtype)
+    f = (-jnp.asarray(m.body_mass, dtype)
+         * jnp.asarray(m.body_gravcomp, dtype))[:, None] * g
+    r = xipos - com["origin"]
+    tau_o = jnp.cross(r, f)
+    F = jnp.concatenate([tau_o, f], axis=-1)
+    mask = jnp.asarray(m.ancestor_mask, dtype)
+    return jnp.einsum("du,bu,bd->d", com["cdof"], F, mask)
+
+
+def passive(m: Model, com: dict, qpos: jax.Array, qvel: jax.Array,
+            xipos: jax.Array):
+    """(qfrc_passive, qfrc_spring, qfrc_damper, qfrc_gravcomp)."""
+    dtype = qpos.dtype
+    if m.opt.disableflags & int(DisableBit.PASSIVE):
+        z = jnp.zeros(m.nv, dtype)
+        return z, z, z, z
+    qfrc_spring, qfrc_damper = spring_damper(m, qpos, qvel)
+    qfrc_gravcomp = gravcomp(m, com, xipos)
+    return (qfrc_spring + qfrc_damper + qfrc_gravcomp,
+            qfrc_spring, qfrc_damper, qfrc_gravcomp)

@@ -1,0 +1,110 @@
+"""End-to-end trajectory tests vs mj_step (BASELINE.md config 1 shape)."""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from mujoco_sim_tpu import engine
+from mujoco_sim_tpu.models.compile import load_model
+from tests.oracle import oracle_model
+
+REF = "/root/reference/model"
+
+
+def run_oracle(mm, nsteps, qpos=None, qvel=None):
+    dd = mujoco.MjData(mm)
+    if qpos is not None:
+        dd.qpos[:] = qpos
+    if qvel is not None:
+        dd.qvel[:] = qvel
+    traj = []
+    for _ in range(nsteps):
+        mujoco.mj_step(mm, dd)
+        traj.append((dd.qpos.copy(), dd.qvel.copy()))
+    return traj
+
+
+def run_ours(m, nsteps, qpos=None, qvel=None):
+    d = engine.make_data(m)
+    if qpos is not None:
+        d = d.replace(qpos=jnp.asarray(qpos))
+    if qvel is not None:
+        d = d.replace(qvel=jnp.asarray(qvel))
+    step = jax.jit(engine.step)
+    traj = []
+    for _ in range(nsteps):
+        d = step(m, d)
+        traj.append((np.asarray(d.qpos), np.asarray(d.qvel)))
+    return traj
+
+
+def test_pendulum_trajectory():
+    """Swinging ball-joint bodies, RK4, no contact: tight match."""
+    path = f"{REF}/test/pendulum.xml"
+    mm = oracle_model(path)
+    m = load_model(path)
+    n = 200
+    ours = run_ours(m, n)
+    theirs = run_oracle(mm, n)
+    qpos_err = max(np.max(np.abs(a[0] - b[0])) for a, b in zip(ours, theirs))
+    qvel_err = max(np.max(np.abs(a[1] - b[1])) for a, b in zip(ours, theirs))
+    assert qpos_err < 1e-8, f"qpos err {qpos_err}"
+    assert qvel_err < 1e-7, f"qvel err {qvel_err}"
+
+
+def test_ball_drop_contact():
+    """Free sphere falling onto the plane: contact + friction engage."""
+    path = "tests/fixtures/floor_ball.xml"
+    mm = oracle_model(path)
+    m = load_model(path)
+    n = 400  # 2 s: falls from z=1 (radius .1) and settles
+    ours = run_ours(m, n)
+    theirs = run_oracle(mm, n)
+    # before impact: tight; through/after impact: small tolerance
+    for i in (50, 100):
+        np.testing.assert_allclose(ours[i][0], theirs[i][0], atol=1e-6,
+                                   err_msg=f"step {i}")
+    final_mine, final_oracle = ours[-1][0], theirs[-1][0]
+    np.testing.assert_allclose(final_mine, final_oracle, atol=2e-3,
+                               err_msg="resting pose")
+    # resting height ~= radius
+    assert abs(final_mine[2] - 0.1) < 5e-3
+    # velocity ~ 0 at rest
+    assert np.abs(ours[-1][1]).max() < 1e-3
+
+
+def test_energy_monotone_damped():
+    """Damped pendulum energy decreases (sanity on energy computation)."""
+    path = f"{REF}/test/pendulum.xml"
+    m = load_model(path)
+    d = engine.make_data(m)
+    fwd = jax.jit(engine.forward)
+    step = jax.jit(engine.step)
+    d = fwd(m, d)
+    e0 = float(d.energy.sum())
+    for _ in range(100):
+        d = step(m, d)
+    d = fwd(m, d)
+    e1 = float(d.energy.sum())
+    assert e1 < e0 + 1e-9
+
+
+def test_box_drop_contact():
+    """Free box dropped with spin onto the plane: multi-contact manifold."""
+    path = "tests/fixtures/floor_box.xml"
+    mm = oracle_model(path)
+    m = load_model(path)
+    qvel0 = np.zeros(6)
+    qvel0[3:] = [0.5, -0.3, 0.2]  # initial spin
+    n = 400
+    ours = run_ours(m, n, qvel=qvel0)
+    theirs = run_oracle(mm, n, qvel=qvel0)
+    # pre-impact flight matches tightly
+    np.testing.assert_allclose(ours[40][0], theirs[40][0], atol=1e-8)
+    # settles at similar height, small velocity
+    zf_mine = ours[-1][0][2]
+    zf_oracle = theirs[-1][0][2]
+    assert abs(zf_mine - zf_oracle) < 2e-2, (zf_mine, zf_oracle)
+    assert np.abs(ours[-1][1]).max() < 0.05
