@@ -32,8 +32,10 @@ _INTEGRATOR = {"Euler": Integrator.EULER, "RK4": Integrator.RK4,
                "implicit": Integrator.IMPLICIT,
                "implicitfast": Integrator.IMPLICITFAST}
 
-# contact capacity per (type1, type2) pair — static padding for the
-# masked-slot contact buffer (SURVEY §7 "static shapes everywhere")
+# candidate-contact capacity per (type1, type2) pair; must mirror the
+# implemented narrowphase dispatch (ops/collision.py).  Pairs whose type
+# combo has no narrowphase yet are DROPPED from the candidate list and
+# counted in Model.npair_unsupported (no silent coverage claims).
 _PAIR_NCON = {
     (GeomType.PLANE, GeomType.SPHERE): 1,
     (GeomType.PLANE, GeomType.CAPSULE): 2,
@@ -43,18 +45,8 @@ _PAIR_NCON = {
     (GeomType.PLANE, GeomType.MESH): 4,
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
-    (GeomType.SPHERE, GeomType.CYLINDER): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
-    (GeomType.SPHERE, GeomType.MESH): 1,
-    (GeomType.CAPSULE, GeomType.CAPSULE): 1,
-    (GeomType.CAPSULE, GeomType.BOX): 2,
-    (GeomType.CAPSULE, GeomType.MESH): 2,
-    (GeomType.CYLINDER, GeomType.CYLINDER): 4,
-    (GeomType.CYLINDER, GeomType.BOX): 4,
-    (GeomType.CYLINDER, GeomType.MESH): 4,
     (GeomType.BOX, GeomType.BOX): 8,
-    (GeomType.BOX, GeomType.MESH): 4,
-    (GeomType.MESH, GeomType.MESH): 4,
 }
 
 
@@ -141,8 +133,12 @@ def _accumulate_inertia(geoms, mesh_lookup):
     return mass, com, R.mat_to_quat_np(evecs), np.maximum(evals, 0.0)
 
 
-def compile_spec(spec: mjcf.SpecTree) -> Model:
-    """Flatten a SpecTree into a frozen Model (numpy-backed; f64)."""
+def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
+    """Flatten a SpecTree into a frozen Model (numpy-backed; f64).
+
+    ncon_budget: max simultaneous contacts kept per step (top-K compaction);
+    default min(total candidates, 64).
+    """
     from mujoco_sim_tpu.models import mesh_io
 
     # ---- meshes
@@ -450,6 +446,7 @@ def compile_spec(spec: mjcf.SpecTree) -> Model:
         if i1 >= 0 and i2 >= 0:
             exclude_sig.add((min(i1, i2), max(i1, i2)))
     pair_g1, pair_g2 = [], []
+    npair_unsupported = 0
     for g1 in range(ngeom):
         for g2 in range(g1 + 1, ngeom):
             b1, b2 = geom_bodyid[g1], geom_bodyid[g2]
@@ -472,6 +469,7 @@ def compile_spec(spec: mjcf.SpecTree) -> Model:
                 continue
             key = (t1, t2) if (t1, t2) in _PAIR_NCON else (t2, t1)
             if key not in _PAIR_NCON:
+                npair_unsupported += 1
                 continue
             if (t1, t2) in _PAIR_NCON:
                 pair_g1.append(g1)
@@ -480,9 +478,6 @@ def compile_spec(spec: mjcf.SpecTree) -> Model:
                 pair_g1.append(g2)
                 pair_g2.append(g1)
     npair = len(pair_g1)
-    ncon_max = sum(
-        _PAIR_NCON[(GeomType(geom_type[a]), GeomType(geom_type[b]))]
-        for a, b in zip(pair_g1, pair_g2))
 
     # ---- per-geom solver params already parsed; sensors
     sens = []
@@ -551,8 +546,8 @@ def compile_spec(spec: mjcf.SpecTree) -> Model:
         pair_margin.append(max(ga.margin, gb.margin))
         pair_gap.append(max(ga.gap, gb.gap))
 
-    # ---- static efc row + contact slot layout
-    # order matches MuJoCo: equality, dof friction, limits, contacts
+    # ---- static efc row layout + contact candidate tables
+    # row order matches MuJoCo: equality, dof friction, limits, contacts
     eq_efcadr, adr_cursor = [], 0
     for r in eq_rows:
         eq_efcadr.append(adr_cursor)
@@ -565,22 +560,24 @@ def compile_spec(spec: mjcf.SpecTree) -> Model:
                  if njnt else np.zeros(0, dtype=int))
     lim_efcadr = adr_cursor + np.arange(len(lim_jntid))
     adr_cursor += len(lim_jntid)
-    # contact slots: per pair, _PAIR_NCON capacity slots; each slot owns
-    # max(1, 2*(condim-1)) pyramidal rows
-    slot_pairid, slot_geom1, slot_geom2, slot_condim = [], [], [], []
-    slot_efcadr, pair_slotadr = [], []
+
+    # contact candidates: all pairs narrowphased every step (vectorized per
+    # type group), then top-K compacted into ncon_budget contact slots so efc
+    # shapes stay static regardless of scene size (TPU-first replacement for
+    # runtime broadphase; SURVEY §7 'static shapes everywhere')
+    cand_pairid = []
     for pi, (a, b) in enumerate(zip(pair_g1, pair_g2)):
         cap = _PAIR_NCON[(GeomType(geom_type[a]), GeomType(geom_type[b]))]
-        pair_slotadr.append(len(slot_pairid))
-        for _ in range(cap):
-            slot_pairid.append(pi)
-            slot_geom1.append(a)
-            slot_geom2.append(b)
-            slot_condim.append(pair_condim[pi])
-            slot_efcadr.append(adr_cursor)
-            adr_cursor += max(1, 2 * (pair_condim[pi] - 1))
+        cand_pairid.extend([pi] * cap)
+    ncand = len(cand_pairid)
+    if ncon_budget is None:
+        ncon_budget = min(ncand, 64)
+    ncon_max = min(ncon_budget, ncand)
+    max_condim = int(max(pair_condim)) if pair_condim else 1
+    rows_per_con = max(1, 2 * (max_condim - 1))
+    contact_efcadr = adr_cursor
+    adr_cursor += ncon_max * rows_per_con
     nefc_max = adr_cursor
-    assert len(slot_pairid) == ncon_max
 
     # resolve equality reference data needing the qpos0 world poses:
     # connect anchor2 and weld default relpose (MuJoCo compiler behavior)
@@ -650,12 +647,7 @@ def compile_spec(spec: mjcf.SpecTree) -> Model:
         fri_efcadr=np.asarray(fri_efcadr, dtype=int),
         lim_jntid=np.asarray(lim_jntid, dtype=int),
         lim_efcadr=np.asarray(lim_efcadr, dtype=int),
-        slot_pairid=np.asarray(slot_pairid, dtype=int),
-        slot_geom1=np.asarray(slot_geom1, dtype=int),
-        slot_geom2=np.asarray(slot_geom2, dtype=int),
-        slot_condim=np.asarray(slot_condim, dtype=int),
-        slot_efcadr=np.asarray(slot_efcadr, dtype=int),
-        pair_slotadr=np.asarray(pair_slotadr, dtype=int),
+        cand_pairid=np.asarray(cand_pairid, dtype=int),
         jnt_limited=np.asarray(jnt_limited, dtype=bool),
         sensor_type=np.asarray([s[0] for s in sens], dtype=int),
         sensor_objid=np.asarray([s[1] for s in sens], dtype=int),
@@ -769,6 +761,8 @@ def compile_spec(spec: mjcf.SpecTree) -> Model:
         nq=nq, nv=nv, nbody=nbody, njnt=njnt, ngeom=ngeom, nsite=nsite,
         nmesh=len(mesh_names), neq=neq, npair=npair, nsensor=nsensor,
         nsensordata=nsensordata, ncon_max=ncon_max, nefc_max=nefc_max,
+        ncand=ncand, max_condim=max_condim, contact_efcadr=contact_efcadr,
+        npair_unsupported=npair_unsupported,
         body_levels=body_levels,
         max_jnt_per_body=int(body_jntnum.max()) if nbody else 0,
         ancestor_mask=np_f(ancestor_mask),

@@ -231,8 +231,12 @@ class Model:
     npair: int = static(default=0)
     nsensor: int = static(default=0)
     nsensordata: int = static(default=0)
-    ncon_max: int = static(default=0)   # padded contact capacity
+    ncon_max: int = static(default=0)   # contact budget K (top-K compaction)
     nefc_max: int = static(default=0)   # padded constraint-row capacity
+    ncand: int = static(default=0)      # total narrowphase candidates
+    max_condim: int = static(default=1)  # rows per contact = 2*(max_condim-1)
+    contact_efcadr: int = static(default=0)  # first contact row address
+    npair_unsupported: int = static(default=0)  # dropped pair-type combos
     # tree levels: tuple of tuples of body ids, root (world) excluded
     body_levels: tuple = static(default=())
     # per-body joint slots: max joints in any body (for unrolled FK loop)

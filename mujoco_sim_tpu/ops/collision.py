@@ -231,28 +231,41 @@ _DISPATCH = {
 }
 
 
+def _cand_layout(m: Model):
+    """Static candidate addresses per pair, mirroring compile's cand table."""
+    lay = m.layout
+    adr = np.zeros(m.npair, dtype=int)
+    cursor = 0
+    for pi in range(m.npair):
+        adr[pi] = cursor
+        t1 = GeomType(lay.geom_type[lay.pair_geom1[pi]])
+        t2 = GeomType(lay.geom_type[lay.pair_geom2[pi]])
+        key = (t1, t2)
+        cursor += _DISPATCH[key][1]
+    assert cursor == m.ncand
+    return adr
+
+
 def collision(m: Model, d: Data) -> Data:
-    """Narrowphase over the static pair list -> padded Contact set."""
+    """Narrowphase ALL pairs -> candidates -> top-K compaction into the
+    fixed contact budget (shapes static, content dynamic)."""
     if m.npair == 0 or m.ncon_max == 0:
         return d
     lay = m.layout
     dtype = d.qpos.dtype
-    con = d.contact
+    BIG = jnp.asarray(1e9, dtype)
 
-    dist_buf = jnp.full((m.ncon_max,), 1e10, dtype)
-    pos_buf = jnp.zeros((m.ncon_max, 3), dtype)
-    frame_buf = jnp.zeros((m.ncon_max, 3, 3), dtype)
-    active_buf = jnp.zeros((m.ncon_max,), bool)
+    cand_dist = jnp.full((m.ncand,), BIG, dtype)
+    cand_pos = jnp.zeros((m.ncand, 3), dtype)
+    cand_nrm = jnp.zeros((m.ncand, 3), dtype).at[:, 2].set(1.0)
+    cand_act = jnp.zeros((m.ncand,), bool)
 
-    # group pairs by (type1, type2)
     keys = [(GeomType(lay.geom_type[a]), GeomType(lay.geom_type[b]))
             for a, b in zip(lay.pair_geom1, lay.pair_geom2)]
-    # body_active gating for masked spawn/destroy slots
+    pair_cand_adr = _cand_layout(m)
     body_act = d.body_active
 
     for key in sorted(set(keys), key=lambda k: (int(k[0]), int(k[1]))):
-        if key not in _DISPATCH:
-            continue  # unsupported narrowphase: slots stay inactive
         fn, ncap, needs_mesh = _DISPATCH[key]
         sel = np.nonzero([k == key for k in keys])[0]
         g1 = lay.pair_geom1[sel]
@@ -262,7 +275,6 @@ def collision(m: Model, d: Data) -> Data:
         s1 = jnp.asarray(m.geom_size, dtype)[g1]
         s2 = jnp.asarray(m.geom_size, dtype)[g2]
         if needs_mesh:
-            # pad to the max vert count within this group (static)
             counts = lay.mesh_vertnum[lay.geom_dataid[g2]]
             maxv = int(counts.max())
             vert_idx = np.zeros((len(sel), maxv), dtype=int)
@@ -274,7 +286,7 @@ def collision(m: Model, d: Data) -> Data:
                 vert_idx[i, :nvv] = adr + np.arange(nvv)
                 vmask[i, :nvv] = True
             verts = jnp.asarray(m.mesh_vert, dtype)[vert_idx]
-            # mask padding verts far "up" so they never win deepest-k
+            # padding verts pushed far along +z so they never win deepest-k
             verts = jnp.where(jnp.asarray(vmask)[..., None], verts,
                               jnp.asarray([0.0, 0.0, 1e6], dtype))
             dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts)
@@ -282,36 +294,43 @@ def collision(m: Model, d: Data) -> Data:
             dist, pos, nrm = fn(p1, R1, s1, p2, R2, s2)
 
         margin = jnp.asarray(m.pair_margin, dtype)[sel][..., None]
-        gap = jnp.asarray(m.pair_gap, dtype)[sel][..., None]
         act = dist < margin
-        # gate on body_active of both geoms' bodies (masked spawn slots)
         b1 = lay.geom_bodyid[g1]
         b2 = lay.geom_bodyid[g2]
         act = act & body_act[b1][..., None] & body_act[b2][..., None]
 
-        t1, t2 = _make_tangents(nrm)
-        frame = jnp.stack([nrm, t1, t2], axis=-2)  # (npairs, ncap, 3, 3)
+        flat = (pair_cand_adr[sel][:, None] + np.arange(ncap)).reshape(-1)
+        cand_dist = cand_dist.at[flat].set(dist.reshape(-1))
+        cand_pos = cand_pos.at[flat].set(pos.reshape(-1, 3))
+        cand_nrm = cand_nrm.at[flat].set(nrm.reshape(-1, 3))
+        cand_act = cand_act.at[flat].set(act.reshape(-1))
 
-        # slot addresses for this group (static)
-        slot_adr = np.stack([lay.pair_slotadr[s] + np.arange(ncap)
-                             for s in sel])  # (npairs, ncap)
-        flat = slot_adr.reshape(-1)
-        dist_buf = dist_buf.at[flat].set(dist.reshape(-1))
-        pos_buf = pos_buf.at[flat].set(pos.reshape(-1, 3))
-        frame_buf = frame_buf.at[flat].set(frame.reshape(-1, 3, 3))
-        active_buf = active_buf.at[flat].set(act.reshape(-1))
+    # ---- top-K compaction by penetration depth (active first)
+    K = m.ncon_max
+    score = jnp.where(cand_act, cand_dist, BIG)
+    _, idx = jax.lax.top_k(-score, K)
 
-    con = con.replace(
-        dist=dist_buf, pos=pos_buf, frame=frame_buf, active=active_buf,
-        geom1=jnp.asarray(lay.slot_geom1, jnp.int32),
-        geom2=jnp.asarray(lay.slot_geom2, jnp.int32),
-        includemargin=jnp.asarray(m.pair_margin - m.pair_gap,
-                                  dtype)[lay.slot_pairid],
-        friction=jnp.asarray(m.pair_friction, dtype)[lay.slot_pairid],
-        solref=jnp.asarray(m.pair_solref, dtype)[lay.slot_pairid],
-        solimp=jnp.asarray(m.pair_solimp, dtype)[lay.slot_pairid],
-        dim=jnp.asarray(lay.slot_condim, jnp.int32),
-        efc_address=jnp.asarray(lay.slot_efcadr, jnp.int32),
+    cp = jnp.asarray(lay.cand_pairid)  # (ncand,)
+    sel_pair = cp[idx]
+    nrm_k = cand_nrm[idx]
+    t1k, t2k = _make_tangents(nrm_k)
+    frame = jnp.stack([nrm_k, t1k, t2k], axis=-2)
+
+    con = d.contact.replace(
+        dist=cand_dist[idx],
+        pos=cand_pos[idx],
+        frame=frame,
+        active=cand_act[idx],
+        geom1=jnp.asarray(lay.pair_geom1, jnp.int32)[sel_pair],
+        geom2=jnp.asarray(lay.pair_geom2, jnp.int32)[sel_pair],
+        includemargin=jnp.asarray(m.pair_margin - m.pair_gap, dtype)[sel_pair],
+        friction=jnp.asarray(m.pair_friction, dtype)[sel_pair],
+        solref=jnp.asarray(m.pair_solref, dtype)[sel_pair],
+        solimp=jnp.asarray(m.pair_solimp, dtype)[sel_pair],
+        dim=jnp.asarray(lay.pair_condim, jnp.int32)[sel_pair],
+        efc_address=jnp.asarray(
+            m.contact_efcadr
+            + np.arange(K) * max(1, 2 * (m.max_condim - 1)), jnp.int32),
     )
-    ncon = jnp.sum(active_buf.astype(jnp.int32))
+    ncon = jnp.sum(cand_act.astype(jnp.int32))
     return d.replace(contact=con, ncon=ncon)

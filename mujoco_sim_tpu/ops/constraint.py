@@ -238,64 +238,74 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
         efc_active = efc_active.at[adrs].set(active)
         efc_type = efc_type.at[adrs].set(2)
 
-    # ---------------- contacts (pyramidal) ----------------
+    # ---------------- contacts (pyramidal, vectorized over the K budget) ----
     if m.ncon_max and not (disable & int(DisableBit.CONTACT)):
         con = d.contact
-        nslot = m.ncon_max
-        b1 = lay.geom_bodyid[lay.slot_geom1]
-        b2 = lay.geom_bodyid[lay.slot_geom2]
-        pos_c = con.pos            # (nslot, 3)
-        frame = con.frame          # (nslot, 3, 3) rows n,t1,t2
-        # translational difference jacobian at contact point
-        Jp2 = _point_jacobian(m, d, pos_c, b2, origin[b2])
-        Jp1 = _point_jacobian(m, d, pos_c, b1, origin[b1])
-        Jdiff = Jp2 - Jp1          # (nslot, 3, nv)
-        # rows in contact frame
+        K = m.ncon_max
+        mc = m.max_condim
+        nrows_per = max(1, 2 * (mc - 1))
+        gb = jnp.asarray(lay.geom_bodyid)
+        b1 = gb[con.geom1]
+        b2 = gb[con.geom2]
+        pos_c = con.pos            # (K, 3)
+        frame = con.frame          # (K, 3, 3) rows n,t1,t2
+        o1 = d.subtree_com[jnp.asarray(lay.body_rootid)[b1]]
+        o2 = d.subtree_com[jnp.asarray(lay.body_rootid)[b2]]
+        Jp2 = _point_jacobian(m, d, pos_c, b2, o2)
+        Jp1 = _point_jacobian(m, d, pos_c, b1, o1)
+        Jdiff = Jp2 - Jp1          # (K, 3, nv)
         Jn = jnp.einsum("si,siv->sv", frame[:, 0], Jdiff)
-        Jt1 = jnp.einsum("si,siv->sv", frame[:, 1], Jdiff)
-        Jt2 = jnp.einsum("si,siv->sv", frame[:, 2], Jdiff)
-        # rotational rows for condim >= 4 (torsional, rolling)
-        Jr2 = _rot_jacobian(m, d, b2)
-        Jr1 = _rot_jacobian(m, d, b1)
-        Jrdiff = Jr2 - Jr1
-        Jrn = jnp.einsum("si,siv->sv", frame[:, 0], Jrdiff)
-        Jrt1 = jnp.einsum("si,siv->sv", frame[:, 1], Jrdiff)
-        Jrt2 = jnp.einsum("si,siv->sv", frame[:, 2], Jrdiff)
-
-        pen = con.dist - con.includemargin  # negative = violated
+        fric_axes = [
+            jnp.einsum("si,siv->sv", frame[:, 1], Jdiff),
+            jnp.einsum("si,siv->sv", frame[:, 2], Jdiff),
+        ]
+        if mc >= 4:
+            Jrdiff = _rot_jacobian(m, d, b2) - _rot_jacobian(m, d, b1)
+            fric_axes.append(jnp.einsum("si,siv->sv", frame[:, 0], Jrdiff))
+            if mc >= 6:
+                fric_axes.append(
+                    jnp.einsum("si,siv->sv", frame[:, 1], Jrdiff))
+                fric_axes.append(
+                    jnp.einsum("si,siv->sv", frame[:, 2], Jrdiff))
+        pen = con.dist - con.includemargin
         invw = binv[b1, 0] + binv[b2, 0]
-        mu = con.friction  # (nslot, 5)
-        k, b, imp = kbi(con.solref, con.solimp, pen, dtype)
 
-        for s in range(nslot):
-            dim = int(lay.slot_condim[s])
-            adr = int(lay.slot_efcadr[s])
-            act = con.active[s]
-            nrows = max(1, 2 * (dim - 1))
-            if dim == 1:
-                rows = Jn[s][None]
-                diag_rows = invw[s][None]
-            else:
-                fric_rows = [Jt1[s], Jt2[s], Jrn[s], Jrt1[s], Jrt2[s]][:dim - 1]
-                rows = []
-                diag_list = []
-                for fi in range(dim - 1):
-                    mu_f = mu[s, fi]
-                    rows.append(Jn[s] + mu_f * fric_rows[fi])
-                    rows.append(Jn[s] - mu_f * fric_rows[fi])
-                    dr = invw[s] * 2.0 * mu_f * mu_f * (1.0 + mu_f * mu_f)
-                    diag_list.extend([dr, dr])
-                rows = jnp.stack(rows)
-                diag_rows = jnp.stack(diag_list)
-            efc_J = efc_J.at[adr:adr + nrows].set(rows)
-            efc_pos = efc_pos.at[adr:adr + nrows].set(pen[s])
-            efc_margin = efc_margin.at[adr:adr + nrows].set(
-                con.includemargin[s])
-            efc_solref = efc_solref.at[adr:adr + nrows].set(con.solref[s])
-            efc_solimp = efc_solimp.at[adr:adr + nrows].set(con.solimp[s])
-            efc_diag = efc_diag.at[adr:adr + nrows].set(diag_rows)
-            efc_active = efc_active.at[adr:adr + nrows].set(act)
-            efc_type = efc_type.at[adr:adr + nrows].set(3)
+        if mc == 1:
+            rows = Jn[:, None, :]                      # (K,1,nv)
+            diag_rows = invw[:, None]
+            row_act = con.active[:, None]
+        else:
+            axes = jnp.stack(fric_axes[: mc - 1], axis=1)   # (K, mc-1, nv)
+            mu = con.friction[:, : mc - 1]                  # (K, mc-1)
+            frictionless = (con.dim == 1)
+            mu_eff = jnp.where(frictionless[:, None], 0.0, mu)
+            plus = Jn[:, None, :] + mu_eff[..., None] * axes
+            minus = Jn[:, None, :] - mu_eff[..., None] * axes
+            rows = jnp.stack([plus, minus], axis=2).reshape(K, nrows_per, -1)
+            dr = invw[:, None] * 2.0 * mu_eff * mu_eff * (1.0 + mu_eff * mu_eff)
+            dr = jnp.where(frictionless[:, None], invw[:, None], dr)
+            diag_rows = jnp.repeat(dr, 2, axis=1)
+            # rows for friction axes beyond the contact's condim are masked;
+            # frictionless contacts keep only the first +- pair (mu=0)
+            axis_of_row = np.repeat(np.arange(mc - 1), 2)  # (nrows_per,)
+            row_act = con.active[:, None] & (
+                jnp.asarray(axis_of_row)[None, :]
+                < jnp.maximum(con.dim - 1, 1)[:, None])
+        adrs = np.arange(K)[:, None] * nrows_per + m.contact_efcadr \
+            + np.arange(nrows_per)[None, :]
+        flat = adrs.reshape(-1)
+        efc_J = efc_J.at[flat].set(rows.reshape(K * nrows_per, -1))
+        efc_pos = efc_pos.at[flat].set(
+            jnp.repeat(pen, nrows_per).reshape(-1))
+        efc_margin = efc_margin.at[flat].set(
+            jnp.repeat(con.includemargin, nrows_per))
+        efc_solref = efc_solref.at[flat].set(
+            jnp.repeat(con.solref, nrows_per, axis=0))
+        efc_solimp = efc_solimp.at[flat].set(
+            jnp.repeat(con.solimp, nrows_per, axis=0))
+        efc_diag = efc_diag.at[flat].set(diag_rows.reshape(-1))
+        efc_active = efc_active.at[flat].set(row_act.reshape(-1))
+        efc_type = efc_type.at[flat].set(3)
 
     # ---------------- aref / D / R ----------------
     k, b, imp = kbi(efc_solref, efc_solimp, efc_pos, dtype)

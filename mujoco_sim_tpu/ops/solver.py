@@ -85,23 +85,41 @@ def solve(m: Model, d: Data) -> Data:
                                   jnp.asarray(1.0, dtype))
         return jnp.clip(alpha, 0.0, 4.0)
 
+    def total_cost(a):
+        x = J @ a - aref
+        D = d.efc_D
+        floss = d.efc_frictionloss
+        is_floss = d.efc_floss_active
+        one_sided = (d.efc_type >= 2)
+        quad = 0.5 * D * x * x
+        c = jnp.where(one_sided & (x >= 0), 0.0, quad)
+        # Huber tails for friction loss
+        lin = floss * jnp.abs(x) - 0.5 * jnp.where(
+            D > 0, floss * floss / jnp.maximum(D, 1e-12), 0.0)
+        c = jnp.where(is_floss & (jnp.abs(D * x) >= floss), lin, c)
+        da = a - a_smooth
+        return 0.5 * da @ (M @ da) + jnp.sum(c)
+
     def newton_body(carry):
-        a, it, gnorm = carry
+        a, it, prev_cost, _ = carry
         grad, H, _ = grad_hess(a)
         L = jnp.linalg.cholesky(H)
         p = -smooth.solve_chol(L, grad)
         alpha = line_search(a, p)
         a_new = a + alpha * p
-        gnorm_new = jnp.linalg.norm(grad)
-        return a_new, it + 1, gnorm_new
+        new_cost = total_cost(a_new)
+        improved = prev_cost - new_cost
+        done = improved < m.opt.tolerance * jnp.maximum(1.0, jnp.abs(new_cost))
+        return a_new, it + 1, new_cost, done
 
     def newton_cond(carry):
-        a, it, gnorm = carry
-        return (it < m.opt.solver_iterations) & (gnorm > m.opt.tolerance)
+        a, it, cost, done = carry
+        return (it < m.opt.solver_iterations) & jnp.logical_not(done)
 
-    a, iters, _ = jax.lax.while_loop(
+    a, iters, _, _ = jax.lax.while_loop(
         newton_cond, newton_body,
-        (a0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype)))
+        (a0, jnp.asarray(0, jnp.int32), total_cost(a0),
+         jnp.asarray(False)))
 
     x, f, _ = cost_terms(a)
     efc_force = -f
