@@ -315,6 +315,16 @@ def step2(m: Model, d: Data) -> Data:
     return _euler(m, d)
 
 
+def step_with_control(m: Model, d: Data, ctrl_fn, *ctrl_args):
+    """step1 -> controller -> step2, mirroring the reference's interleaving
+    of mjcb_control / ControllerManager::update / HW write inside one step
+    (src/mj_main.cpp:82-112).  ctrl_fn(m, d, *ctrl_args) -> (d, aux)."""
+    d = step1(m, d)
+    d, aux = ctrl_fn(m, d, *ctrl_args)
+    d = step2(m, d)
+    return d, aux
+
+
 def inverse(m: Model, d: Data, qacc: jax.Array) -> jax.Array:
     """Inverse dynamics: applied generalized force that would produce qacc
     (mj_inverse equivalent; used for effort feedback, mj_hw_interface.cpp:61)."""

@@ -108,3 +108,26 @@ def test_box_drop_contact():
     zf_oracle = theirs[-1][0][2]
     assert abs(zf_mine - zf_oracle) < 2e-2, (zf_mine, zf_oracle)
     assert np.abs(ours[-1][1]).max() < 0.05
+
+
+def test_pr2_trajectory_short():
+    """PR2 free-falling briefly: 49 dofs, mimic equalities + limits engage.
+
+    Contacts are disabled on both sides: the oracle starts with
+    self-penetrating mesh-mesh contacts whose narrowphase we don't
+    implement yet (Model.npair_unsupported tracks them).
+    """
+    import mujoco as mj
+    from mujoco_sim_tpu.models.model import DisableBit
+
+    path = f"{REF}/test/pr2/pr2.xml"
+    mm = oracle_model(path)
+    mm.opt.disableflags |= mj.mjtDisableBit.mjDSBL_CONTACT
+    m = load_model(path)
+    m = m.replace(opt=m.opt.replace(
+        disableflags=m.opt.disableflags | int(DisableBit.CONTACT)))
+    n = 50
+    ours = run_ours(m, n)
+    theirs = run_oracle(mm, n)
+    qpos_err = max(np.max(np.abs(a[0] - b[0])) for a, b in zip(ours, theirs))
+    assert qpos_err < 1e-4, f"qpos err {qpos_err}"
