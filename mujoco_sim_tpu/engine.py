@@ -239,6 +239,11 @@ def sensor_energy(m: Model, d: Data) -> Data:
     return sensor_mod.sensors(m, d)
 
 
+def _dof_active(m: Model, d: Data) -> jax.Array:
+    """Dofs of masked-out (despawned) bodies are frozen (SURVEY §3.3)."""
+    return d.body_active[m.layout.dof_bodyid]
+
+
 def _euler(m: Model, d: Data) -> Data:
     dtype = d.qpos.dtype
     h = jnp.asarray(m.opt.timestep, dtype)
@@ -249,7 +254,7 @@ def _euler(m: Model, d: Data) -> Data:
     rhs = d.qfrc_smooth + d.qfrc_constraint
     L = jnp.linalg.cholesky(MhB)
     qacc = smooth.solve_chol(L, rhs)
-    qvel = d.qvel + h * qacc
+    qvel = jnp.where(_dof_active(m, d), d.qvel + h * qacc, 0.0)
     qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)
     return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
 
@@ -282,8 +287,9 @@ def _rk4(m: Model, d: Data) -> Data:
         F.append((dcur.qvel, dcur.qacc))
     dq = sum(b * f[0] for b, f in zip(_RK4_B, F))
     dv = sum(b * f[1] for b, f in zip(_RK4_B, F))
-    qpos = integrate_mod.integrate_pos(m, qpos0, dq, h)
-    qvel = qvel0 + h * dv
+    act = _dof_active(m, d)
+    qpos = integrate_mod.integrate_pos(m, qpos0, jnp.where(act, dq, 0.0), h)
+    qvel = jnp.where(act, qvel0 + h * dv, 0.0)
     return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
 
 
