@@ -86,29 +86,34 @@ def set_const(m: Model) -> Model:
 
     These feed the constraint regularization diagApprox (ops/constraint.py).
     """
-    qpos0 = jnp.asarray(m.qpos0)
-    kin = smooth.kinematics(m, qpos0)
-    com = smooth.com_pos(m, kin)
-    qM = smooth.crb(m, com)
-    Minv = jnp.linalg.inv(qM)
-    dof_invweight0 = jnp.diag(Minv)
+    @jax.jit
+    def _compute(m):
+        qpos0 = jnp.asarray(m.qpos0)
+        kin = smooth.kinematics(m, qpos0)
+        com = smooth.com_pos(m, kin)
+        qM = smooth.crb(m, com)
+        Minv = jnp.linalg.inv(qM)
+        dof_invweight0 = jnp.diag(Minv)
 
-    dtype = qpos0.dtype
-    lay = m.layout
-    origin = com["subtree_com"][lay.body_rootid]
-    cdof = com["cdof"]
-    ang, lin = cdof[:, :3], cdof[:, 3:]
-    mask = jnp.asarray(m.ancestor_mask, dtype)  # (nbody, nv)
-    r = kin["xipos"] - origin  # (nbody, 3)
-    # translational jacobian at body COM: (nbody, 3, nv)
-    Jt = (lin.T[None] + jnp.cross(ang[None, :, :],
-                                  r[:, None, :]).swapaxes(-1, -2))
-    Jt = Jt * mask[:, None, :]
-    Jr = ang.T[None] * mask[:, None, :]
-    At = jnp.einsum("biv,vw,biw->b", Jt, Minv, Jt) / 3.0
-    Ar = jnp.einsum("biv,vw,biw->b", Jr, Minv, Jr) / 3.0
-    body_invweight0 = jnp.stack([At, Ar], axis=-1)
+        dtype = qpos0.dtype
+        lay = m.layout
+        origin = com["subtree_com"][lay.body_rootid]
+        cdof = com["cdof"]
+        ang, lin = cdof[:, :3], cdof[:, 3:]
+        mask = jnp.asarray(m.ancestor_mask, dtype)  # (nbody, nv)
+        r = kin["xipos"] - origin  # (nbody, 3)
+        # translational jacobian at body COM: (nbody, 3, nv)
+        Jt = (lin.T[None] + jnp.cross(ang[None, :, :],
+                                      r[:, None, :]).swapaxes(-1, -2))
+        Jt = Jt * mask[:, None, :]
+        Jr = ang.T[None] * mask[:, None, :]
+        At = jnp.einsum("biv,vw,biw->b", Jt, Minv, Jt) / 3.0
+        Ar = jnp.einsum("biv,vw,biw->b", Jr, Minv, Jr) / 3.0
+        body_invweight0 = jnp.stack([At, Ar], axis=-1)
+        return dof_invweight0, body_invweight0
+
     import numpy as np_
+    dof_invweight0, body_invweight0 = _compute(m)
     return m.replace(dof_invweight0=np_.asarray(dof_invweight0),
                      body_invweight0=np_.asarray(body_invweight0))
 

@@ -50,13 +50,16 @@ def _parse_ascii_stl(text: str) -> np.ndarray:
 def load_mesh_vertices(path: str, scale: np.ndarray) -> np.ndarray:
     """Load mesh file -> deduplicated vertex array, scaled."""
     if path.lower().endswith(".stl"):
-        tri = load_stl(path)
-        verts = tri.reshape(-1, 3)
+        from mujoco_sim_tpu.models import native
+        nv = native.load_stl(path) if native.available() else None
+        if nv is not None:
+            verts = nv
+        else:
+            verts = np.unique(load_stl(path).reshape(-1, 3), axis=0)
     elif path.lower().endswith(".obj"):
-        verts = _load_obj_vertices(path)
+        verts = np.unique(_load_obj_vertices(path), axis=0)
     else:
         raise NotImplementedError(f"mesh format: {path}")
-    verts = np.unique(verts, axis=0)
     return verts * np.asarray(scale)
 
 
@@ -125,7 +128,18 @@ def mass_properties(verts: np.ndarray, faces: np.ndarray):
 
 
 def process_mesh(verts: np.ndarray, max_hull_verts: int = 0):
-    """verts -> (hull_verts, (volume, com, inertia_mat_about_com))."""
+    """verts -> (hull_verts, (volume, com, inertia_mat_about_com)).
+
+    Uses the native geomlib quickhull when built; scipy qhull otherwise.
+    """
+    from mujoco_sim_tpu.models import native
+    if native.available():
+        res = native.convex_hull(verts)
+        if res is not None:
+            hv, faces = res
+            props = native.mass_properties(hv, faces)
+            if props is not None:
+                return hv, props
     hv, faces = convex_hull(verts)
     vol, com, imat = mass_properties(hv, faces)
     return hv, (vol, com, imat)
