@@ -1,0 +1,195 @@
+"""Scene -> USD (.usda) exporter.
+
+Equivalent of script/mujoco_to_usd.py (reference): rebuilds the scene as a
+USD stage — meshes as Mesh prims from the hull data, bodies as Xform prims
+with live poses, primitive geoms as Cube/Sphere/Cylinder gprims, mass
+properties via PhysicsMassAPI, joints as UsdPhysics joints (reference
+:40-406).  Written as text usda, so no pxr dependency is needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from mujoco_sim_tpu.models.model import GeomType, JointType
+
+
+def _q(s: str) -> str:
+    return '"' + s.replace('"', "'") + '"'
+
+
+def _v3(v) -> str:
+    return f"({float(v[0])}, {float(v[1])}, {float(v[2])})"
+
+
+def _quat(q) -> str:
+    # usda quatd layout: (w, x, y, z)
+    return f"({float(q[0])}, {float(q[1])}, {float(q[2])}, {float(q[3])})"
+
+
+def _sanitize(name: str) -> str:
+    out = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+    if not out or out[0].isdigit():
+        out = "_" + out
+    return out
+
+
+def export_usd(m, d, path: str, spec=None) -> str:
+    """Model + Data -> USD stage file.  Mesh faces are recomputed from the
+    stored hull vertices (host side)."""
+    from mujoco_sim_tpu.models import mesh_io
+
+    lay = m.layout
+    xpos = np.asarray(d.xpos)
+    xquat = np.asarray(d.xquat)
+    lines = []
+    w = lines.append
+    w("#usda 1.0")
+    w("(")
+    w('    defaultPrim = "World"')
+    w("    metersPerUnit = 1")
+    w('    upAxis = "Z"')
+    w(")")
+    w("")
+    w('def Xform "World"')
+    w("{")
+
+    # precompute hull faces per mesh for Mesh prims
+    mesh_faces = {}
+    for mid in range(m.nmesh):
+        adr = int(lay.mesh_vertadr[mid])
+        cnt = int(lay.mesh_vertnum[mid])
+        verts = np.asarray(m.mesh_vert[adr:adr + cnt])
+        try:
+            hv, faces = mesh_io.convex_hull(verts)
+        except Exception:
+            hv, faces = verts, np.zeros((0, 3), dtype=int)
+        mesh_faces[mid] = (hv, faces)
+
+    geom_by_body = {}
+    for g in range(m.ngeom):
+        geom_by_body.setdefault(int(lay.geom_bodyid[g]), []).append(g)
+
+    def write_geom(g: int, indent: str):
+        t = GeomType(int(lay.geom_type[g]))
+        name = _sanitize(m.names.geom[g] or f"geom{g}")
+        size = np.asarray(m.geom_size[g])
+        pos = np.asarray(m.geom_pos[g])
+        quat = np.asarray(m.geom_quat[g])
+        rgba = np.asarray(m.geom_rgba[g])
+        xf = [
+            f"{indent}    double3 xformOp:translate = {_v3(pos)}",
+            f"{indent}    quatd xformOp:orient = {_quat(quat)}",
+            f'{indent}    uniform token[] xformOpOrder = '
+            f'["xformOp:translate", "xformOp:orient"]',
+            f"{indent}    color3f[] primvars:displayColor = [{_v3(rgba)}]",
+        ]
+        if t == GeomType.BOX:
+            w(f'{indent}def Cube "{name}"')
+            w(indent + "{")
+            w(f"{indent}    double size = 2")
+            xf.insert(0, f"{indent}    double3 xformOp:scale = {_v3(size)}")
+            xf[3] = (f'{indent}    uniform token[] xformOpOrder = '
+                     f'["xformOp:translate", "xformOp:orient", '
+                     f'"xformOp:scale"]')
+            for l_ in xf:
+                w(l_)
+            w(indent + "}")
+        elif t == GeomType.SPHERE:
+            w(f'{indent}def Sphere "{name}"')
+            w(indent + "{")
+            w(f"{indent}    double radius = {float(size[0])}")
+            for l_ in xf:
+                w(l_)
+            w(indent + "}")
+        elif t in (GeomType.CYLINDER, GeomType.CAPSULE):
+            kind = "Cylinder" if t == GeomType.CYLINDER else "Capsule"
+            w(f'{indent}def {kind} "{name}"')
+            w(indent + "{")
+            w(f"{indent}    double radius = {float(size[0])}")
+            w(f"{indent}    double height = {2 * float(size[1])}")
+            w(f'{indent}    uniform token axis = "Z"')
+            for l_ in xf:
+                w(l_)
+            w(indent + "}")
+        elif t == GeomType.PLANE:
+            w(f'{indent}def Plane "{name}"')
+            w(indent + "{")
+            w(f'{indent}    uniform token axis = "Z"')
+            for l_ in xf:
+                w(l_)
+            w(indent + "}")
+        elif t == GeomType.MESH:
+            mid = int(lay.geom_dataid[g])
+            hv, faces = mesh_faces[mid]
+            w(f'{indent}def Mesh "{name}"')
+            w(indent + "{")
+            pts = ", ".join(_v3(p) for p in hv)
+            w(f"{indent}    point3f[] points = [{pts}]")
+            w(f"{indent}    int[] faceVertexCounts = "
+              f"[{', '.join('3' for _ in faces)}]")
+            idx = ", ".join(str(int(i)) for f3 in faces for i in f3)
+            w(f"{indent}    int[] faceVertexIndices = [{idx}]")
+            for l_ in xf:
+                w(l_)
+            w(indent + "}")
+
+    def write_body(b: int, indent: str):
+        name = _sanitize(m.names.body[b])
+        w(f'{indent}def Xform "{name}" (')
+        w(f'{indent}    prepend apiSchemas = ["PhysicsMassAPI", '
+          f'"PhysicsRigidBodyAPI"]')
+        w(f"{indent})")
+        w(indent + "{")
+        w(f"{indent}    double3 xformOp:translate = {_v3(xpos[b])}")
+        w(f"{indent}    quatd xformOp:orient = {_quat(xquat[b])}")
+        w(f'{indent}    uniform token[] xformOpOrder = '
+          f'["xformOp:translate", "xformOp:orient"]')
+        w(f"{indent}    float physics:mass = {float(m.body_mass[b])}")
+        w(f"{indent}    point3f physics:centerOfMass = "
+          f"{_v3(np.asarray(m.body_ipos[b]))}")
+        for g in geom_by_body.get(b, []):
+            write_geom(g, indent + "    ")
+        w(indent + "}")
+
+    # world geoms (floor etc.)
+    for g in geom_by_body.get(0, []):
+        write_geom(g, "    ")
+    # bodies flat under World with WORLD poses (the reference exporter also
+    # flattens using xpos/xmat from the data dump)
+    for b in range(1, m.nbody):
+        write_body(b, "    ")
+
+    # physics joints
+    w('    def Scope "Joints"')
+    w("    {")
+    for j in range(m.njnt):
+        t = JointType(int(lay.jnt_type[j]))
+        if t == JointType.FREE:
+            continue
+        name = _sanitize(m.names.joint[j] or f"joint{j}")
+        kind = {JointType.HINGE: "PhysicsRevoluteJoint",
+                JointType.SLIDE: "PhysicsPrismaticJoint",
+                JointType.BALL: "PhysicsSphericalJoint"}[t]
+        child = _sanitize(m.names.body[int(lay.jnt_bodyid[j])])
+        parent = _sanitize(
+            m.names.body[int(lay.body_parentid[lay.jnt_bodyid[j]])])
+        w(f'        def {kind} "{name}"')
+        w("        {")
+        w(f"            rel physics:body0 = </World/{parent}>")
+        w(f"            rel physics:body1 = </World/{child}>")
+        ax = np.asarray(m.jnt_axis[j])
+        dom = int(np.argmax(np.abs(ax)))
+        w(f'            uniform token physics:axis = "{"XYZ"[dom]}"')
+        if bool(np.asarray(m.jnt_limited)[j]):
+            rng = np.asarray(m.jnt_range[j])
+            w(f"            float physics:lowerLimit = {float(rng[0])}")
+            w(f"            float physics:upperLimit = {float(rng[1])}")
+        w("        }")
+    w("    }")
+    w("}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
