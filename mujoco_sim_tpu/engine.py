@@ -14,11 +14,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import wraps
+
 from mujoco_sim_tpu.models.model import (
     Model, Data, Contact, Integrator, DisableBit,
 )
 from mujoco_sim_tpu.ops import smooth, passive as passive_mod, support
 from mujoco_sim_tpu.ops import integrate as integrate_mod
+
+
+def _full_precision(fn):
+    """TPU matmuls default to bf16 inputs; mass-matrix/solver linear algebra
+    needs true f32 accumulate or Cholesky NaNs out on stiff contact rows."""
+
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def put_model(m: Model, dtype=jnp.float32, device=None) -> Model:
@@ -195,6 +209,7 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     return solver_mod.solve(m, d)
 
 
+@_full_precision
 def forward_core(m: Model, d: Data) -> Data:
     d = fwd_position(m, d)
     d = fwd_velocity(m, d)
@@ -204,6 +219,7 @@ def forward_core(m: Model, d: Data) -> Data:
     return d
 
 
+@_full_precision
 def forward(m: Model, d: Data) -> Data:
     """Full forward dynamics + derived outputs (mj_forward equivalent)."""
     d = forward_core(m, d)
@@ -298,6 +314,7 @@ def _rk4(m: Model, d: Data) -> Data:
     return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
 
 
+@_full_precision
 def step(m: Model, d: Data) -> Data:
     """One physics step (mj_step equivalent)."""
     d = forward(m, d)
@@ -307,6 +324,7 @@ def step(m: Model, d: Data) -> Data:
     return _euler(m, d)
 
 
+@_full_precision
 def step1(m: Model, d: Data) -> Data:
     """Position+velocity stages only — the hook point where the reference
     runs controllers between mj_step1 and mj_step2 (src/mj_main.cpp:83-108)."""
@@ -315,6 +333,7 @@ def step1(m: Model, d: Data) -> Data:
     return d
 
 
+@_full_precision
 def step2(m: Model, d: Data) -> Data:
     d = fwd_actuation(m, d)
     d = fwd_acceleration(m, d)
@@ -326,6 +345,7 @@ def step2(m: Model, d: Data) -> Data:
     return _euler(m, d)
 
 
+@_full_precision
 def step_with_control(m: Model, d: Data, ctrl_fn, *ctrl_args):
     """step1 -> controller -> step2, mirroring the reference's interleaving
     of mjcb_control / ControllerManager::update / HW write inside one step
@@ -336,6 +356,7 @@ def step_with_control(m: Model, d: Data, ctrl_fn, *ctrl_args):
     return d, aux
 
 
+@_full_precision
 def inverse(m: Model, d: Data, qacc: jax.Array) -> jax.Array:
     """Inverse dynamics: applied generalized force that would produce qacc
     (mj_inverse equivalent; used for effort feedback, mj_hw_interface.cpp:61)."""

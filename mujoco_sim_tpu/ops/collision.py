@@ -332,5 +332,5 @@ def collision(m: Model, d: Data) -> Data:
             m.contact_efcadr
             + np.arange(K) * max(1, 2 * (m.max_condim - 1)), jnp.int32),
     )
-    ncon = jnp.sum(cand_act.astype(jnp.int32))
+    ncon = jnp.sum(cand_act.astype(jnp.int32)).astype(jnp.int32)
     return d.replace(contact=con, ncon=ncon)
