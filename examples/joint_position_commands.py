@@ -32,10 +32,14 @@ def main():
             pose_init=np.array([0.0, 0.0, 0.172, 0, 0, 0]))})
     m = set_const(compile_spec(world))
     d = engine.make_data(m)
-    # settle on the floor first
-    settle = jax.jit(engine.step)
-    for _ in range(300):
-        d = settle(m, d)
+
+    # settle on the floor first (on-device scan: the TPU tunnel makes
+    # per-step host dispatch ~100ms, so never loop steps in Python)
+    @jax.jit
+    def roll(m_, d_, n):
+        return jax.lax.fori_loop(0, n, lambda i, dd: engine.step(m_, dd), d_)
+
+    d = roll(m, d, 300)
     joints = ["box_flap_side_1_joint", "box_flap_side_2_joint"]
     cfg = C.pd_config_for_joints(m, joints, kp=5.0, kd=0.8)
     st = C.make_pd_state(m)
@@ -46,12 +50,17 @@ def main():
 
     lay = m.layout
     dofs = [int(lay.jnt_dofadr[m.names.joint_id(j)]) for j in joints]
-    step = jax.jit(lambda m_, d_, st_, qdes: engine.step_with_control(
-        m_, d_, lambda a, b, c: ctrl(a, b, c, qdes), st_))
+    @jax.jit
+    def run_target(m_, d_, st_, qdes):
+        def body(i, carry):
+            dd, ss = carry
+            return engine.step_with_control(
+                m_, dd, lambda a, b, c: ctrl(a, b, c, qdes), ss)
+        return jax.lax.fori_loop(0, 600, body, (d_, st_))
+
     for target in (0.0, 0.8, -0.4, 0.0):
         qdes = jnp.zeros(m.nv).at[jnp.asarray(dofs)].set(target)
-        for _ in range(600):
-            d, st = step(m, d, st, qdes)
+        d, st = run_target(m, d, st, qdes)
         got = [float(d.qpos[lay.jnt_qposadr[m.names.joint_id(j)]])
                for j in joints]
         print(f"target {target:+.2f} -> flaps "

@@ -48,6 +48,16 @@ def put_model(m: Model, dtype=jnp.float32, device=None) -> Model:
     return jax.tree.map(cast, m)
 
 
+def _mocap_pos0(m: Model, dtype):
+    ids = np.nonzero(np.asarray(m.layout.body_mocapid) >= 0)[0]
+    return jnp.asarray(np.asarray(m.body_pos)[ids], dtype)
+
+
+def _mocap_quat0(m: Model, dtype):
+    ids = np.nonzero(np.asarray(m.layout.body_mocapid) >= 0)[0]
+    return jnp.asarray(np.asarray(m.body_quat)[ids], dtype)
+
+
 def make_data(m: Model, dtype=None) -> Data:
     """Fresh Data at qpos0 (mj_makeData + reset equivalent)."""
     if dtype is None:
@@ -72,6 +82,8 @@ def make_data(m: Model, dtype=None) -> Data:
         qfrc_applied=z(nv), xfrc_applied=z(nbody, 6),
         ctrl=z(0),
         body_active=jnp.ones((nbody,), bool),
+        mocap_pos=_mocap_pos0(m, dtype),
+        mocap_quat=_mocap_quat0(m, dtype),
         xpos=z(nbody, 3), xquat=z(nbody, 4).at[:, 0].set(1.0),
         xipos=z(nbody, 3), ximat=z(nbody, 3, 3),
         xanchor=z(njnt, 3), xaxis=z(njnt, 3),
@@ -140,7 +152,7 @@ def _com_dict(m: Model, d: Data) -> dict:
 
 
 def fwd_position(m: Model, d: Data) -> Data:
-    kin = smooth.kinematics(m, d.qpos)
+    kin = smooth.kinematics(m, d.qpos, d.mocap_pos, d.mocap_quat)
     com = smooth.com_pos(m, kin)
     qM = smooth.crb(m, com)
     qLD = smooth.factor_chol(qM)

@@ -272,6 +272,11 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
     body_iquat = np.tile(np.array([1.0, 0, 0, 0]), (nbody, 1))
     body_inertia = np.zeros((nbody, 3))
     body_gravcomp = np.array([b.gravcomp for b in bodies])
+    body_mocapid = np.full(nbody, -1)
+    mocap_ids = [i for i, b in enumerate(bodies) if getattr(b, "mocap", False)]
+    for k, i in enumerate(mocap_ids):
+        body_mocapid[i] = k
+    nmocap = len(mocap_ids)
 
     def mesh_lookup(g):
         return mesh_props[mesh_idx[g.mesh]]
@@ -623,6 +628,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
         body_jntnum=body_jntnum,
         body_dofadr=body_dofadr,
         body_dofnum=body_dofnum,
+        body_mocapid=body_mocapid,
         jnt_type=jnt_type,
         jnt_qposadr=jnt_qposadr,
         jnt_dofadr=jnt_dofadr,
@@ -682,6 +688,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
         body_gravcomp=np_f(body_gravcomp),
         body_invweight0=np_f(np.zeros((nbody, 2))),
         body_subtreemass=np_f(body_subtreemass),
+        body_mocapid=np_i(body_mocapid),
         jnt_type=np_i(jnt_type),
         jnt_qposadr=np_i(jnt_qposadr),
         jnt_dofadr=np_i(jnt_dofadr),
@@ -760,7 +767,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
         qpos_spring=np_f(qpos_spring),
         nq=nq, nv=nv, nbody=nbody, njnt=njnt, ngeom=ngeom, nsite=nsite,
         nmesh=len(mesh_names), neq=neq, npair=npair, nsensor=nsensor,
-        nsensordata=nsensordata, ncon_max=ncon_max, nefc_max=nefc_max,
+        nsensordata=nsensordata, nmocap=nmocap,
+        ncon_max=ncon_max, nefc_max=nefc_max,
         ncand=ncand, max_condim=max_condim, contact_efcadr=contact_efcadr,
         npair_unsupported=npair_unsupported,
         body_levels=body_levels,

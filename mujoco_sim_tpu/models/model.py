@@ -136,6 +136,7 @@ class Model:
     body_gravcomp: jax.Array      # (nbody,)
     body_invweight0: jax.Array    # (nbody, 2) [tran, rot]
     body_subtreemass: jax.Array   # (nbody,)
+    body_mocapid: jax.Array       # (nbody,) i32, -1 if not mocap
 
     # ---- joints
     jnt_type: jax.Array           # (njnt,) i32
@@ -231,6 +232,7 @@ class Model:
     npair: int = static(default=0)
     nsensor: int = static(default=0)
     nsensordata: int = static(default=0)
+    nmocap: int = static(default=0)
     ncon_max: int = static(default=0)   # contact budget K (top-K compaction)
     nefc_max: int = static(default=0)   # padded constraint-row capacity
     ncand: int = static(default=0)      # total narrowphase candidates
@@ -364,6 +366,10 @@ class Data:
 
     # masked-slot scene state (spawn/destroy; SURVEY §3.3 contract)
     body_active: jax.Array     # (nbody,) bool
+    # mocap bodies: pose set directly by the host/collectives (the '_ref'
+    # twins of the reference's multi-instance sync, mj_sim.cpp:847-960)
+    mocap_pos: jax.Array       # (nmocap, 3)
+    mocap_quat: jax.Array      # (nmocap, 4)
 
     # kinematics
     xpos: jax.Array            # (nbody, 3)

@@ -163,6 +163,49 @@ def add_robot(world: mjcf.SpecTree, robot_name: str, cfg: RobotConfig,
     return world
 
 
+def add_reference_bodies(spec: mjcf.SpecTree, body_names: list[str],
+                         torquescale: float = 0.9) -> mjcf.SpecTree:
+    """Create '<name>_ref' mocap twins weld-constrained to local bodies.
+
+    The reference's multi-instance receive-side mechanism
+    (MjSim::init_references, mj_sim.cpp:847-960): grey semi-transparent
+    mocap clones whose poses an external instance sets; a weld equality
+    (torquescale 0.9) drags the local body toward them, and contacts with
+    them are excluded.  Here mocap poses are set via Data.mocap_pos/quat
+    (fed by collectives in-mesh or by the server across processes).
+    """
+    def find(b, name):
+        if b.name == name:
+            return b
+        for c in b.children:
+            r = find(c, name)
+            if r is not None:
+                return r
+        return None
+
+    for name in body_names:
+        target = find(spec.world, name)
+        if target is None:
+            raise KeyError(f"body {name} not found")
+        ref = mjcf.BodySpec(name=f"{name}_ref", pos=target.pos.copy(),
+                            quat=target.quat.copy(), mocap=True)
+        for g in target.geoms:
+            gc = copy.deepcopy(g)
+            gc.name = f"{g.name}_ref" if g.name else ""
+            gc.rgba = np.array([0.5, 0.5, 0.5, 0.3])
+            gc.contype = 0
+            gc.conaffinity = 0
+            gc.density = 0.0
+            gc.mass = 0.0
+            ref.geoms.append(gc)
+        spec.world.children.append(ref)
+        eq = mjcf.EqSpec(type="weld", obj1=f"{name}_ref", obj2=name,
+                         torquescale=torquescale)
+        spec.equalities.append(eq)
+        spec.excludes.append((f"{name}_ref", name))
+    return spec
+
+
 def compose(world_path: str, robots: dict[str, RobotConfig] | None = None,
             instances: int = 1) -> mjcf.SpecTree:
     """World + robots -> composed SpecTree (compile with compile_spec).

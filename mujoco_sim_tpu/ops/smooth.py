@@ -53,8 +53,12 @@ def _subsets_by_joint(m: Model):
     return plan
 
 
-def kinematics(m: Model, qpos: jax.Array):
-    """Forward kinematics: body/geom/site frames (mj_kinematics equivalent)."""
+def kinematics(m: Model, qpos: jax.Array, mocap_pos=None, mocap_quat=None):
+    """Forward kinematics: body/geom/site frames (mj_kinematics equivalent).
+
+    Mocap bodies take their pose from (mocap_pos, mocap_quat) directly — the
+    '_ref' twin mechanism of the reference's multi-instance sync
+    (mj_sim.cpp:847-960)."""
     lay = m.layout
     dtype = qpos.dtype
     nb = m.nbody
@@ -108,6 +112,14 @@ def kinematics(m: Model, qpos: jax.Array):
                 xanchor = xanchor.at[jsub].set(anchor)
                 xaxis = xaxis.at[jsub].set(axis_w)
         q = mm.quat_normalize(q)
+        # mocap override (static subset of this level's bodies)
+        if mocap_pos is not None and m.nmocap:
+            mids = lay.body_mocapid[bid]
+            is_mc = mids >= 0
+            if is_mc.any():
+                sel = np.nonzero(is_mc)[0]
+                p = p.at[sel].set(mocap_pos[mids[sel]])
+                q = q.at[sel].set(mm.quat_normalize(mocap_quat[mids[sel]]))
         xpos = xpos.at[bid].set(p)
         xquat = xquat.at[bid].set(q)
 

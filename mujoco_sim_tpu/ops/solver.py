@@ -77,12 +77,23 @@ def solve(m: Model, d: Data) -> Data:
             d2 = pMp + curv @ (Jp * Jp)
             return d1, d2
 
-        def body(_, alpha):
-            d1, d2 = phi_d(alpha)
-            return alpha - d1 / jnp.maximum(d2, 1e-12)
+        # scale for the 1D Newton termination (gradient units)
+        d1_0, _ = phi_d(jnp.asarray(0.0, dtype))
+        gtol = 1e-8 * jnp.maximum(1.0, jnp.abs(d1_0))
 
-        alpha = jax.lax.fori_loop(0, m.opt.ls_iterations, body,
-                                  jnp.asarray(1.0, dtype))
+        def cond(carry):
+            alpha, it, d1 = carry
+            return (it < m.opt.ls_iterations) & (jnp.abs(d1) > gtol)
+
+        def body(carry):
+            alpha, it, _ = carry
+            d1, d2 = phi_d(alpha)
+            return (alpha - d1 / jnp.maximum(d2, 1e-12), it + 1, d1)
+
+        alpha, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32),
+             jnp.asarray(jnp.inf, dtype)))
         return jnp.clip(alpha, 0.0, 4.0)
 
     def total_cost(a):
