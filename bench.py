@@ -1,15 +1,18 @@
-"""Benchmark: batched env stepping throughput on the attached TPU chip.
+"""Benchmarks on the attached TPU chip (BASELINE.md configs).
 
-Prints ONE JSON line:
+Default prints ONE JSON line (the driver's headline metric):
   {"metric": "env_steps_per_sec_per_chip", "value": N, "unit": "env-steps/s",
    "vs_baseline": N/1e6}
 
-vs_baseline is the fraction of the BASELINE.md aggregate target
-(>= 1M env-steps/s on a multi-host slice) achieved on this single chip at
-4096 envs (BASELINE.json primary metric: env-steps/s/chip at 4096 envs).
+vs_baseline = fraction of the 1M env-steps/s aggregate target (BASELINE.md)
+achieved on this single chip at 4096 envs.
 
-Scenario: contact-rich free box on the floor plane (plane-box manifold +
-friction solver active every step), 4096 envs, on-device scan rollout.
+Scenarios (BENCH_SCENARIO env var):
+  box    (default) contact-rich free box on the floor, 4096 envs — headline
+  mobile mobile base (odom-driven) + 3-dof PD arm, 1024 envs   — config 3
+  pr2    PR2 robot in the world, 64 envs                        — config 2
+  spawn  4 spawnable robots/env, half the slots active, 4096    — config 4
+  all    run everything (headline line printed first)
 """
 
 import json
@@ -17,64 +20,201 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
-NENV = int(os.environ.get("BENCH_NENV", 4096))
-NSTEPS = int(os.environ.get("BENCH_NSTEPS", 200))
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 
-def main():
-    from mujoco_sim_tpu import engine
-    from mujoco_sim_tpu.models.compile import load_model
-    from mujoco_sim_tpu.parallel import mesh as pmesh
+def _batch(m, d, nenv, jitter=True):
+    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (nenv,) + x.shape), d)
+    if jitter:
+        key = jax.random.PRNGKey(0)
+        dz = jax.random.uniform(key, (nenv,), minval=0.0, maxval=0.1)
+        dB = dB.replace(qpos=dB.qpos.at[:, 2].add(dz))
+    return dB
 
-    m = load_model(os.path.join(_REPO, "tests/fixtures/floor_box.xml"))
-    m = engine.put_model(m, jnp.float32)
 
-    d = engine.make_data(m, jnp.float32)
-    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (NENV,) + x.shape), d)
-    # de-correlate envs: vary initial height and spin
-    key = jax.random.PRNGKey(0)
-    dz = jax.random.uniform(key, (NENV,), minval=0.0, maxval=0.3)
-    w = jax.random.uniform(key, (NENV, 3), minval=-0.5, maxval=0.5)
-    dB = dB.replace(
-        qpos=dB.qpos.at[:, 2].add(dz),
-        qvel=dB.qvel.at[:, 3:6].set(w),
-    )
-
-    nsteps = NSTEPS
-
-    @jax.jit
-    def run(model, data):
-        return pmesh.rollout(model, data, nsteps)
-
-    # compile
-    t0 = time.time()
+def _time_rollout(run, m, dB, nenv, nsteps):
     out = run(m, dB)
     jax.block_until_ready(out.qpos)
-    compile_time = time.time() - t0
-
-    # timed
     t0 = time.time()
     out = run(m, out)
     jax.block_until_ready(out.qpos)
     dt = time.time() - t0
+    return nenv * nsteps / dt, dt
 
-    env_steps_per_sec = NENV * nsteps / dt
-    result = {
+
+def bench_box(nenv=None, nsteps=200):
+    from mujoco_sim_tpu import engine
+    from mujoco_sim_tpu.models.compile import load_model
+    from mujoco_sim_tpu.parallel import mesh as pmesh
+
+    nenv = nenv or int(os.environ.get("BENCH_NENV", 4096))
+    m = load_model(os.path.join(_REPO, "tests/fixtures/floor_box.xml"))
+    m = engine.put_model(m, jnp.float32)
+    d = engine.make_data(m, jnp.float32)
+    dB = _batch(m, d, nenv, jitter=False)
+    key = jax.random.PRNGKey(0)
+    dB = dB.replace(
+        qpos=dB.qpos.at[:, 2].add(
+            jax.random.uniform(key, (nenv,), minval=0.0, maxval=0.3)),
+        qvel=dB.qvel.at[:, 3:6].set(
+            jax.random.uniform(key, (nenv, 3), minval=-0.5, maxval=0.5)))
+    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps))
+    rate, dt = _time_rollout(run, m, dB, nenv, nsteps)
+    return {"scenario": "box", "nenv": nenv, "rate": rate}
+
+
+def _mobile_model():
+    from mujoco_sim_tpu.engine import set_const
+    from mujoco_sim_tpu.models import scene
+    from mujoco_sim_tpu.models.compile import compile_spec
+
+    bot = os.path.join(_REPO, "tests/fixtures/benchbot.xml")
+    if not os.path.exists(bot):
+        with open(bot, "w") as f:
+            f.write("""
+<mujoco model="benchbot">
+  <worldbody>
+    <body name="benchbot" pos="0 0 0.15">
+      <geom type="box" size=".25 .2 .1" mass="20"/>
+      <body name="arm1" pos="0.1 0 0.15">
+        <joint name="a1" type="hinge" axis="0 0 1" damping="1"/>
+        <geom type="box" size=".04 .04 .15" pos="0 0 .15" mass="2"/>
+        <body name="arm2" pos="0 0 0.3">
+          <joint name="a2" type="hinge" axis="0 1 0" damping="1"/>
+          <geom type="box" size=".03 .03 .12" pos="0 0 .12" mass="1"/>
+          <body name="wrist" pos="0 0 0.26">
+            <joint name="a3" type="hinge" axis="0 1 0" damping="0.5"/>
+            <geom type="sphere" size=".05" mass="0.5"/>
+          </body>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>""")
+    world = scene.compose(
+        "/root/reference/model/world/empty.xml",
+        robots={"benchbot": scene.RobotConfig(
+            path=bot,
+            add_odom_joints={"lin_odom_x_joint": True,
+                             "lin_odom_y_joint": True,
+                             "ang_odom_z_joint": True})})
+    return set_const(compile_spec(world))
+
+
+def bench_mobile(nenv=1024, nsteps=200):
+    """Config 3: base velocity control + PD arm, batched."""
+    from mujoco_sim_tpu import engine
+    from mujoco_sim_tpu.control import controllers as C
+
+    m = _mobile_model()
+    m32 = engine.put_model(m, jnp.float32)
+    ocfg = C.odom_config(m, "benchbot")
+    pdc = C.pd_config_for_joints(m32, ["a1", "a2", "a3"], kp=80.0, kd=8.0)
+    d = engine.make_data(m32, jnp.float32)
+    st = C.make_pd_state(m32, jnp.float32)
+    qdes = jnp.zeros(m.nv, jnp.float32)
+    cmd = jnp.asarray([0.4, 0.0, 0.0, 0.0, 0.0, 0.3], jnp.float32)
+
+    def one_env_step(m_, carry):
+        d_, st_ = carry
+        d_ = engine.step1(m_, d_)
+        st2 = C.pd_accel(pdc, st_, d_, qdes, m_.opt.timestep)
+        d_, st3 = C.apply_control(m_, d_, st2, pdc.ctrl_mask)
+        d_ = C.set_odom_vels(m_, d_, ocfg, cmd)
+        d_ = engine.step2(m_, d_)
+        return d_, st3
+
+    dB = _batch(m32, d, nenv, jitter=False)
+    stB = jax.tree.map(lambda x: jnp.broadcast_to(x, (nenv,) + x.shape), st)
+
+    @jax.jit
+    def run(m_, dB_):
+        def body(carry, _):
+            return jax.vmap(
+                lambda dd, ss: one_env_step(m_, (dd, ss)),
+                in_axes=(0, 0))(carry[0], carry[1]), ()
+        (dB_, stB_), _ = jax.lax.scan(body, (dB_, stB), None, length=nsteps)
+        return dB_
+
+    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps)
+    return {"scenario": "mobile", "nenv": nenv, "rate": rate}
+
+
+def bench_pr2(nenv=64, nsteps=100):
+    """Config 2: PR2 (49 dof, mimic equalities), batched."""
+    from mujoco_sim_tpu import engine
+    from mujoco_sim_tpu.models import scene
+    from mujoco_sim_tpu.models.compile import compile_spec
+    from mujoco_sim_tpu.engine import set_const
+    from mujoco_sim_tpu.parallel import mesh as pmesh
+
+    world = scene.compose(
+        "/root/reference/model/world/empty.xml",
+        robots={"pr2": scene.RobotConfig(
+            path="/root/reference/model/test/pr2/pr2.xml",
+            pose_init=np.array([0.0, 0.0, 0.05, 0, 0, 0]))})
+    m = set_const(compile_spec(world))
+    m = jax.tree.map(lambda x: x, m)
+    m32 = __import__("mujoco_sim_tpu.engine", fromlist=["put_model"]).put_model(m, jnp.float32)
+    d = __import__("mujoco_sim_tpu.engine", fromlist=["make_data"]).make_data(m32, jnp.float32)
+    dB = _batch(m32, d, nenv, jitter=False)
+    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps))
+    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps)
+    return {"scenario": "pr2", "nenv": nenv, "rate": rate}
+
+
+def bench_spawn(nenv=4096, nsteps=200):
+    """Config 4: masked spawn slots, half active."""
+    from mujoco_sim_tpu import engine
+    from mujoco_sim_tpu.models import scene
+    from mujoco_sim_tpu.models.compile import compile_spec
+    from mujoco_sim_tpu.engine import set_const
+    from mujoco_sim_tpu.parallel import mesh as pmesh
+
+    world = scene.compose(
+        "/root/reference/model/world/empty.xml",
+        robots={"sball": scene.RobotConfig(
+            path=os.path.join(_REPO, "tests/fixtures/spawn_ball.xml"))},
+        instances=4)
+    m = set_const(compile_spec(world))
+    m32 = engine.put_model(m, jnp.float32)
+    d = engine.make_data(m32, jnp.float32)
+    # half the slots inactive
+    ba = np.ones(m.nbody, dtype=bool)
+    for i, name in enumerate(m.names.body):
+        if name.startswith(("2_", "3_")):
+            ba[i] = False
+    d = d.replace(body_active=jnp.asarray(ba))
+    dB = _batch(m32, d, nenv)
+    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps))
+    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps)
+    return {"scenario": "spawn", "nenv": nenv, "rate": rate}
+
+
+def main():
+    scenario = os.environ.get("BENCH_SCENARIO", "box")
+    res = bench_box()
+    headline = {
         "metric": "env_steps_per_sec_per_chip",
-        "value": round(env_steps_per_sec, 1),
+        "value": round(res["rate"], 1),
         "unit": "env-steps/s",
-        "vs_baseline": round(env_steps_per_sec / 1_000_000.0, 4),
+        "vs_baseline": round(res["rate"] / 1_000_000.0, 4),
     }
-    print(json.dumps(result))
-    print(f"# nenv={NENV} nsteps={nsteps} wall={dt:.3f}s "
-          f"compile={compile_time:.1f}s device={jax.devices()[0]}",
-          file=sys.stderr)
+    print(json.dumps(headline))
+    if scenario == "all":
+        for fn in (bench_mobile, bench_pr2, bench_spawn):
+            try:
+                r = fn()
+                print(f"# {r['scenario']}: nenv={r['nenv']} "
+                      f"{r['rate']:.0f} env-steps/s", file=sys.stderr)
+            except Exception as e:
+                print(f"# {fn.__name__} failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

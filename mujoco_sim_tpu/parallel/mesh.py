@@ -57,6 +57,24 @@ def rollout(m: Model, dB: Data, nsteps: int) -> Data:
     return dB
 
 
+def rollout_traj(m: Model, dB: Data, nsteps: int, extract=None):
+    """On-device rollout that also stacks per-step observations.
+
+    extract(d) -> pytree of observables (default: qpos).  Returns
+    (final Data, traj pytree with leading [nsteps] axis).  This is the
+    trajectory-egress path (SURVEY §2.5): scan on device, ONE
+    device-to-host transfer at the end instead of per-step reads.
+    """
+    extract = extract or (lambda d: d.qpos)
+
+    def body(d, _):
+        d = batched_step(m, d)
+        return d, extract(d)
+
+    dB, traj = jax.lax.scan(body, dB, None, length=nsteps)
+    return dB, traj
+
+
 def make_sharded_step(m: Model, mesh: Mesh):
     """jit-compiled batched step with env axis sharded over the mesh."""
     ax = mesh.axis_names[0]

@@ -1,0 +1,62 @@
+"""Divergence detection, auto-reset, determinism, trajectory egress."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_sim_tpu import engine
+from mujoco_sim_tpu.models.compile import load_model
+from mujoco_sim_tpu.parallel import mesh as pmesh
+from mujoco_sim_tpu.runtime.health import auto_reset, env_healthy
+
+
+def test_auto_reset_diverged_env():
+    m = load_model("tests/fixtures/floor_ball.xml")
+    d = engine.make_data(m)
+    B = 4
+    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d)
+    # poison env 2
+    dB = dB.replace(qpos=dB.qpos.at[2, 0].set(jnp.nan))
+    healthy = env_healthy(dB)
+    np.testing.assert_array_equal(np.asarray(healthy),
+                                  [True, True, False, True])
+    dB2, mask = jax.jit(lambda dd: auto_reset(m, dd))(dB)
+    # env 2 reset to qpos0; others bit-identical
+    np.testing.assert_array_equal(np.asarray(dB2.qpos[2]),
+                                  np.asarray(m.qpos0))
+    np.testing.assert_array_equal(np.asarray(dB2.qpos[0]),
+                                  np.asarray(dB.qpos[0]))
+    assert bool(env_healthy(dB2).all())
+
+
+def test_determinism_same_trajectory():
+    """Two identical rollouts are bit-identical (no data races by design)."""
+    m = load_model("tests/fixtures/floor_box.xml")
+    d = engine.make_data(m)
+    B = 8
+    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d)
+    dB = dB.replace(qvel=dB.qvel.at[:, 3].set(
+        jnp.linspace(-0.4, 0.4, B, dtype=dB.qvel.dtype)))
+    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, 50))
+    a = run(m, dB)
+    b = run(m, dB)
+    np.testing.assert_array_equal(np.asarray(a.qpos), np.asarray(b.qpos))
+    np.testing.assert_array_equal(np.asarray(a.qvel), np.asarray(b.qvel))
+
+
+def test_trajectory_egress():
+    m = load_model("tests/fixtures/floor_ball.xml")
+    d = engine.make_data(m)
+    B, T = 3, 25
+    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d)
+    run = jax.jit(lambda mm, dd: pmesh.rollout_traj(
+        mm, dd, T, extract=lambda s: {"qpos": s.qpos, "ncon": s.ncon}))
+    final, traj = run(m, dB)
+    assert traj["qpos"].shape == (T, B, m.nq)
+    assert traj["ncon"].shape == (T, B)
+    # last frame of the trajectory equals the final state
+    np.testing.assert_array_equal(np.asarray(traj["qpos"][-1]),
+                                  np.asarray(final.qpos))
+    # heights decrease monotonically during free fall
+    z = np.asarray(traj["qpos"][:, 0, 2])
+    assert (np.diff(z) < 0).all()
