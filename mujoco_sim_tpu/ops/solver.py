@@ -80,21 +80,28 @@ def solve(m: Model, d: Data) -> Data:
         # scale for the 1D Newton termination (gradient units)
         d1_0, _ = phi_d(jnp.asarray(0.0, dtype))
         gtol = 1e-8 * jnp.maximum(1.0, jnp.abs(d1_0))
+        # curvature floor relative to the direction's M-curvature keeps the
+        # 1D Newton step bounded in f32 (unguarded division overflowed)
+        curv_floor = 1e-8 * jnp.maximum(pMp, 1e-12)
 
         def cond(carry):
             alpha, it, d1 = carry
-            return (it < m.opt.ls_iterations) & (jnp.abs(d1) > gtol)
+            return ((it < m.opt.ls_iterations) & (jnp.abs(d1) > gtol)
+                    & jnp.isfinite(d1))
 
         def body(carry):
             alpha, it, _ = carry
             d1, d2 = phi_d(alpha)
-            return (alpha - d1 / jnp.maximum(d2, 1e-12), it + 1, d1)
+            step = d1 / jnp.maximum(d2, curv_floor)
+            alpha_new = jnp.clip(alpha - step, 0.0, 8.0)
+            return (alpha_new, it + 1, d1)
 
         alpha, _, _ = jax.lax.while_loop(
             cond, body,
             (jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32),
-             jnp.asarray(jnp.inf, dtype)))
-        return jnp.clip(alpha, 0.0, 4.0)
+             jnp.asarray(1e30, dtype)))
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+        return jnp.clip(alpha, 0.0, 8.0)
 
     def total_cost(a):
         x = J @ a - aref
@@ -114,8 +121,12 @@ def solve(m: Model, d: Data) -> Data:
     def newton_body(carry):
         a, it, prev_cost, _ = carry
         grad, H, _ = grad_hess(a)
+        # small relative ridge keeps H SPD under f32 rounding
+        ridge = 1e-7 * jnp.trace(H) / H.shape[0]
+        H = H + ridge * jnp.eye(H.shape[0], dtype=H.dtype)
         L = jnp.linalg.cholesky(H)
         p = -smooth.solve_chol(L, grad)
+        p = jnp.where(jnp.isfinite(p), p, 0.0)
         alpha = line_search(a, p)
         a_new = a + alpha * p
         new_cost = total_cost(a_new)
