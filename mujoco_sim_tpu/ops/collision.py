@@ -168,38 +168,74 @@ def _sphere_box(p1, R1, s1, p2, R2, s2):
 
 
 def _box_box(p1, R1, s1, p2, R2, s2):
-    """8 contacts: each box's corners tested against the other box.
+    """8 contacts via face-axis SAT + corner candidates.
 
-    Approximate manifold (corner-in-box both directions, 16 candidates ->
-    deepest 8).  Exact SAT edge-edge cases land in a later round.
+    The separating axis is chosen among the 6 face normals (max separation /
+    min penetration); all contacts share that normal, giving stable
+    face-face stacking.  Corner candidates of each box are measured as
+    penetration past the other box's support plane along the axis, gated by
+    lateral containment.  Edge-edge axes land in a later round.
     """
+    dtype = p1.dtype
     corners = jnp.asarray(np.array(
         [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]),
-        dtype=p1.dtype)
+        dtype=dtype)
+    t = p2 - p1  # (...,3)
 
-    def corner_in_box(pc, Rc, sc, pb, Rb, sb, flip):
+    # candidate face axes: columns of R1 and R2 -> (..., 6, 3)
+    axes = jnp.concatenate([jnp.swapaxes(R1, -1, -2),
+                            jnp.swapaxes(R2, -1, -2)], axis=-2)
+    # projection radii of each box onto each axis
+    proj1 = jnp.abs(jnp.einsum("...ai,...ij->...aj", axes, R1))  # (...,6,3)
+    ra = jnp.einsum("...aj,...j->...a", proj1, s1)
+    proj2 = jnp.abs(jnp.einsum("...ai,...ij->...aj", axes, R2))
+    rb = jnp.einsum("...aj,...j->...a", proj2, s2)
+    ta = jnp.einsum("...ai,...i->...a", axes, t)
+    sep = jnp.abs(ta) - ra - rb          # (...,6), >0 = separated
+    k = jnp.argmax(sep, axis=-1)
+    a_k = jnp.take_along_axis(axes, k[..., None, None].repeat(3, -1),
+                              axis=-2)[..., 0, :]
+    ta_k = jnp.take_along_axis(ta, k[..., None], axis=-1)[..., 0]
+    n = a_k * jnp.sign(ta_k)[..., None]  # points from box1 toward box2
+    ra_k = jnp.take_along_axis(ra, k[..., None], axis=-1)[..., 0]
+    rb_k = jnp.take_along_axis(rb, k[..., None], axis=-1)[..., 0]
+
+    def corner_candidates(pc, Rc, sc, p_other, R_other, s_other,
+                          depth_fn):
         pts = pc[..., None, :] + jnp.einsum("...ij,...kj->...ki", Rc,
                                             corners * sc[..., None, :])
-        loc = jnp.einsum("...ji,...kj->...ki", Rb, pts - pb[..., None, :])
-        depth = sb[..., None, :] - jnp.abs(loc)
-        pen = jnp.min(depth, axis=-1)  # >0 inside
-        ax = jnp.argmin(depth, axis=-1)
-        sign = jnp.sign(jnp.take_along_axis(loc, ax[..., None], axis=-1))[..., 0]
-        n_loc = jax.nn.one_hot(ax, 3, dtype=loc.dtype) * sign[..., None]
-        n_w = jnp.einsum("...ij,...kj->...ki", Rb, n_loc)
-        dist = -pen
-        nrm = jnp.where(flip, -n_w, n_w)
-        return dist, pts, nrm
+        dist = depth_fn(pts)
+        # lateral containment in the other box (slack = 5% of size)
+        loc = jnp.einsum("...ji,...kj->...ki", R_other,
+                         pts - p_other[..., None, :])
+        inside = jnp.abs(loc) <= (s_other * 1.05 + 1e-4)[..., None, :]
+        # only require the two axes orthogonal to the contact normal; the
+        # normal-axis containment is what `dist` measures.  Approximate by
+        # requiring at least 2 of 3 axes inside.
+        n_inside = inside.sum(axis=-1)
+        ok = n_inside >= 2
+        dist = jnp.where(ok, dist, 1e9)
+        return dist, pts
 
-    d1, pts1, n1 = corner_in_box(p1, R1, s1, p2, R2, s2, False)
-    d2, pts2, n2 = corner_in_box(p2, R2, s2, p1, R1, s1, True)
-    dist = jnp.concatenate([d1, d2], axis=-1)
-    pts = jnp.concatenate([pts1, pts2], axis=-2)
-    nrm = jnp.concatenate([n1, n2], axis=-2)
+    # corners of box2 vs box1's far support plane along n:
+    # depth = (c - p1).n - ra  (negative = penetrating past the plane)
+    d2c, pts2 = corner_candidates(
+        p2, R2, s2, p1, R1, s1,
+        lambda pts: jnp.einsum("...ki,...i->...k", pts - p1[..., None, :], n)
+        - ra_k[..., None])
+    # corners of box1 vs box2's near support plane:
+    # depth = (p2 - c).n - rb
+    d1c, pts1 = corner_candidates(
+        p1, R1, s1, p2, R2, s2,
+        lambda pts: jnp.einsum("...i,...ki->...k", n,
+                               p2[..., None, :] - pts)
+        - rb_k[..., None])
+    dist = jnp.concatenate([d2c, d1c], axis=-1)
+    pts = jnp.concatenate([pts2, pts1], axis=-2)
     neg, idx = jax.lax.top_k(-dist, 8)
     dist8 = -neg
     pos8 = jnp.take_along_axis(pts, idx[..., None], axis=-2)
-    nrm8 = jnp.take_along_axis(nrm, idx[..., None], axis=-2)
+    nrm8 = jnp.broadcast_to(n[..., None, :], pos8.shape)
     return dist8, pos8, nrm8
 
 

@@ -131,3 +131,29 @@ def test_pr2_trajectory_short():
     theirs = run_oracle(mm, n)
     qpos_err = max(np.max(np.abs(a[0] - b[0])) for a, b in zip(ours, theirs))
     assert qpos_err < 1e-4, f"qpos err {qpos_err}"
+
+
+def test_box_stacking():
+    """Two boxes stack face-on-face (SAT normal; regression for the
+    inverted box-box contact normals)."""
+    xml = "tests/fixtures/stack.xml"
+    with open(xml, "w") as f:
+        f.write("""
+<mujoco>
+  <option timestep="0.005" gravity="0 0 -9.81"/>
+  <worldbody>
+    <geom name="floor" size="0 0 .05" type="plane"/>
+    <body name="b1" pos="0 0 0.1"><freejoint/>
+      <geom type="box" size=".1 .1 .1"/></body>
+    <body name="b2" pos="0.03 0.02 0.32"><freejoint/>
+      <geom type="box" size=".08 .08 .08"/></body>
+  </worldbody>
+</mujoco>""")
+    m = load_model(xml)
+    d = engine.make_data(m)
+    step = jax.jit(engine.step)
+    for _ in range(400):
+        d = step(m, d)
+    assert abs(float(d.qpos[2]) - 0.1) < 5e-3
+    assert abs(float(d.qpos[9]) - 0.28) < 1e-2
+    assert np.abs(np.asarray(d.qvel)).max() < 0.05
