@@ -32,22 +32,10 @@ _INTEGRATOR = {"Euler": Integrator.EULER, "RK4": Integrator.RK4,
                "implicit": Integrator.IMPLICIT,
                "implicitfast": Integrator.IMPLICITFAST}
 
-# candidate-contact capacity per (type1, type2) pair; must mirror the
-# implemented narrowphase dispatch (ops/collision.py).  Pairs whose type
-# combo has no narrowphase yet are DROPPED from the candidate list and
-# counted in Model.npair_unsupported (no silent coverage claims).
-_PAIR_NCON = {
-    (GeomType.PLANE, GeomType.SPHERE): 1,
-    (GeomType.PLANE, GeomType.CAPSULE): 2,
-    (GeomType.PLANE, GeomType.CYLINDER): 4,
-    (GeomType.PLANE, GeomType.BOX): 4,
-    (GeomType.PLANE, GeomType.ELLIPSOID): 1,
-    (GeomType.PLANE, GeomType.MESH): 4,
-    (GeomType.SPHERE, GeomType.SPHERE): 1,
-    (GeomType.SPHERE, GeomType.CAPSULE): 1,
-    (GeomType.SPHERE, GeomType.BOX): 1,
-    (GeomType.BOX, GeomType.BOX): 8,
-}
+# candidate-contact capacities and group layout are shared with the
+# collision kernels (ops/colgroups.py); unsupported type combos are DROPPED
+# from the candidate list and counted in Model.npair_unsupported.
+from mujoco_sim_tpu.ops.colgroups import PAIR_NCON as _PAIR_NCON, build_groups
 
 
 def _geom_mass_inertia(g: mjcf.GeomSpec, mesh_props=None):
@@ -388,6 +376,36 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
     mesh_vert = (np.concatenate(mesh_vert_list, axis=0) if mesh_vert_list
                  else np.zeros((0, 3)))
 
+    # padded hull tables for the mesh narrowphase: verts (nmesh,maxvert,3)
+    # and face planes (nmesh,maxface,4) [normal, offset] in the recentered
+    # frame; padding verts pushed far away, padding planes at -inf so they
+    # never win the max in the hull SDF
+    nmesh_cnt = len(mesh_vert_list)
+    if nmesh_cnt:
+        from mujoco_sim_tpu.models import mesh_io as _mio
+        maxvert = max(len(v) for v in mesh_vert_list)
+        mesh_vert_pad = np.full((nmesh_cnt, maxvert, 3), 1e6)
+        face_planes = []
+        for mi, local in enumerate(mesh_vert_list):
+            mesh_vert_pad[mi, :len(local)] = local
+            hv, faces = _mio.convex_hull(local)
+            a_ = hv[faces[:, 0]]
+            b_ = hv[faces[:, 1]]
+            c_ = hv[faces[:, 2]]
+            nrm = np.cross(b_ - a_, c_ - a_)
+            nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True),
+                              1e-30)
+            off = np.einsum("ij,ij->i", nrm, a_)
+            face_planes.append(np.concatenate([nrm, off[:, None]], axis=1))
+        maxface = max(len(f) for f in face_planes)
+        mesh_face_pad = np.zeros((nmesh_cnt, maxface, 4))
+        mesh_face_pad[:, :, 3] = 1e9  # padding: n.x - d = -1e9
+        for mi, fp in enumerate(face_planes):
+            mesh_face_pad[mi, :len(fp)] = fp
+    else:
+        mesh_vert_pad = np.zeros((0, 1, 3))
+        mesh_face_pad = np.zeros((0, 1, 4))
+
     # mesh geoms inherit the recentered hull's AABB half-extents as size
     # (matches mjModel.geom_size semantics for meshes)
     for gi in range(ngeom):
@@ -570,11 +588,15 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
     # type group), then top-K compacted into ncon_budget contact slots so efc
     # shapes stay static regardless of scene size (TPU-first replacement for
     # runtime broadphase; SURVEY §7 'static shapes everywhere')
-    cand_pairid = []
-    for pi, (a, b) in enumerate(zip(pair_g1, pair_g2)):
-        cap = _PAIR_NCON[(GeomType(geom_type[a]), GeomType(geom_type[b]))]
-        cand_pairid.extend([pi] * cap)
-    ncand = len(cand_pairid)
+    pair_keys = [(GeomType(geom_type[a]), GeomType(geom_type[b]))
+                 for a, b in zip(pair_g1, pair_g2)]
+    groups, ncand = build_groups(pair_keys)
+    cand_pairid = np.zeros(ncand, dtype=int)
+    for g in groups:
+        for sslot in range(g.top_p):
+            pid = g.pair_idx[min(sslot, len(g.pair_idx) - 1)]
+            a0 = g.cand_adr + sslot * g.cap
+            cand_pairid[a0:a0 + g.cap] = pid
     if ncon_budget is None:
         ncon_budget = min(ncand, 64)
     ncon_max = min(ncon_budget, ncand)
@@ -738,6 +760,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
         site_quat=np_f(np.stack([s.quat for s in site_specs])
                        if nsite else np.zeros((0, 4))),
         mesh_vert=np_f(mesh_vert),
+        mesh_vert_pad=np_f(mesh_vert_pad),
+        mesh_face_pad=np_f(mesh_face_pad),
         mesh_vertadr=np_i(mesh_vertadr),
         mesh_vertnum=np_i(mesh_vertnum),
         eq_type=np_i([r[0] for r in eq_rows]),

@@ -192,6 +192,8 @@ class Model:
     mesh_vert: jax.Array          # (nmeshvert_total, 3) hull vertices, packed
     mesh_vertadr: jax.Array       # (nmesh,) i32
     mesh_vertnum: jax.Array       # (nmesh,) i32
+    mesh_vert_pad: jax.Array      # (nmesh, maxvert, 3) padded hull verts
+    mesh_face_pad: jax.Array      # (nmesh, maxface, 4) [normal, offset]
 
     # ---- equality constraints
     eq_type: jax.Array            # (neq,) i32

@@ -252,41 +252,163 @@ def _plane_mesh(pp, pR, s1, mp, mR, verts):
     return dist, pos, nrm
 
 
-# dispatch table: (type1, type2) -> (fn, ncon, needs_mesh)
+# ---------------------------------------------------------------------------
+# Hull (convex mesh) narrowphase: points vs padded face planes.
+# Convention reminder: contact normal points geom1 -> geom2; a vertex of
+# geom1 penetrating geom2's face F (outward normal nf) gets n = -nf, a vertex
+# of geom2 penetrating geom1 gets n = +nf (cf. _box_box SAT orientation).
+# ---------------------------------------------------------------------------
+
+def _hull_sdf(pts_local, planes):
+    """pts_local (..., k, 3), planes (..., f, 4) -> (sdf (...,k), face idx)."""
+    vals = (jnp.einsum("...ki,...fi->...kf", pts_local, planes[..., :3])
+            - planes[..., None, :, 3])
+    sdf = vals.max(axis=-1)
+    fidx = vals.argmax(axis=-1)
+    return sdf, fidx
+
+
+def _hull_ref_face_depth(pts_local, planes, k_out):
+    """Vertex depths measured along a SHARED reference face.
+
+    The reference face is the sdf face of the shallowest penetrating vertex
+    (the entry face) — deep vertices would otherwise pick lateral faces and
+    destabilize face-on-face stacking (cf. the box-box SAT fix).
+    Returns (depth (...,k_out), pts idx (...,k_out), nref (...,3) local).
+    """
+    sdf, fidx = _hull_sdf(pts_local, planes)
+    pen = sdf < 0
+    score = jnp.where(pen, sdf, -jnp.inf)
+    ref_v = jnp.argmax(score, axis=-1)
+    any_pen = pen.any(axis=-1)
+    # fall back to the globally closest vertex's face when nothing penetrates
+    ref_v = jnp.where(any_pen, ref_v, jnp.argmin(sdf, axis=-1))
+    ref_f = jnp.take_along_axis(fidx, ref_v[..., None], axis=-1)[..., 0]
+    plane = jnp.take_along_axis(
+        planes, ref_f[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    nref = plane[..., :3]
+    depth = (jnp.einsum("...ki,...i->...k", pts_local, nref)
+             - plane[..., 3:4])
+    neg, idx = jax.lax.top_k(-depth, k_out)
+    return -neg, idx, nref
+
+
+def _face_normal_world(R, planes, fidx):
+    # fidx (...,k); planes (...,f,4) -> outward face normals (...,k,3) world
+    nf = jnp.take_along_axis(planes[..., :3],
+                             fidx[..., :, None].repeat(3, -1), axis=-2)
+    return jnp.einsum("...ij,...kj->...ki", R, nf)
+
+
+def _sphere_mesh(p1, R1, s1, p2, R2, verts2, planes2):
+    cl = jnp.einsum("...ji,...j->...i", R2, p1 - p2)[..., None, :]
+    sdf, fidx = _hull_sdf(cl, planes2)
+    r = s1[..., 0:1]
+    dist = sdf - r
+    n_w = -_face_normal_world(R2, planes2, fidx)
+    pos = p1[..., None, :] + n_w * (r + 0.5 * dist)[..., None]
+    return dist, pos, n_w
+
+
+def _capsule_mesh(p1, R1, s1, p2, R2, verts2, planes2):
+    axis = R1[..., :, 2]
+    hh = s1[..., 1]
+    ends = jnp.stack([p1 + axis * hh[..., None], p1 - axis * hh[..., None]],
+                     axis=-2)  # (...,2,3)
+    cl = jnp.einsum("...ji,...kj->...ki", R2, ends - p2[..., None, :])
+    sdf, fidx = _hull_sdf(cl, planes2)
+    r = s1[..., 0:1]
+    dist = sdf - r
+    n_w = -_face_normal_world(R2, planes2, fidx)
+    pos = ends + n_w * (r + 0.5 * dist)[..., None]
+    return dist, pos, n_w
+
+
+def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2):
+    dtype = p1.dtype
+    corners = jnp.asarray(np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]),
+        dtype=dtype)
+    # box corners vs hull planes (shared reference face)
+    pts = p1[..., None, :] + jnp.einsum("...ij,...kj->...ki", R1,
+                                        corners * s1[..., None, :])
+    loc2 = jnp.einsum("...ji,...kj->...ki", R2, pts - p2[..., None, :])
+    d_a, top, nref = _hull_ref_face_depth(loc2, planes2, 2)
+    pos_a = jnp.take_along_axis(pts, top[..., None], axis=-2)
+    n_a = -jnp.einsum("...ij,...j->...i", R2, nref)[..., None, :]
+    n_a = jnp.broadcast_to(n_a, pos_a.shape)
+    # hull verts vs box (point-in-box)
+    vw = p2[..., None, :] + jnp.einsum("...ij,...kj->...ki", R2, verts2)
+    loc1 = jnp.einsum("...ji,...kj->...ki", R1, vw - p1[..., None, :])
+    depth = s1[..., None, :] - jnp.abs(loc1)
+    pen = depth.min(axis=-1)           # >0 inside box
+    ax = depth.argmin(axis=-1)
+    sign = jnp.sign(jnp.take_along_axis(loc1, ax[..., None], axis=-1))[..., 0]
+    n_loc = jax.nn.one_hot(ax, 3, dtype=dtype) * sign[..., None]
+    n_w = jnp.einsum("...ij,...kj->...ki", R1, n_loc)  # outward of box=geom1
+    dist_b = -pen
+    neg2, top2 = jax.lax.top_k(-dist_b, 2)
+    d_b = -neg2
+    pos_b = jnp.take_along_axis(vw, top2[..., None], axis=-2)
+    n_b = jnp.take_along_axis(n_w, top2[..., None], axis=-2)
+    dist = jnp.concatenate([d_a, d_b], axis=-1)
+    pos = jnp.concatenate([pos_a, pos_b], axis=-2)
+    nrm = jnp.concatenate([n_a, n_b], axis=-2)
+    return dist, pos, nrm
+
+
+def _mesh_mesh(p1, R1, verts1, planes1, p2, R2, verts2, planes2):
+    # verts of 1 in hull 2 (shared reference face)
+    vw1 = p1[..., None, :] + jnp.einsum("...ij,...kj->...ki", R1, verts1)
+    loc2 = jnp.einsum("...ji,...kj->...ki", R2, vw1 - p2[..., None, :])
+    d_a, top, nref2 = _hull_ref_face_depth(loc2, planes2, 2)
+    pos_a = jnp.take_along_axis(vw1, top[..., None], axis=-2)
+    n_a = -jnp.einsum("...ij,...j->...i", R2, nref2)[..., None, :]
+    n_a = jnp.broadcast_to(n_a, pos_a.shape)
+    # verts of 2 in hull 1
+    vw2 = p2[..., None, :] + jnp.einsum("...ij,...kj->...ki", R2, verts2)
+    loc1 = jnp.einsum("...ji,...kj->...ki", R1, vw2 - p1[..., None, :])
+    d_b, top2, nref1 = _hull_ref_face_depth(loc1, planes1, 2)
+    pos_b = jnp.take_along_axis(vw2, top2[..., None], axis=-2)
+    n_b = jnp.einsum("...ij,...j->...i", R1, nref1)[..., None, :]
+    n_b = jnp.broadcast_to(n_b, pos_b.shape)
+    dist = jnp.concatenate([d_a, d_b], axis=-1)
+    pos = jnp.concatenate([pos_a, pos_b], axis=-2)
+    nrm = jnp.concatenate([n_a, n_b], axis=-2)
+    return dist, pos, nrm
+
+
+# primitive dispatch: (type1, type2) -> (fn, needs geom2 verts)
 _DISPATCH = {
-    (GeomType.PLANE, GeomType.SPHERE): (_plane_sphere, 1, False),
-    (GeomType.PLANE, GeomType.CAPSULE): (_plane_capsule, 2, False),
-    (GeomType.PLANE, GeomType.BOX): (_plane_box, 4, False),
-    (GeomType.PLANE, GeomType.CYLINDER): (_plane_cylinder, 4, False),
-    (GeomType.PLANE, GeomType.ELLIPSOID): (_plane_ellipsoid, 1, False),
-    (GeomType.PLANE, GeomType.MESH): (_plane_mesh, 4, True),
-    (GeomType.SPHERE, GeomType.SPHERE): (_sphere_sphere, 1, False),
-    (GeomType.SPHERE, GeomType.CAPSULE): (_sphere_capsule, 1, False),
-    (GeomType.SPHERE, GeomType.BOX): (_sphere_box, 1, False),
-    (GeomType.BOX, GeomType.BOX): (_box_box, 8, False),
+    (GeomType.PLANE, GeomType.SPHERE): (_plane_sphere, False),
+    (GeomType.PLANE, GeomType.CAPSULE): (_plane_capsule, False),
+    (GeomType.PLANE, GeomType.BOX): (_plane_box, False),
+    (GeomType.PLANE, GeomType.CYLINDER): (_plane_cylinder, False),
+    (GeomType.PLANE, GeomType.ELLIPSOID): (_plane_ellipsoid, False),
+    (GeomType.PLANE, GeomType.MESH): (_plane_mesh, True),
+    (GeomType.SPHERE, GeomType.SPHERE): (_sphere_sphere, False),
+    (GeomType.SPHERE, GeomType.CAPSULE): (_sphere_capsule, False),
+    (GeomType.SPHERE, GeomType.BOX): (_sphere_box, False),
+    (GeomType.BOX, GeomType.BOX): (_box_box, False),
+}
+
+# hull dispatch (two-level top-P groups): needs planes of geom2 (+1 for m-m)
+_DISPATCH_MESH = {
+    (GeomType.SPHERE, GeomType.MESH): _sphere_mesh,
+    (GeomType.CAPSULE, GeomType.MESH): _capsule_mesh,
+    (GeomType.BOX, GeomType.MESH): _box_mesh,
+    (GeomType.MESH, GeomType.MESH): _mesh_mesh,
 }
 
 
-def _cand_layout(m: Model):
-    """Static candidate addresses per pair, mirroring compile's cand table."""
-    lay = m.layout
-    adr = np.zeros(m.npair, dtype=int)
-    cursor = 0
-    for pi in range(m.npair):
-        adr[pi] = cursor
-        t1 = GeomType(lay.geom_type[lay.pair_geom1[pi]])
-        t2 = GeomType(lay.geom_type[lay.pair_geom2[pi]])
-        key = (t1, t2)
-        cursor += _DISPATCH[key][1]
-    assert cursor == m.ncand
-    return adr
-
-
 def collision(m: Model, d: Data) -> Data:
-    """Narrowphase ALL pairs -> candidates -> top-K compaction into the
-    fixed contact budget (shapes static, content dynamic)."""
+    """Narrowphase -> candidates -> top-K compaction into the fixed contact
+    budget.  Primitive groups process all pairs; mesh groups prefilter to
+    the top-P closest pairs by bound distance (two-level, shapes static)."""
     if m.npair == 0 or m.ncon_max == 0:
         return d
+    from mujoco_sim_tpu.ops.colgroups import build_groups, EXPENSIVE
+
     lay = m.layout
     dtype = d.qpos.dtype
     BIG = jnp.asarray(1e9, dtype)
@@ -295,47 +417,81 @@ def collision(m: Model, d: Data) -> Data:
     cand_pos = jnp.zeros((m.ncand, 3), dtype)
     cand_nrm = jnp.zeros((m.ncand, 3), dtype).at[:, 2].set(1.0)
     cand_act = jnp.zeros((m.ncand,), bool)
+    cand_pair = jnp.asarray(lay.cand_pairid, jnp.int32)
 
     keys = [(GeomType(lay.geom_type[a]), GeomType(lay.geom_type[b]))
             for a, b in zip(lay.pair_geom1, lay.pair_geom2)]
-    pair_cand_adr = _cand_layout(m)
+    groups, ncand = build_groups(keys)
+    assert ncand == m.ncand, (ncand, m.ncand)
     body_act = d.body_active
+    rbound = jnp.asarray(m.geom_rbound, dtype)
+    margin_all = jnp.asarray(m.pair_margin, dtype)
+    sizes = jnp.asarray(m.geom_size, dtype)
 
-    for key in sorted(set(keys), key=lambda k: (int(k[0]), int(k[1]))):
-        fn, ncap, needs_mesh = _DISPATCH[key]
-        sel = np.nonzero([k == key for k in keys])[0]
-        g1 = lay.pair_geom1[sel]
-        g2 = lay.pair_geom2[sel]
-        p1, R1 = d.geom_xpos[g1], d.geom_xmat[g1]
-        p2, R2 = d.geom_xpos[g2], d.geom_xmat[g2]
-        s1 = jnp.asarray(m.geom_size, dtype)[g1]
-        s2 = jnp.asarray(m.geom_size, dtype)[g2]
-        if needs_mesh:
-            counts = lay.mesh_vertnum[lay.geom_dataid[g2]]
-            maxv = int(counts.max())
-            vert_idx = np.zeros((len(sel), maxv), dtype=int)
-            vmask = np.zeros((len(sel), maxv), dtype=bool)
-            for i, g in enumerate(g2):
-                did = lay.geom_dataid[g]
-                nvv = lay.mesh_vertnum[did]
-                adr = lay.mesh_vertadr[did]
-                vert_idx[i, :nvv] = adr + np.arange(nvv)
-                vmask[i, :nvv] = True
-            verts = jnp.asarray(m.mesh_vert, dtype)[vert_idx]
-            # padding verts pushed far along +z so they never win deepest-k
-            verts = jnp.where(jnp.asarray(vmask)[..., None], verts,
-                              jnp.asarray([0.0, 0.0, 1e6], dtype))
-            dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts)
+    for g in groups:
+        key = g.key
+        sel = g.pair_idx
+        if key not in EXPENSIVE:
+            fn, needs_mesh = _DISPATCH[key]
+            ncap = g.cap
+            g1 = lay.pair_geom1[sel]
+            g2 = lay.pair_geom2[sel]
+            p1, R1 = d.geom_xpos[g1], d.geom_xmat[g1]
+            p2, R2 = d.geom_xpos[g2], d.geom_xmat[g2]
+            s1 = sizes[g1]
+            s2 = sizes[g2]
+            if needs_mesh:
+                verts = jnp.asarray(m.mesh_vert_pad, dtype)[
+                    lay.geom_dataid[g2]]
+                dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts)
+            else:
+                dist, pos, nrm = fn(p1, R1, s1, p2, R2, s2)
+            marg = margin_all[sel][..., None]
+            act = dist < marg
+            b1 = lay.geom_bodyid[g1]
+            b2 = lay.geom_bodyid[g2]
+            act = act & body_act[b1][..., None] & body_act[b2][..., None]
+            flat = g.cand_adr + np.arange(len(sel) * ncap)
         else:
-            dist, pos, nrm = fn(p1, R1, s1, p2, R2, s2)
+            fn = _DISPATCH_MESH[key]
+            ncap = g.cap
+            P = g.top_p
+            pg1 = lay.pair_geom1[sel]
+            pg2 = lay.pair_geom2[sel]
+            c1 = d.geom_xpos[pg1]
+            c2 = d.geom_xpos[pg2]
+            bd = (jnp.linalg.norm(c2 - c1, axis=-1)
+                  - rbound[pg1] - rbound[pg2] - margin_all[sel])
+            alive = (body_act[lay.geom_bodyid[pg1]]
+                     & body_act[lay.geom_bodyid[pg2]])
+            score = jnp.where(alive, bd, BIG)
+            _, selp = jax.lax.top_k(-score, P)
+            pairid_d = jnp.asarray(sel, jnp.int32)[selp]
+            g1d = jnp.asarray(pg1)[selp]
+            g2d = jnp.asarray(pg2)[selp]
+            p1, R1 = d.geom_xpos[g1d], d.geom_xmat[g1d]
+            p2, R2 = d.geom_xpos[g2d], d.geom_xmat[g2d]
+            did2 = jnp.asarray(lay.geom_dataid[pg2])[selp]
+            verts2 = jnp.asarray(m.mesh_vert_pad, dtype)[did2]
+            planes2 = jnp.asarray(m.mesh_face_pad, dtype)[did2]
+            if key == (GeomType.MESH, GeomType.MESH):
+                did1 = jnp.asarray(lay.geom_dataid[pg1])[selp]
+                verts1 = jnp.asarray(m.mesh_vert_pad, dtype)[did1]
+                planes1 = jnp.asarray(m.mesh_face_pad, dtype)[did1]
+                dist, pos, nrm = fn(p1, R1, verts1, planes1,
+                                    p2, R2, verts2, planes2)
+            else:
+                s1 = sizes[g1d]
+                dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts2, planes2)
+            marg = margin_all[jnp.asarray(sel)][selp][..., None]
+            act = dist < marg
+            gb = jnp.asarray(lay.geom_bodyid)
+            act = (act & body_act[gb[g1d]][..., None]
+                   & body_act[gb[g2d]][..., None])
+            flat = g.cand_adr + np.arange(P * ncap)
+            cand_pair = cand_pair.at[flat].set(
+                jnp.repeat(pairid_d, ncap).astype(jnp.int32))
 
-        margin = jnp.asarray(m.pair_margin, dtype)[sel][..., None]
-        act = dist < margin
-        b1 = lay.geom_bodyid[g1]
-        b2 = lay.geom_bodyid[g2]
-        act = act & body_act[b1][..., None] & body_act[b2][..., None]
-
-        flat = (pair_cand_adr[sel][:, None] + np.arange(ncap)).reshape(-1)
         cand_dist = cand_dist.at[flat].set(dist.reshape(-1))
         cand_pos = cand_pos.at[flat].set(pos.reshape(-1, 3))
         cand_nrm = cand_nrm.at[flat].set(nrm.reshape(-1, 3))
@@ -346,8 +502,7 @@ def collision(m: Model, d: Data) -> Data:
     score = jnp.where(cand_act, cand_dist, BIG)
     _, idx = jax.lax.top_k(-score, K)
 
-    cp = jnp.asarray(lay.cand_pairid)  # (ncand,)
-    sel_pair = cp[idx]
+    sel_pair = cand_pair[idx]
     nrm_k = cand_nrm[idx]
     t1k, t2k = _make_tangents(nrm_k)
     frame = jnp.stack([nrm_k, t1k, t2k], axis=-2)
