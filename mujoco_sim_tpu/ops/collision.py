@@ -289,8 +289,15 @@ def _hull_ref_face_depth(pts_local, planes, k_out):
     nref = plane[..., :3]
     depth = (jnp.einsum("...ki,...i->...k", pts_local, nref)
              - plane[..., 3:4])
-    neg, idx = jax.lax.top_k(-depth, k_out)
-    return -neg, idx, nref
+    # Depth magnitude: the per-vertex nearest-face sdf (conservative
+    # underestimate of true MTV depth; matches the oracle's shallow values
+    # at near-touching hulls).  The shared reference face only provides a
+    # stable NORMAL for face-on-face stacking.  Outside points (incl.
+    # padding verts) keep positive sdf so they never activate.
+    rank = jnp.where(pen, depth, sdf)
+    neg, idx = jax.lax.top_k(-rank, k_out)
+    out_depth = jnp.take_along_axis(sdf, idx, axis=-1)
+    return out_depth, idx, nref
 
 
 def _face_normal_world(R, planes, fidx):
