@@ -26,13 +26,19 @@ from mujoco_sim_tpu.models.model import Model, JointType
 from mujoco_sim_tpu.ops import math as mm
 
 
+_PLAN_CACHE: dict = {}
+
+
 def _subsets_by_joint(m: Model):
     """Static iteration plan: per level, per joint slot, per joint type.
 
-    Returns list of (level_bodies, slot, jtype, body_ids, jnt_ids) with all
-    arrays static numpy.
+    Returns list of (level_bodies, slots) with all arrays static numpy.
+    Cached per Layout (rebuilt plans dominate trace time on big models).
     """
     lay = m.layout
+    cached = _PLAN_CACHE.get(lay)
+    if cached is not None:
+        return cached
     plan = []
     for level in m.body_levels:
         bid = np.asarray(level, dtype=int)
@@ -50,6 +56,7 @@ def _subsets_by_joint(m: Model):
                     groups.append((int(jt), bsub[sel], jsub[sel]))
             slots.append(groups)
         plan.append((bid, slots))
+    _PLAN_CACHE[lay] = plan
     return plan
 
 
@@ -263,6 +270,26 @@ def com_vel(m: Model, com: dict, qvel: jax.Array):
     return dict(cvel=cvel, cdof_dot=cdof_dot)
 
 
+_ANC_CACHE: dict = {}
+
+
+def _dof_ancestor_upper(m: Model):
+    """Upper-triangular ancestor-or-self dof mask (cached per Layout)."""
+    lay = m.layout
+    got = _ANC_CACHE.get(lay)
+    if got is not None:
+        return got
+    A = np.zeros((m.nv, m.nv), dtype=bool)
+    for j in range(m.nv):
+        i = j
+        while i >= 0:
+            A[i, j] = True
+            i = lay.dof_parentid[i]
+    Au = np.triu(A)
+    _ANC_CACHE[lay] = Au
+    return Au
+
+
 def crb(m: Model, com: dict):
     """Dense joint-space inertia matrix via composite-rigid-body (mj_crb).
 
@@ -283,14 +310,7 @@ def crb(m: Model, com: dict):
     # F_j = IC_{body(j)} @ cdof_j
     F = jnp.einsum("juv,jv->ju", IC[lay.dof_bodyid], cdof)
     W = cdof @ F.T  # (nv, nv): W_ij = cdof_i . F_j
-    # ancestor-or-self mask on dofs: A_ij = 1 iff dof i is on the chain of j
-    A = np.zeros((m.nv, m.nv), dtype=bool)
-    for j in range(m.nv):
-        i = j
-        while i >= 0:
-            A[i, j] = True
-            i = lay.dof_parentid[i]
-    Au = jnp.asarray(np.triu(A))  # keep upper (i<=j) to avoid double count
+    Au = jnp.asarray(_dof_ancestor_upper(m))
     Wu = jnp.where(Au, W, 0.0)
     qM = Wu + Wu.T - jnp.diag(jnp.diag(Wu))
     qM = qM + jnp.diag(m.dof_armature.astype(dtype))
