@@ -385,9 +385,11 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
         from mujoco_sim_tpu.models import mesh_io as _mio
         maxvert = max(len(v) for v in mesh_vert_list)
         mesh_vert_pad = np.full((nmesh_cnt, maxvert, 3), 1e6)
+        mesh_vert_mask = np.zeros((nmesh_cnt, maxvert))
         face_planes = []
         for mi, local in enumerate(mesh_vert_list):
             mesh_vert_pad[mi, :len(local)] = local
+            mesh_vert_mask[mi, :len(local)] = 1.0
             hv, faces = _mio.convex_hull(local)
             a_ = hv[faces[:, 0]]
             b_ = hv[faces[:, 1]]
@@ -404,6 +406,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
             mesh_face_pad[mi, :len(fp)] = fp
     else:
         mesh_vert_pad = np.zeros((0, 1, 3))
+        mesh_vert_mask = np.zeros((0, 1))
         mesh_face_pad = np.zeros((0, 1, 4))
 
     # mesh geoms inherit the recentered hull's AABB half-extents as size
@@ -761,6 +764,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
                        if nsite else np.zeros((0, 4))),
         mesh_vert=np_f(mesh_vert),
         mesh_vert_pad=np_f(mesh_vert_pad),
+        mesh_vert_mask=np_f(mesh_vert_mask),
         mesh_face_pad=np_f(mesh_face_pad),
         mesh_vertadr=np_i(mesh_vertadr),
         mesh_vertnum=np_i(mesh_vertnum),

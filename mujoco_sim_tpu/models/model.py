@@ -193,6 +193,7 @@ class Model:
     mesh_vertadr: jax.Array       # (nmesh,) i32
     mesh_vertnum: jax.Array       # (nmesh,) i32
     mesh_vert_pad: jax.Array      # (nmesh, maxvert, 3) padded hull verts
+    mesh_vert_mask: jax.Array     # (nmesh, maxvert) 1.0 for real verts
     mesh_face_pad: jax.Array      # (nmesh, maxface, 4) [normal, offset]
 
     # ---- equality constraints

@@ -239,11 +239,14 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     return dist8, pos8, nrm8
 
 
-def _plane_mesh(pp, pR, s1, mp, mR, verts):
-    """4 deepest hull vertices vs plane.  verts: (..., nvert, 3) padded."""
+def _plane_mesh(pp, pR, s1, mp, mR, verts, vmask):
+    """4 deepest hull vertices vs plane.  verts padded; vmask masks padding
+    (padding verts rotate arbitrarily with the mesh frame and must never
+    participate)."""
     n = pR[..., :, 2]
     pts = mp[..., None, :] + jnp.einsum("...ij,...kj->...ki", mR, verts)
     h = jnp.einsum("...i,...ki->...k", n, pts - pp[..., None, :])
+    h = jnp.where(vmask > 0.5, h, 1e9)
     neg_h, idx = jax.lax.top_k(-h, 4)
     dist = -neg_h
     pos = jnp.take_along_axis(pts, idx[..., None], axis=-2)
@@ -268,7 +271,7 @@ def _hull_sdf(pts_local, planes):
     return sdf, fidx
 
 
-def _hull_ref_face_depth(pts_local, planes, k_out):
+def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
     """Vertex depths measured along a SHARED reference face.
 
     The reference face is the sdf face of the shallowest penetrating vertex
@@ -277,6 +280,8 @@ def _hull_ref_face_depth(pts_local, planes, k_out):
     Returns (depth (...,k_out), pts idx (...,k_out), nref (...,3) local).
     """
     sdf, fidx = _hull_sdf(pts_local, planes)
+    if pts_mask is not None:
+        sdf = jnp.where(pts_mask > 0.5, sdf, 1e9)
     pen = sdf < 0
     score = jnp.where(pen, sdf, -jnp.inf)
     ref_v = jnp.argmax(score, axis=-1)
@@ -331,7 +336,7 @@ def _capsule_mesh(p1, R1, s1, p2, R2, verts2, planes2):
     return dist, pos, n_w
 
 
-def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2):
+def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
     dtype = p1.dtype
     corners = jnp.asarray(np.array(
         [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]),
@@ -353,7 +358,7 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2):
     sign = jnp.sign(jnp.take_along_axis(loc1, ax[..., None], axis=-1))[..., 0]
     n_loc = jax.nn.one_hot(ax, 3, dtype=dtype) * sign[..., None]
     n_w = jnp.einsum("...ij,...kj->...ki", R1, n_loc)  # outward of box=geom1
-    dist_b = -pen
+    dist_b = jnp.where(vmask2 > 0.5, -pen, 1e9)
     neg2, top2 = jax.lax.top_k(-dist_b, 2)
     d_b = -neg2
     pos_b = jnp.take_along_axis(vw, top2[..., None], axis=-2)
@@ -364,18 +369,19 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2):
     return dist, pos, nrm
 
 
-def _mesh_mesh(p1, R1, verts1, planes1, p2, R2, verts2, planes2):
+def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
+               p2, R2, verts2, planes2, vmask2):
     # verts of 1 in hull 2 (shared reference face)
     vw1 = p1[..., None, :] + jnp.einsum("...ij,...kj->...ki", R1, verts1)
     loc2 = jnp.einsum("...ji,...kj->...ki", R2, vw1 - p2[..., None, :])
-    d_a, top, nref2 = _hull_ref_face_depth(loc2, planes2, 2)
+    d_a, top, nref2 = _hull_ref_face_depth(loc2, planes2, 2, vmask1)
     pos_a = jnp.take_along_axis(vw1, top[..., None], axis=-2)
     n_a = -jnp.einsum("...ij,...j->...i", R2, nref2)[..., None, :]
     n_a = jnp.broadcast_to(n_a, pos_a.shape)
     # verts of 2 in hull 1
     vw2 = p2[..., None, :] + jnp.einsum("...ij,...kj->...ki", R2, verts2)
     loc1 = jnp.einsum("...ji,...kj->...ki", R1, vw2 - p1[..., None, :])
-    d_b, top2, nref1 = _hull_ref_face_depth(loc1, planes1, 2)
+    d_b, top2, nref1 = _hull_ref_face_depth(loc1, planes1, 2, vmask2)
     pos_b = jnp.take_along_axis(vw2, top2[..., None], axis=-2)
     n_b = jnp.einsum("...ij,...j->...i", R1, nref1)[..., None, :]
     n_b = jnp.broadcast_to(n_b, pos_b.shape)
@@ -450,7 +456,9 @@ def collision(m: Model, d: Data) -> Data:
             if needs_mesh:
                 verts = jnp.asarray(m.mesh_vert_pad, dtype)[
                     lay.geom_dataid[g2]]
-                dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts)
+                vmask = jnp.asarray(m.mesh_vert_mask, dtype)[
+                    lay.geom_dataid[g2]]
+                dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts, vmask)
             else:
                 dist, pos, nrm = fn(p1, R1, s1, p2, R2, s2)
             marg = margin_all[sel][..., None]
@@ -481,12 +489,18 @@ def collision(m: Model, d: Data) -> Data:
             did2 = jnp.asarray(lay.geom_dataid[pg2])[selp]
             verts2 = jnp.asarray(m.mesh_vert_pad, dtype)[did2]
             planes2 = jnp.asarray(m.mesh_face_pad, dtype)[did2]
+            vmask2 = jnp.asarray(m.mesh_vert_mask, dtype)[did2]
             if key == (GeomType.MESH, GeomType.MESH):
                 did1 = jnp.asarray(lay.geom_dataid[pg1])[selp]
                 verts1 = jnp.asarray(m.mesh_vert_pad, dtype)[did1]
                 planes1 = jnp.asarray(m.mesh_face_pad, dtype)[did1]
-                dist, pos, nrm = fn(p1, R1, verts1, planes1,
-                                    p2, R2, verts2, planes2)
+                vmask1 = jnp.asarray(m.mesh_vert_mask, dtype)[did1]
+                dist, pos, nrm = fn(p1, R1, verts1, planes1, vmask1,
+                                    p2, R2, verts2, planes2, vmask2)
+            elif key == (GeomType.BOX, GeomType.MESH):
+                s1 = sizes[g1d]
+                dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts2, planes2,
+                                    vmask2)
             else:
                 s1 = sizes[g1d]
                 dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts2, planes2)
