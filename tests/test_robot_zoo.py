@@ -1,0 +1,49 @@
+"""All reference robot families compile and step (the multi-robot spawn
+scenario set of test/test_spawn_and_destroy_multi_robots.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mujoco_sim_tpu import engine
+from mujoco_sim_tpu.models.compile import load_model
+from tests.oracle import oracle_model
+
+ROBOTS = ["tiago/tiago", "hsrb4s/hsrb4s", "ridgeback_panda/ridgeback_panda",
+          "armar/armar6"]
+
+
+@pytest.mark.parametrize("name", ROBOTS)
+def test_robot_compiles_and_steps(name):
+    path = f"/root/reference/model/test/{name}.xml"
+    mm = oracle_model(path)
+    m = load_model(path)
+    assert m.nq == mm.nq and m.nv == mm.nv and m.nbody == mm.nbody
+    np.testing.assert_array_equal(np.asarray(m.body_parentid),
+                                  mm.body_parentid)
+    np.testing.assert_array_equal(np.asarray(m.jnt_type), mm.jnt_type)
+    # mesh inertia: ours is hull-based (MuJoCo 2.3.7 style, robust to the
+    # misoriented triangles these models contain); the 3.x oracle integrates
+    # raw triangles, so only bodies WITHOUT mesh geoms compare tightly
+    lay = m.layout
+    has_mesh = np.zeros(m.nbody, dtype=bool)
+    for g in range(m.ngeom):
+        if lay.geom_dataid[g] >= 0:
+            has_mesh[lay.geom_bodyid[g]] = True
+    sel = ~has_mesh
+    np.testing.assert_allclose(np.asarray(m.body_mass)[sel],
+                               mm.body_mass[sel], rtol=5e-4, atol=1e-7)
+    # mesh bodies still in the right ballpark (hull >= exact volume)
+    mine = np.asarray(m.body_mass)[has_mesh]
+    theirs = mm.body_mass[has_mesh]
+    assert (mine > 0.3 * theirs).all() and (mine < 4.0 * theirs + 1e-6).all()
+    d = engine.make_data(m)
+
+    @jax.jit
+    def roll(m_, d_):
+        return jax.lax.fori_loop(0, 20, lambda i, dd: engine.step(m_, dd),
+                                 d_)
+
+    d = roll(m, d)
+    assert np.isfinite(np.asarray(d.qpos)).all()
+    assert np.isfinite(np.asarray(d.qvel)).all()
