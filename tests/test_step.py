@@ -157,3 +157,30 @@ def test_box_stacking():
     assert abs(float(d.qpos[2]) - 0.1) < 5e-3
     assert abs(float(d.qpos[9]) - 0.28) < 1e-2
     assert np.abs(np.asarray(d.qvel)).max() < 0.05
+
+
+def test_capsule_drop():
+    """Capsule falls onto the plane and rests horizontally at z=radius."""
+    xml = "tests/fixtures/capsule_drop.xml"
+    with open(xml, "w") as f:
+        f.write("""
+<mujoco>
+  <option timestep="0.005" gravity="0 0 -9.81"/>
+  <worldbody>
+    <geom name="floor" size="0 0 .05" type="plane"/>
+    <body name="cap" pos="0 0 0.5" euler="0 80 0"><freejoint/>
+      <geom type="capsule" size=".05 .15"/></body>
+    <body name="ball" pos="0.5 0 0.8"><freejoint/>
+      <geom type="sphere" size=".06"/></body>
+  </worldbody>
+</mujoco>""")
+    mm = oracle_model(xml)
+    m = load_model(xml)
+    n = 500
+    ours = run_ours(m, n)
+    theirs = run_oracle(mm, n)
+    # capsule tips over and rests on its side at z ~ radius
+    z_mine = ours[-1][0][2]
+    z_oracle = theirs[-1][0][2]
+    assert abs(z_mine - z_oracle) < 2e-2, (z_mine, z_oracle)
+    assert abs(z_mine - 0.05) < 1e-2, z_mine
