@@ -22,11 +22,16 @@ from mujoco_sim_tpu.runtime.sim import Simulation
 
 
 def _odom_map(v: Any) -> dict:
-    """bool-or-map schema of add_odom_joints (mj_ros.cpp:317-373)."""
+    """bool-or-map schema of add_odom_joints (mj_ros.cpp:317-373).
+
+    bool true = the reference's default mobile-base set (lin_x, lin_y,
+    ang_z; src/config/robot.yaml:24)."""
     keys = ["lin_odom_x_joint", "lin_odom_y_joint", "lin_odom_z_joint",
             "ang_odom_x_joint", "ang_odom_y_joint", "ang_odom_z_joint"]
     if isinstance(v, bool):
-        return {k: v for k in keys}
+        default_on = {"lin_odom_x_joint", "lin_odom_y_joint",
+                      "ang_odom_z_joint"}
+        return {k: (v and k in default_on) for k in keys}
     if isinstance(v, dict):
         return {k: bool(v.get(k, False)) for k in keys}
     return {}
