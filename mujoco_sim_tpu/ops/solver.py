@@ -138,10 +138,16 @@ def solve(m: Model, d: Data) -> Data:
         a, it, cost, done = carry
         return (it < m.opt.solver_iterations) & jnp.logical_not(done)
 
+    # best-of-two init like the reference solver: warmstart vs smooth
+    c_warm = total_cost(a0)
+    c_smooth = total_cost(a_smooth)
+    take_warm = c_warm <= c_smooth
+    a0 = jnp.where(take_warm, a0, a_smooth)
+    c0 = jnp.where(take_warm, c_warm, c_smooth)
+
     a, iters, _, _ = jax.lax.while_loop(
         newton_cond, newton_body,
-        (a0, jnp.asarray(0, jnp.int32), total_cost(a0),
-         jnp.asarray(False)))
+        (a0, jnp.asarray(0, jnp.int32), c0, jnp.asarray(False)))
 
     x, f, _ = cost_terms(a)
     efc_force = -f
