@@ -126,8 +126,13 @@ class SimServer:
                 with self._lock:
                     self.sim.reset({r: cfg.get("joints", [])
                                     for r, cfg in self.robots.items()})
-                # verify like the reference (mj_ros.cpp:815-845)
-                return {"success": True, "message": "reset"}
+                    # verify post-reset joint error like the reference
+                    # (mj_ros.cpp:815-845: total error < 0.1 * njoints)
+                    err = self._reset_error()
+                ok = err < 0.1 * max(1, self.sim.m.njnt)
+                return {"success": bool(ok),
+                        "message": "reset" if ok else
+                        f"reset verification failed (err={err:.4f})"}
             if op == "screenshot":
                 from mujoco_sim_tpu.runtime.checkpoint import screenshot
                 out = req.get("out_dir", "/tmp/mst_screenshot")
@@ -146,9 +151,39 @@ class SimServer:
         except Exception as e:  # service errors -> failure response
             return {"error": str(e), "success": False}
 
-    def _world_state(self, names=None) -> dict:
+    def _reset_error(self) -> float:
         m, d = self.sim.m, self.sim.d
         lay = m.layout
+        qpos = np.asarray(d.qpos)
+        err = 0.0
+        for r, cfg in self.robots.items():
+            for jn in cfg.get("joints", []):
+                j = m.names.joint_id(jn)
+                if j >= 0 and int(lay.jnt_type[j]) in (2, 3):
+                    init = self.sim._joint_inits.get(jn, 0.0)
+                    err += abs(float(qpos[lay.jnt_qposadr[j]]) - init)
+        return err
+
+    def _free_jnt_vel(self, bid: int):
+        """Root free-joint twist of a body, if any (the reference reads
+        d->qvel at the freejoint for ObjectState velocity)."""
+        m, d = self.sim.m, self.sim.d
+        lay = m.layout
+        if lay.body_jntnum[bid] > 0:
+            j0 = int(lay.body_jntadr[bid])
+            if int(lay.jnt_type[j0]) == 0:
+                da = int(lay.jnt_dofadr[j0])
+                v = np.asarray(d.qvel[da:da + 6])
+                return {"linear": v[:3].tolist(), "angular": v[3:].tolist()}
+        return None
+
+    def _is_free_body(self, bid: int) -> bool:
+        lay = self.sim.m.layout
+        return (lay.body_jntnum[bid] > 0
+                and int(lay.jnt_type[lay.body_jntadr[bid]]) == 0)
+
+    def _world_state(self, names=None, free_bodies_only=False) -> dict:
+        m, d = self.sim.m, self.sim.d
         xpos = np.asarray(d.xpos)
         xquat = np.asarray(d.xquat)
         active = np.asarray(d.body_active)
@@ -164,10 +199,57 @@ class SimServer:
             bid = slot.root_body if slot is not None else m.names.body_id(name)
             if bid < 0 or not active[bid]:
                 continue
-            out.append({"name": name, "pose": {
+            if free_bodies_only and not self._is_free_body(bid):
+                continue
+            entry = {"name": name, "pose": {
                 "position": xpos[bid].tolist(),
-                "orientation": xquat[bid].tolist()}})
+                "orientation": xquat[bid].tolist()}}
+            vel = self._free_jnt_vel(bid)
+            if vel is not None:
+                entry["velocity"] = vel
+            out.append(entry)
         return {"time": float(d.time), "objects": out}
+
+    def _base_pose(self) -> dict:
+        """Odometry for robots with odom joints (publish_base_pose,
+        mj_ros.cpp:1862-1931)."""
+        m, d = self.sim.m, self.sim.d
+        lay = m.layout
+        qpos = np.asarray(d.qpos)
+        qvel = np.asarray(d.qvel)
+        out = []
+        for robot, cfg in self.robots.items():
+            ocfg = cfg.get("odom")
+            if ocfg is None:
+                continue
+            pose = [0.0] * 6
+            twist = [0.0] * 6
+            for i in range(6):
+                if ocfg.present[i]:
+                    pose[i] = float(qpos[ocfg.qpos_ids[i]])
+                    twist[i] = float(qvel[ocfg.dof_ids[i]])
+            out.append({"robot": robot, "pose": pose, "twist": twist})
+        return {"time": float(d.time), "odom": out}
+
+    def _markers(self) -> dict:
+        """Marker-array equivalent: geom shapes + world transforms for viz
+        clients (publish_marker_array, mj_ros.cpp:1706-1755)."""
+        m, d = self.sim.m, self.sim.d
+        lay = m.layout
+        gx = np.asarray(d.geom_xpos)
+        active = np.asarray(d.body_active)
+        markers = []
+        for g in range(m.ngeom):
+            bid = int(lay.geom_bodyid[g])
+            if not active[bid]:
+                continue
+            markers.append({
+                "name": m.names.geom[g],
+                "type": int(lay.geom_type[g]),
+                "size": np.asarray(m.geom_size[g]).tolist(),
+                "position": gx[g].tolist(),
+                "rgba": np.asarray(m.geom_rgba[g]).tolist()})
+        return {"time": float(d.time), "markers": markers}
 
     def _joint_states(self, robot=None) -> dict:
         m, d = self.sim.m, self.sim.d
@@ -196,7 +278,13 @@ class SimServer:
             while self._running:
                 msg = {}
                 if "object_states" in topics or "tf" in topics:
-                    msg["object_states"] = self._world_state()
+                    msg["object_states"] = self._world_state(
+                        free_bodies_only=bool(req.get("free_bodies_only",
+                                                      False)))
+                if "base_pose" in topics:
+                    msg["base_pose"] = self._base_pose()
+                if "markers" in topics:
+                    msg["markers"] = self._markers()
                 if "joint_states" in topics:
                     msg["joint_states"] = self._joint_states()
                 if "sensors" in topics:
