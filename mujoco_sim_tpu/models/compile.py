@@ -35,7 +35,8 @@ _INTEGRATOR = {"Euler": Integrator.EULER, "RK4": Integrator.RK4,
 # candidate-contact capacities and group layout are shared with the
 # collision kernels (ops/colgroups.py); unsupported type combos are DROPPED
 # from the candidate list and counted in Model.npair_unsupported.
-from mujoco_sim_tpu.ops.colgroups import PAIR_NCON as _PAIR_NCON, build_groups
+from mujoco_sim_tpu.ops.colgroups import (
+    PAIR_NCON as _PAIR_NCON, build_groups, pair_key)
 
 
 def _geom_mass_inertia(g: mjcf.GeomSpec, mesh_props=None):
@@ -376,34 +377,64 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
     mesh_vert = (np.concatenate(mesh_vert_list, axis=0) if mesh_vert_list
                  else np.zeros((0, 3)))
 
-    # padded hull tables for the mesh narrowphase: verts (nmesh,maxvert,3)
-    # and face planes (nmesh,maxface,4) [normal, offset] in the recentered
-    # frame; padding verts pushed far away, padding planes at -inf so they
-    # never win the max in the hull SDF
-    nmesh_cnt = len(mesh_vert_list)
-    if nmesh_cnt:
+    # padded hull tables for the hull narrowphase: verts (nhull,maxvert,3)
+    # and face planes (nhull,maxface,4) [normal, offset] per-hull frame.
+    # Hulls = mesh convex hulls + synthetic 16-gon prisms for cylinders
+    # (one hull code path for cylinder-vs-anything-but-plane).  Padding
+    # verts are masked; padding planes sit at -inf so they never win the
+    # hull-SDF max.
+    geom_hullid = np.full(ngeom, -1)
+    hull_entries = []  # (verts, face_planes)
+
+    def _plane_eqs(hv, faces):
+        a_ = hv[faces[:, 0]]
+        b_ = hv[faces[:, 1]]
+        c_ = hv[faces[:, 2]]
+        nrm = np.cross(b_ - a_, c_ - a_)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+        off = np.einsum("ij,ij->i", nrm, a_)
+        return np.concatenate([nrm, off[:, None]], axis=1)
+
+    if mesh_vert_list:
         from mujoco_sim_tpu.models import mesh_io as _mio
-        maxvert = max(len(v) for v in mesh_vert_list)
-        mesh_vert_pad = np.full((nmesh_cnt, maxvert, 3), 1e6)
-        mesh_vert_mask = np.zeros((nmesh_cnt, maxvert))
-        face_planes = []
-        for mi, local in enumerate(mesh_vert_list):
-            mesh_vert_pad[mi, :len(local)] = local
-            mesh_vert_mask[mi, :len(local)] = 1.0
+        for local in mesh_vert_list:
             hv, faces = _mio.convex_hull(local)
-            a_ = hv[faces[:, 0]]
-            b_ = hv[faces[:, 1]]
-            c_ = hv[faces[:, 2]]
-            nrm = np.cross(b_ - a_, c_ - a_)
-            nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True),
-                              1e-30)
-            off = np.einsum("ij,ij->i", nrm, a_)
-            face_planes.append(np.concatenate([nrm, off[:, None]], axis=1))
-        maxface = max(len(f) for f in face_planes)
-        mesh_face_pad = np.zeros((nmesh_cnt, maxface, 4))
+            hull_entries.append((local, _plane_eqs(hv, faces)))
+    for gi in range(ngeom):
+        t = GeomType(geom_type[gi])
+        if t == GeomType.MESH:
+            geom_hullid[gi] = geom_dataid[gi]
+        elif t == GeomType.CYLINDER:
+            # circumscribed 16-gon prism (side planes at exactly radius r)
+            r, hh = geom_size[gi][0], geom_size[gi][1]
+            nside = 16
+            th = np.arange(nside) * 2 * np.pi / nside
+            rv = r / np.cos(np.pi / nside)
+            ring = np.stack([rv * np.cos(th + np.pi / nside),
+                             rv * np.sin(th + np.pi / nside)], axis=1)
+            verts = np.concatenate([
+                np.concatenate([ring, np.full((nside, 1), hh)], axis=1),
+                np.concatenate([ring, np.full((nside, 1), -hh)], axis=1)])
+            side_n = np.stack([np.cos(th), np.sin(th),
+                               np.zeros(nside)], axis=1)
+            planes = np.concatenate([
+                np.concatenate([side_n, np.full((nside, 1), r)], axis=1),
+                [[0, 0, 1, hh], [0, 0, -1, hh]]])
+            geom_hullid[gi] = len(hull_entries)
+            hull_entries.append((verts, planes))
+
+    if hull_entries:
+        maxvert = max(len(v) for v, _ in hull_entries)
+        maxface = max(len(f) for _, f in hull_entries)
+        nhull = len(hull_entries)
+        mesh_vert_pad = np.full((nhull, maxvert, 3), 1e6)
+        mesh_vert_mask = np.zeros((nhull, maxvert))
+        mesh_face_pad = np.zeros((nhull, maxface, 4))
         mesh_face_pad[:, :, 3] = 1e9  # padding: n.x - d = -1e9
-        for mi, fp in enumerate(face_planes):
-            mesh_face_pad[mi, :len(fp)] = fp
+        for hi, (verts, fp) in enumerate(hull_entries):
+            mesh_vert_pad[hi, :len(verts)] = verts
+            mesh_vert_mask[hi, :len(verts)] = 1.0
+            mesh_face_pad[hi, :len(fp)] = fp
     else:
         mesh_vert_pad = np.zeros((0, 1, 3))
         mesh_vert_mask = np.zeros((0, 1))
@@ -493,16 +524,17 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
             t1, t2 = GeomType(geom_type[g1]), GeomType(geom_type[g2])
             if t1 == GeomType.PLANE and t2 == GeomType.PLANE:
                 continue
-            key = (t1, t2) if (t1, t2) in _PAIR_NCON else (t2, t1)
-            if key not in _PAIR_NCON:
+            pk = pair_key(t1, t2)
+            if pk is None:
                 npair_unsupported += 1
                 continue
-            if (t1, t2) in _PAIR_NCON:
-                pair_g1.append(g1)
-                pair_g2.append(g2)
-            else:
+            _, swapped = pk
+            if swapped:
                 pair_g1.append(g2)
                 pair_g2.append(g1)
+            else:
+                pair_g1.append(g1)
+                pair_g2.append(g2)
     npair = len(pair_g1)
 
     # ---- per-geom solver params already parsed; sensors
@@ -591,7 +623,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
     # type group), then top-K compacted into ncon_budget contact slots so efc
     # shapes stay static regardless of scene size (TPU-first replacement for
     # runtime broadphase; SURVEY §7 'static shapes everywhere')
-    pair_keys = [(GeomType(geom_type[a]), GeomType(geom_type[b]))
+    pair_keys = [pair_key(GeomType(geom_type[a]), GeomType(geom_type[b]))[0]
                  for a, b in zip(pair_g1, pair_g2)]
     groups, ncand = build_groups(pair_keys)
     cand_pairid = np.zeros(ncand, dtype=int)
@@ -664,6 +696,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
         geom_bodyid=np.asarray(geom_bodyid, dtype=int),
         geom_type=geom_type,
         geom_dataid=geom_dataid,
+        geom_hullid=geom_hullid,
         site_bodyid=np.asarray(site_bodyid, dtype=int),
         mesh_vertadr=np.asarray(mesh_vertadr, dtype=int),
         mesh_vertnum=np.asarray(mesh_vertnum, dtype=int),

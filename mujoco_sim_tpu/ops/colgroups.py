@@ -16,7 +16,19 @@ import numpy as np
 
 from mujoco_sim_tpu.models.model import GeomType
 
-# candidate contacts per pair by type combo (geom1-type listed first)
+def collision_class(t: GeomType, vs_plane: bool = False) -> GeomType:
+    """Narrowphase class of a geom type.
+
+    Cylinders keep an exact path against planes but are represented by a
+    synthetic 16-gon prism hull against everything else — one hull code
+    path instead of N cylinder special cases."""
+    if t == GeomType.CYLINDER and not vs_plane:
+        return GeomType.MESH
+    return t
+
+
+# candidate contacts per pair by CLASS combo (geom1-class listed first;
+# MESH here means "hull": real mesh or synthetic cylinder prism)
 PAIR_NCON = {
     (GeomType.PLANE, GeomType.SPHERE): 1,
     (GeomType.PLANE, GeomType.CAPSULE): 2,
@@ -27,6 +39,8 @@ PAIR_NCON = {
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
+    (GeomType.CAPSULE, GeomType.CAPSULE): 2,
+    (GeomType.CAPSULE, GeomType.BOX): 3,
     (GeomType.BOX, GeomType.BOX): 8,
     (GeomType.SPHERE, GeomType.MESH): 1,
     (GeomType.CAPSULE, GeomType.MESH): 2,
@@ -43,6 +57,28 @@ EXPENSIVE = {
 }
 
 DEFAULT_TOP_P = 32
+
+
+def pair_key(t1: GeomType, t2: GeomType):
+    """(class key, swapped) for a geom-type pair, or None if unsupported.
+
+    swapped=True means the pair must be stored with geoms exchanged so that
+    geom1's class matches key[0].
+    """
+    if t1 == GeomType.PLANE or t2 == GeomType.PLANE:
+        if t1 == GeomType.PLANE and t2 == GeomType.PLANE:
+            return None
+        swapped = t1 != GeomType.PLANE
+        other = t1 if swapped else t2
+        key = (GeomType.PLANE, other)
+        return (key, swapped) if key in PAIR_NCON else None
+    c1 = collision_class(t1)
+    c2 = collision_class(t2)
+    if (c1, c2) in PAIR_NCON:
+        return (c1, c2), False
+    if (c2, c1) in PAIR_NCON:
+        return (c2, c1), True
+    return None
 
 
 @dataclasses.dataclass

@@ -139,6 +139,62 @@ def _sphere_capsule(p1, R1, s1, p2, R2, s2):
     return dist[..., None], pos[..., None, :], n[..., None, :]
 
 
+def _capsule_capsule(p1, R1, s1, p2, R2, s2):
+    """2 contacts from closest points between the two segments (the second
+    candidate probes the opposite end for near-parallel capsules)."""
+    a1 = R1[..., :, 2]
+    a2 = R2[..., :, 2]
+    h1 = s1[..., 1]
+    h2 = s2[..., 1]
+    r1 = s1[..., 0]
+    r2 = s2[..., 0]
+    # closed-form segment-segment closest parameters (clamped)
+    d12 = p2 - p1
+    A = jnp.ones_like(h1)                     # a1.a1
+    B = jnp.einsum("...i,...i->...", a1, a2)
+    C = jnp.einsum("...i,...i->...", a1, d12)
+    E = jnp.einsum("...i,...i->...", a2, d12)
+    den = jnp.maximum(A - B * B, 1e-9)
+    t1 = jnp.clip((C - B * E) / den, -h1, h1)
+    t2 = jnp.clip(B * t1 - E, -h2, h2)
+    # refine t1 against the clamped t2 (Ericson's closest-segment scheme)
+    t1 = jnp.clip(C + B * t2, -h1, h1)
+
+    def contact_at(t1_, t2_):
+        q1 = p1 + a1 * t1_[..., None]
+        q2 = p2 + a2 * t2_[..., None]
+        dd = q2 - q1
+        dist_c = jnp.linalg.norm(dd, axis=-1)
+        n = dd / jnp.maximum(dist_c[..., None], 1e-12)
+        dist = dist_c - r1 - r2
+        pos = q1 + n * (r1 + 0.5 * dist)[..., None]
+        return dist, pos, n
+
+    dA, posA, nA = contact_at(t1, t2)
+    dB, posB, nB = contact_at(-t1, -t2)
+    dist = jnp.stack([dA, dB], axis=-1)
+    pos = jnp.stack([posA, posB], axis=-2)
+    nrm = jnp.stack([nA, nB], axis=-2)
+    return dist, pos, nrm
+
+
+def _capsule_box(p1, R1, s1, p2, R2, s2):
+    """3 contacts: sphere-box queries at both capsule ends + midpoint."""
+    axis = R1[..., :, 2]
+    hh = s1[..., 1]
+    outs = []
+    for f in (-1.0, 0.0, 1.0):
+        c = p1 + axis * (f * hh)[..., None]
+        sz = jnp.concatenate([s1[..., 0:1],
+                              jnp.zeros_like(s1[..., 1:3])], axis=-1)
+        d_, pos_, n_ = _sphere_box(c, R1, sz, p2, R2, s2)
+        outs.append((d_, pos_, n_))
+    dist = jnp.concatenate([o[0] for o in outs], axis=-1)
+    pos = jnp.concatenate([o[1] for o in outs], axis=-2)
+    nrm = jnp.concatenate([o[2] for o in outs], axis=-2)
+    return dist, pos, nrm
+
+
 def _sphere_box(p1, R1, s1, p2, R2, s2):
     # sphere center in box frame
     cl = jnp.einsum("...ji,...j->...i", R2, p1 - p2)
@@ -402,6 +458,8 @@ _DISPATCH = {
     (GeomType.SPHERE, GeomType.SPHERE): (_sphere_sphere, False),
     (GeomType.SPHERE, GeomType.CAPSULE): (_sphere_capsule, False),
     (GeomType.SPHERE, GeomType.BOX): (_sphere_box, False),
+    (GeomType.CAPSULE, GeomType.CAPSULE): (_capsule_capsule, False),
+    (GeomType.CAPSULE, GeomType.BOX): (_capsule_box, False),
     (GeomType.BOX, GeomType.BOX): (_box_box, False),
 }
 
@@ -432,7 +490,8 @@ def collision(m: Model, d: Data) -> Data:
     cand_act = jnp.zeros((m.ncand,), bool)
     cand_pair = jnp.asarray(lay.cand_pairid, jnp.int32)
 
-    keys = [(GeomType(lay.geom_type[a]), GeomType(lay.geom_type[b]))
+    from mujoco_sim_tpu.ops.colgroups import pair_key
+    keys = [pair_key(GeomType(lay.geom_type[a]), GeomType(lay.geom_type[b]))[0]
             for a, b in zip(lay.pair_geom1, lay.pair_geom2)]
     groups, ncand = build_groups(keys)
     assert ncand == m.ncand, (ncand, m.ncand)
@@ -455,9 +514,9 @@ def collision(m: Model, d: Data) -> Data:
             s2 = sizes[g2]
             if needs_mesh:
                 verts = jnp.asarray(m.mesh_vert_pad, dtype)[
-                    lay.geom_dataid[g2]]
+                    lay.geom_hullid[g2]]
                 vmask = jnp.asarray(m.mesh_vert_mask, dtype)[
-                    lay.geom_dataid[g2]]
+                    lay.geom_hullid[g2]]
                 dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts, vmask)
             else:
                 dist, pos, nrm = fn(p1, R1, s1, p2, R2, s2)
@@ -486,12 +545,12 @@ def collision(m: Model, d: Data) -> Data:
             g2d = jnp.asarray(pg2)[selp]
             p1, R1 = d.geom_xpos[g1d], d.geom_xmat[g1d]
             p2, R2 = d.geom_xpos[g2d], d.geom_xmat[g2d]
-            did2 = jnp.asarray(lay.geom_dataid[pg2])[selp]
+            did2 = jnp.asarray(lay.geom_hullid[pg2])[selp]
             verts2 = jnp.asarray(m.mesh_vert_pad, dtype)[did2]
             planes2 = jnp.asarray(m.mesh_face_pad, dtype)[did2]
             vmask2 = jnp.asarray(m.mesh_vert_mask, dtype)[did2]
             if key == (GeomType.MESH, GeomType.MESH):
-                did1 = jnp.asarray(lay.geom_dataid[pg1])[selp]
+                did1 = jnp.asarray(lay.geom_hullid[pg1])[selp]
                 verts1 = jnp.asarray(m.mesh_vert_pad, dtype)[did1]
                 planes1 = jnp.asarray(m.mesh_face_pad, dtype)[did1]
                 vmask1 = jnp.asarray(m.mesh_vert_mask, dtype)[did1]

@@ -184,3 +184,43 @@ def test_capsule_drop():
     z_oracle = theirs[-1][0][2]
     assert abs(z_mine - z_oracle) < 2e-2, (z_mine, z_oracle)
     assert abs(z_mine - 0.05) < 1e-2, z_mine
+
+
+def test_cylinder_box_and_capsule_pairs():
+    """Cylinder (as hull prism) and capsule pair coverage: objects stack."""
+    xml = "tests/fixtures/cyl_stack.xml"
+    with open(xml, "w") as f:
+        f.write("""
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <geom name="floor" size="0 0 .05" type="plane"/>
+    <body name="slab" pos="0 0 0.05"><freejoint/>
+      <geom type="box" size=".3 .3 .05"/></body>
+    <body name="cyl" pos="0.05 0 0.35"><freejoint/>
+      <geom type="cylinder" size=".06 .1"/></body>
+    <body name="cap1" pos="-0.15 0.1 0.3" euler="90 0 0"><freejoint/>
+      <geom type="capsule" size=".04 .1"/></body>
+    <body name="cap2" pos="-0.15 0.1 0.5" euler="90 0 0"><freejoint/>
+      <geom type="capsule" size=".04 .1"/></body>
+  </worldbody>
+</mujoco>""")
+    m = load_model(xml)
+    assert m.npair_unsupported == 0
+    d = engine.make_data(m)
+
+    @jax.jit
+    def roll(m_, d_):
+        return jax.lax.fori_loop(0, 1000,
+                                 lambda i, dd: engine.step(m_, dd), d_)
+
+    d = roll(m, d)
+    q = np.asarray(d.qpos)
+    assert np.isfinite(q).all()
+    # slab on floor; upright cylinder on slab top (0.1 + 0.1 = 0.2)
+    assert abs(q[2] - 0.05) < 5e-3
+    z_cyl = q[9]
+    assert abs(z_cyl - 0.2) < 2e-2, z_cyl
+    # capsules: one on slab (z ~ 0.1+0.04), second resting on/beside first
+    z1 = q[16]
+    assert 0.1 < z1 < 0.2, z1
