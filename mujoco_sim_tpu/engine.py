@@ -174,7 +174,6 @@ def fwd_position(m: Model, d: Data) -> Data:
 
 def fwd_velocity(m: Model, d: Data) -> Data:
     com = _com_dict(m, d)
-    kin_stub = {"xanchor": d.xanchor, "xaxis": d.xaxis, "xmat": _xmat(d)}
     com_full = dict(com, cinert=_cinert(m, d))
     vel = smooth.com_vel(m, com_full, d.qvel)
     qfrc_bias = smooth.rne(m, com_full, vel, d.qvel)
@@ -288,14 +287,6 @@ def _euler(m: Model, d: Data) -> Data:
     L = jnp.linalg.cholesky(MhB)
     qacc = smooth.solve_chol(L, rhs)
     qvel = jnp.where(_dof_active(m, d), d.qvel + h * qacc, 0.0)
-    qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)
-    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
-
-
-def _euler_explicit_damping(m: Model, d: Data) -> Data:
-    dtype = d.qpos.dtype
-    h = jnp.asarray(m.opt.timestep, dtype)
-    qvel = d.qvel + h * d.qacc
     qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)
     return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
 

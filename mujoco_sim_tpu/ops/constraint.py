@@ -31,8 +31,7 @@ def impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
     x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-12), 0.0, 1.0)
     mid = jnp.clip(mid, 0.0001, 0.9999)
     power = jnp.maximum(power, 1.0)
-    y_lo = jnp.power(x / mid, power - 1.0) * x / mid * mid
-    # y_lo = mid * (x/mid)^power ; y_hi = 1 - (1-mid)*((1-x)/(1-mid))^power
+    # two power curves meeting at the midpoint (MuJoCo sigmoid)
     y_lo = mid * jnp.power(x / mid, power)
     y_hi = 1.0 - (1.0 - mid) * jnp.power((1.0 - x) / (1.0 - mid), power)
     y = jnp.where(x <= mid, y_lo, y_hi)

@@ -145,7 +145,7 @@ def solve(m: Model, d: Data) -> Data:
     a0 = jnp.where(take_warm, a0, a_smooth)
     c0 = jnp.where(take_warm, c_warm, c_smooth)
 
-    a, iters, _, _ = jax.lax.while_loop(
+    a, _, _, _ = jax.lax.while_loop(
         newton_cond, newton_body,
         (a0, jnp.asarray(0, jnp.int32), c0, jnp.asarray(False)))
 
