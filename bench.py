@@ -146,7 +146,7 @@ def bench_mobile(nenv=1024, nsteps=200):
     return {"scenario": "mobile", "nenv": nenv, "rate": rate}
 
 
-def bench_pr2(nenv=64, nsteps=100):
+def bench_pr2(nenv=64, nsteps=50):
     """Config 2: PR2 (49 dof, mimic equalities), batched."""
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.models import scene
@@ -160,9 +160,8 @@ def bench_pr2(nenv=64, nsteps=100):
             path="/root/reference/model/test/pr2/pr2.xml",
             pose_init=np.array([0.0, 0.0, 0.05, 0, 0, 0]))})
     m = set_const(compile_spec(world))
-    m = jax.tree.map(lambda x: x, m)
-    m32 = __import__("mujoco_sim_tpu.engine", fromlist=["put_model"]).put_model(m, jnp.float32)
-    d = __import__("mujoco_sim_tpu.engine", fromlist=["make_data"]).make_data(m32, jnp.float32)
+    m32 = engine.put_model(m, jnp.float32)
+    d = engine.make_data(m32, jnp.float32)
     dB = _batch(m32, d, nenv, jitter=False)
     run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps))
     rate, dt = _time_rollout(run, m32, dB, nenv, nsteps)
@@ -206,13 +205,14 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(res["rate"] / 1_000_000.0, 4),
     }
-    print(json.dumps(headline))
+    print(json.dumps(headline), flush=True)
     if scenario == "all":
         for fn in (bench_mobile, bench_pr2, bench_spawn):
             try:
                 r = fn()
                 print(f"# {r['scenario']}: nenv={r['nenv']} "
-                      f"{r['rate']:.0f} env-steps/s", file=sys.stderr)
+                      f"{r['rate']:.0f} env-steps/s", file=sys.stderr,
+                      flush=True)
             except Exception as e:
                 print(f"# {fn.__name__} failed: {e}", file=sys.stderr)
 
