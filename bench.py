@@ -108,11 +108,14 @@ def _mobile_model():
 
 
 def bench_mobile(nenv=1024, nsteps=200):
-    """Config 3: base velocity control + PD arm, batched."""
+    """Config 3: base velocity control + PD arm, batched (Euler: the
+    world's RK4 default quadruples solver passes per step)."""
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.control import controllers as C
+    from mujoco_sim_tpu.models.model import Integrator
 
     m = _mobile_model()
+    m = m.replace(opt=m.opt.replace(integrator=int(Integrator.EULER)))
     m32 = engine.put_model(m, jnp.float32)
     ocfg = C.odom_config(m, "benchbot")
     pdc = C.pd_config_for_joints(m32, ["a1", "a2", "a3"], kp=80.0, kd=8.0)
@@ -159,7 +162,9 @@ def bench_pr2(nenv=64, nsteps=50):
         robots={"pr2": scene.RobotConfig(
             path="/root/reference/model/test/pr2/pr2.xml",
             pose_init=np.array([0.0, 0.0, 0.05, 0, 0, 0]))})
+    from mujoco_sim_tpu.models.model import Integrator
     m = set_const(compile_spec(world))
+    m = m.replace(opt=m.opt.replace(integrator=int(Integrator.EULER)))
     m32 = engine.put_model(m, jnp.float32)
     d = engine.make_data(m32, jnp.float32)
     dB = _batch(m32, d, nenv, jitter=False)
@@ -181,7 +186,9 @@ def bench_spawn(nenv=4096, nsteps=200):
         robots={"sball": scene.RobotConfig(
             path=os.path.join(_REPO, "tests/fixtures/spawn_ball.xml"))},
         instances=4)
+    from mujoco_sim_tpu.models.model import Integrator
     m = set_const(compile_spec(world))
+    m = m.replace(opt=m.opt.replace(integrator=int(Integrator.EULER)))
     m32 = engine.put_model(m, jnp.float32)
     d = engine.make_data(m32, jnp.float32)
     # half the slots inactive
