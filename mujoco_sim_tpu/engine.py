@@ -82,6 +82,11 @@ def make_data(m: Model, dtype=None) -> Data:
         qfrc_applied=z(nv), xfrc_applied=z(nbody, 6),
         ctrl=z(0),
         body_active=jnp.ones((nbody,), bool),
+        geom_size=jnp.asarray(m.geom_size, dtype),
+        geom_rbound=jnp.asarray(m.geom_rbound, dtype),
+        geom_rgba=jnp.asarray(m.geom_rgba, dtype),
+        body_mass=jnp.asarray(m.body_mass, dtype),
+        body_inertia=jnp.asarray(m.body_inertia, dtype),
         mocap_pos=_mocap_pos0(m, dtype),
         mocap_quat=_mocap_quat0(m, dtype),
         xpos=z(nbody, 3), xquat=z(nbody, 4).at[:, 0].set(1.0),
@@ -153,7 +158,7 @@ def _com_dict(m: Model, d: Data) -> dict:
 
 def fwd_position(m: Model, d: Data) -> Data:
     kin = smooth.kinematics(m, d.qpos, d.mocap_pos, d.mocap_quat)
-    com = smooth.com_pos(m, kin)
+    com = smooth.com_pos(m, kin, d.body_mass, d.body_inertia)
     qM = smooth.crb(m, com)
     qLD = smooth.factor_chol(qM)
     d = d.replace(
@@ -178,7 +183,7 @@ def fwd_velocity(m: Model, d: Data) -> Data:
     vel = smooth.com_vel(m, com_full, d.qvel)
     qfrc_bias = smooth.rne(m, com_full, vel, d.qvel)
     qfrc_passive, qsp, qdm, qgc = passive_mod.passive(
-        m, com, d.qpos, d.qvel, d.xipos)
+        m, com, d.qpos, d.qvel, d.xipos, d.body_mass)
     return d.replace(cvel=vel["cvel"], cdof_dot=vel["cdof_dot"],
                      qfrc_bias=qfrc_bias, qfrc_passive=qfrc_passive,
                      qfrc_spring=qsp, qfrc_damper=qdm, qfrc_gravcomp=qgc)
@@ -194,9 +199,9 @@ def _cinert(m: Model, d: Data):
     dtype = d.qpos.dtype
     lay = m.layout
     inert_world = jnp.einsum("bij,bj,bkj->bik", d.ximat,
-                             jnp.asarray(m.body_inertia, dtype), d.ximat)
+                             d.body_inertia.astype(dtype), d.ximat)
     origin = d.subtree_com[lay.body_rootid]
-    return mm.spatial_inertia(jnp.asarray(m.body_mass, dtype), inert_world,
+    return mm.spatial_inertia(d.body_mass.astype(dtype), inert_world,
                               d.xipos - origin)
 
 
@@ -241,7 +246,7 @@ def forward(m: Model, d: Data) -> Data:
 def sensor_energy(m: Model, d: Data) -> Data:
     dtype = d.qpos.dtype
     g = jnp.asarray(m.opt.gravity, dtype)
-    mass = jnp.asarray(m.body_mass, dtype)
+    mass = d.body_mass.astype(dtype)
     potential = -jnp.sum(mass * jnp.einsum("bi,i->b", d.xipos, g))
     # joint springs
     lay = m.layout
@@ -284,7 +289,8 @@ def _euler(m: Model, d: Data) -> Data:
     # (matches mj_Euler; qfrc_smooth already contains the explicit -B qvel)
     MhB = d.qM + jnp.diag(h * damping)
     rhs = d.qfrc_smooth + d.qfrc_constraint
-    L = jnp.linalg.cholesky(MhB)
+    from mujoco_sim_tpu.ops import linalg as _linalg
+    L = _linalg.cholesky(MhB)
     qacc = smooth.solve_chol(L, rhs)
     qvel = jnp.where(_dof_active(m, d), d.qvel + h * qacc, 0.0)
     qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)

@@ -106,10 +106,23 @@ class SimServer:
                         cls = obj.get("class", info.mesh or
                                       ["cube", "sphere", "cylinder",
                                        "mesh"][info.type])
+                        inertial = None
+                        if info.inertial is not None and info.inertial.m > 0:
+                            inertial = {"m": info.inertial.m,
+                                        "ixx": info.inertial.ixx,
+                                        "iyy": info.inertial.iyy,
+                                        "izz": info.inertial.izz}
                         names.append(self.sim.spawn(
                             cls, info.name,
                             pose=np.asarray(pose) if pose else None,
-                            velocity=np.asarray(vel) if vel else None))
+                            velocity=np.asarray(vel) if vel else None,
+                            size=(np.asarray(info.size)
+                                  if obj.get("info", {}).get("size")
+                                  or "size" in obj else None),
+                            rgba=(np.asarray(info.rgba)
+                                  if obj.get("info", {}).get("rgba")
+                                  or "rgba" in obj else None),
+                            inertial=inertial))
                 return {"names": names}
             if op == "destroy_objects":
                 states = []
@@ -246,9 +259,9 @@ class SimServer:
             markers.append({
                 "name": m.names.geom[g],
                 "type": int(lay.geom_type[g]),
-                "size": np.asarray(m.geom_size[g]).tolist(),
+                "size": np.asarray(d.geom_size[g]).tolist(),
                 "position": gx[g].tolist(),
-                "rgba": np.asarray(m.geom_rgba[g]).tolist()})
+                "rgba": np.asarray(d.geom_rgba[g]).tolist()})
         return {"time": float(d.time), "markers": markers}
 
     def _joint_states(self, robot=None) -> dict:

@@ -369,6 +369,14 @@ class Data:
 
     # masked-slot scene state (spawn/destroy; SURVEY §3.3 contract)
     body_active: jax.Array     # (nbody,) bool
+    # request-parameterized spawn geometry (mj_ros.cpp:941-966,1340-1412):
+    # the reference rebuilds the model from the request's size/rgba/inertial;
+    # here they are per-env STATE so a spawn applies them with zero retrace
+    geom_size: jax.Array       # (ngeom, 3)
+    geom_rbound: jax.Array     # (ngeom,)
+    geom_rgba: jax.Array       # (ngeom, 4)
+    body_mass: jax.Array       # (nbody,)
+    body_inertia: jax.Array    # (nbody, 3)
     # mocap bodies: pose set directly by the host/collectives (the '_ref'
     # twins of the reference's multi-instance sync, mj_sim.cpp:847-960)
     mocap_pos: jax.Array       # (nmocap, 3)

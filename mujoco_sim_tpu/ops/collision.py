@@ -21,6 +21,33 @@ from mujoco_sim_tpu.models.model import Model, Data, GeomType
 from mujoco_sim_tpu.ops import math as mm
 
 
+def _top_k_small(x: jax.Array, k: int):
+    """(values, indices) of the k LARGEST of x along the last axis.
+
+    lax.top_k lowers to a full variadic sort custom-call that costs ~2.5 ms
+    per step at 4096 envs on TPU (profiled r2); for the tiny n here
+    (candidate lists of 8..64) k argmax/mask passes fuse into the step
+    program and are ~100x cheaper.  Ties resolve to the lowest index, same
+    as lax.top_k.
+    """
+    n = x.shape[-1]
+    if k >= n:
+        # every element is selected; callers mask by value, so identity
+        # order suffices (and avoids a hidden sort)
+        idx = jnp.broadcast_to(jnp.arange(n), x.shape)
+        return x, idx
+    iota = jnp.arange(n)
+    cur = x
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        v = jnp.max(cur, axis=-1)
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(iota == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def _make_tangents(n: jax.Array):
     """Two unit tangents orthogonal to n (batch-safe)."""
     # pick the world axis least aligned with n
@@ -68,7 +95,7 @@ def _plane_box(pp, pR, s1, bp, bR, size2):
         "...ij,...kj->...ki", bR, corners * size2[..., None, :])
     h = jnp.einsum("...i,...ki->...k", n, pts - pp[..., None, :])
     # 4 smallest heights
-    neg_h, idx = jax.lax.top_k(-h, 4)
+    neg_h, idx = _top_k_small(-h, 4)
     dist = -neg_h
     pos = jnp.take_along_axis(pts, idx[..., None], axis=-2)
     pos = pos - n[..., None, :] * (0.5 * dist)[..., None]
@@ -288,7 +315,7 @@ def _box_box(p1, R1, s1, p2, R2, s2):
         - rb_k[..., None])
     dist = jnp.concatenate([d2c, d1c], axis=-1)
     pts = jnp.concatenate([pts2, pts1], axis=-2)
-    neg, idx = jax.lax.top_k(-dist, 8)
+    neg, idx = _top_k_small(-dist, 8)
     dist8 = -neg
     pos8 = jnp.take_along_axis(pts, idx[..., None], axis=-2)
     nrm8 = jnp.broadcast_to(n[..., None, :], pos8.shape)
@@ -303,7 +330,7 @@ def _plane_mesh(pp, pR, s1, mp, mR, verts, vmask):
     pts = mp[..., None, :] + jnp.einsum("...ij,...kj->...ki", mR, verts)
     h = jnp.einsum("...i,...ki->...k", n, pts - pp[..., None, :])
     h = jnp.where(vmask > 0.5, h, 1e9)
-    neg_h, idx = jax.lax.top_k(-h, 4)
+    neg_h, idx = _top_k_small(-h, 4)
     dist = -neg_h
     pos = jnp.take_along_axis(pts, idx[..., None], axis=-2)
     pos = pos - n[..., None, :] * (0.5 * dist)[..., None]
@@ -356,7 +383,7 @@ def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
     # stable NORMAL for face-on-face stacking.  Outside points (incl.
     # padding verts) keep positive sdf so they never activate.
     rank = jnp.where(pen, depth, sdf)
-    neg, idx = jax.lax.top_k(-rank, k_out)
+    neg, idx = _top_k_small(-rank, k_out)
     out_depth = jnp.take_along_axis(sdf, idx, axis=-1)
     return out_depth, idx, nref
 
@@ -415,7 +442,7 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
     n_loc = jax.nn.one_hot(ax, 3, dtype=dtype) * sign[..., None]
     n_w = jnp.einsum("...ij,...kj->...ki", R1, n_loc)  # outward of box=geom1
     dist_b = jnp.where(vmask2 > 0.5, -pen, 1e9)
-    neg2, top2 = jax.lax.top_k(-dist_b, 2)
+    neg2, top2 = _top_k_small(-dist_b, 2)
     d_b = -neg2
     pos_b = jnp.take_along_axis(vw, top2[..., None], axis=-2)
     n_b = jnp.take_along_axis(n_w, top2[..., None], axis=-2)
@@ -484,23 +511,26 @@ def collision(m: Model, d: Data) -> Data:
     dtype = d.qpos.dtype
     BIG = jnp.asarray(1e9, dtype)
 
-    cand_dist = jnp.full((m.ncand,), BIG, dtype)
-    cand_pos = jnp.zeros((m.ncand, 3), dtype)
-    cand_nrm = jnp.zeros((m.ncand, 3), dtype).at[:, 2].set(1.0)
-    cand_act = jnp.zeros((m.ncand,), bool)
-    cand_pair = jnp.asarray(lay.cand_pairid, jnp.int32)
+    # per-group candidate blocks, concatenated in the (contiguous, ordered)
+    # cand_adr layout at the end — scatters don't fuse on TPU
+    blk_dist, blk_pos, blk_nrm, blk_act, blk_pair = [], [], [], [], []
 
     from mujoco_sim_tpu.ops.colgroups import pair_key
     keys = [pair_key(GeomType(lay.geom_type[a]), GeomType(lay.geom_type[b]))[0]
             for a, b in zip(lay.pair_geom1, lay.pair_geom2)]
     groups, ncand = build_groups(keys)
     assert ncand == m.ncand, (ncand, m.ncand)
+    cursor = 0
     body_act = d.body_active
-    rbound = jnp.asarray(m.geom_rbound, dtype)
+    # size/rbound are Data leaves so spawn-time geometry overrides apply
+    # without retracing (runtime/sim.py spawn; mj_ros.cpp:941-966)
+    rbound = d.geom_rbound.astype(dtype)
     margin_all = jnp.asarray(m.pair_margin, dtype)
-    sizes = jnp.asarray(m.geom_size, dtype)
+    sizes = d.geom_size.astype(dtype)
 
     for g in groups:
+        assert g.cand_adr == cursor, (g.cand_adr, cursor)
+        cursor += g.ncand
         key = g.key
         sel = g.pair_idx
         if key not in EXPENSIVE:
@@ -525,7 +555,7 @@ def collision(m: Model, d: Data) -> Data:
             b1 = lay.geom_bodyid[g1]
             b2 = lay.geom_bodyid[g2]
             act = act & body_act[b1][..., None] & body_act[b2][..., None]
-            flat = g.cand_adr + np.arange(len(sel) * ncap)
+            pair_blk = jnp.asarray(np.repeat(sel, ncap), jnp.int32)
         else:
             fn = _DISPATCH_MESH[key]
             ncap = g.cap
@@ -539,7 +569,7 @@ def collision(m: Model, d: Data) -> Data:
             alive = (body_act[lay.geom_bodyid[pg1]]
                      & body_act[lay.geom_bodyid[pg2]])
             score = jnp.where(alive, bd, BIG)
-            _, selp = jax.lax.top_k(-score, P)
+            _, selp = _top_k_small(-score, P)
             pairid_d = jnp.asarray(sel, jnp.int32)[selp]
             g1d = jnp.asarray(pg1)[selp]
             g2d = jnp.asarray(pg2)[selp]
@@ -568,19 +598,25 @@ def collision(m: Model, d: Data) -> Data:
             gb = jnp.asarray(lay.geom_bodyid)
             act = (act & body_act[gb[g1d]][..., None]
                    & body_act[gb[g2d]][..., None])
-            flat = g.cand_adr + np.arange(P * ncap)
-            cand_pair = cand_pair.at[flat].set(
-                jnp.repeat(pairid_d, ncap).astype(jnp.int32))
+            pair_blk = jnp.repeat(pairid_d, ncap).astype(jnp.int32)
 
-        cand_dist = cand_dist.at[flat].set(dist.reshape(-1))
-        cand_pos = cand_pos.at[flat].set(pos.reshape(-1, 3))
-        cand_nrm = cand_nrm.at[flat].set(nrm.reshape(-1, 3))
-        cand_act = cand_act.at[flat].set(act.reshape(-1))
+        blk_dist.append(dist.reshape(-1))
+        blk_pos.append(pos.reshape(-1, 3))
+        blk_nrm.append(nrm.reshape(-1, 3))
+        blk_act.append(act.reshape(-1))
+        blk_pair.append(pair_blk)
+
+    cand_dist = jnp.concatenate(blk_dist)
+    cand_pos = jnp.concatenate(blk_pos)
+    cand_nrm = jnp.concatenate(blk_nrm)
+    cand_act = jnp.concatenate(blk_act)
+    cand_pair = jnp.concatenate(blk_pair)
+    assert cand_dist.shape[0] == m.ncand
 
     # ---- top-K compaction by penetration depth (active first)
     K = m.ncon_max
     score = jnp.where(cand_act, cand_dist, BIG)
-    _, idx = jax.lax.top_k(-score, K)
+    _, idx = _top_k_small(-score, K)
 
     sel_pair = cand_pair[idx]
     nrm_k = cand_nrm[idx]

@@ -5,6 +5,12 @@ reference acceleration from solref, regularization R = (1-d)/d * diagApprox)
 with *static* row layout: every potential row owns a fixed slot
 (models/compile.py assigns addresses); inactive rows are masked.
 
+TPU note: rows are built as vectorized per-section blocks and CONCATENATED
+in the compile-time address order (equality, dof friction, limits, contacts
+— models/compile.py:607-642) instead of scattered into preallocated arrays.
+Scatters don't fuse on TPU and dominated step time at small nv; the concat
+form is pure elementwise/gather work that XLA fuses into the step program.
+
 The reference depends on these semantics through mj_step: joint-couple
 equality for mimic joints (pr2.xml:398-411), weld equality for multi-instance
 '_ref' sync (mj_sim.cpp:933-938), joint limits, and contacts (SURVEY §2.2).
@@ -78,6 +84,81 @@ def _rot_jacobian(m: Model, d: Data, body_id):
     return ang.T[None] * mask[..., None, :]  # (..., 3, nv)
 
 
+# ---------------------------------------------------------------------------
+# Static (host-side) assembly plan, cached per Layout.
+# ---------------------------------------------------------------------------
+
+_PLAN_CACHE: dict = {}
+
+
+class _EqPlan:
+    """Static equality-section plan: per-type index arrays, constant one-hot
+    bases for joint couples, and the permutation restoring compile-time
+    (interleaved) row order from [JOINT | CONNECT | WELD] block order."""
+
+    def __init__(self, m: Model):
+        lay = m.layout
+        nv = m.nv
+        et = lay.eq_type
+        self.jsel = np.nonzero(et == int(EqType.JOINT))[0]
+        self.csel = np.nonzero(et == int(EqType.CONNECT))[0]
+        self.wsel = np.nonzero(et == int(EqType.WELD))[0]
+        # joint couples: dof addresses + one-hot base matrices
+        if len(self.jsel):
+            o1 = lay.eq_obj1id[self.jsel]
+            o2 = lay.eq_obj2id[self.jsel]
+            self.j_qa1 = lay.jnt_qposadr[o1]
+            self.j_da1 = lay.jnt_dofadr[o1]
+            self.j_has2 = o2 >= 0
+            o2s = np.where(self.j_has2, o2, 0)
+            self.j_qa2 = lay.jnt_qposadr[o2s]
+            self.j_da2 = lay.jnt_dofadr[o2s]
+            self.j_body = lay.jnt_bodyid[o1]
+            nJ = len(self.jsel)
+            b1 = np.zeros((nJ, nv))
+            b1[np.arange(nJ), self.j_da1] = 1.0
+            b2 = np.zeros((nJ, nv))
+            b2[np.arange(nJ), self.j_da2] = 1.0
+            b2[~self.j_has2] = 0.0
+            self.j_base1, self.j_base2 = b1, b2
+        # row permutation: dest row (relative to eq section) -> src row in
+        # the [J | C | W] block concat
+        rows_of = {int(EqType.JOINT): 1, int(EqType.CONNECT): 3,
+                   int(EqType.WELD): 6}
+        src_of_eq = {}
+        cursor = 0
+        for grp in (self.jsel, self.csel, self.wsel):
+            for k in grp:
+                src_of_eq[int(k)] = cursor
+                cursor += rows_of[int(et[k])]
+        self.n_rows = cursor
+        inv = np.zeros(cursor, dtype=int)
+        base = lay.eq_efcadr[0] if len(et) else 0
+        for k in range(len(et)):
+            adr = lay.eq_efcadr[k] - base
+            src = src_of_eq[int(k)]
+            for i in range(rows_of[int(et[k])]):
+                inv[adr + i] = src + i
+        self.perm = inv
+        self.perm_is_identity = bool(np.all(inv == np.arange(cursor)))
+
+
+def _eq_plan(m: Model) -> _EqPlan:
+    key = (m.layout, "eq")
+    got = _PLAN_CACHE.get(key)
+    if got is None:
+        got = _EqPlan(m)
+        _PLAN_CACHE[key] = got
+    return got
+
+
+def _onehot_rows(idx: np.ndarray, nv: int, sign=None):
+    """Constant (n, nv) one-hot matrix (host-side)."""
+    B = np.zeros((len(idx), nv))
+    B[np.arange(len(idx)), idx] = 1.0
+    return B
+
+
 def make_constraint(m: Model, d: Data, com: dict) -> Data:
     """Fill efc_* rows (mj_makeConstraint equivalent)."""
     lay = m.layout
@@ -86,135 +167,156 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
     if nefc == 0:
         return d
 
-    efc_J = jnp.zeros((nefc, nv), dtype)
-    efc_pos = jnp.zeros((nefc,), dtype)
-    efc_margin = jnp.zeros((nefc,), dtype)
-    efc_solref = jnp.zeros((nefc, 2), dtype)
-    efc_solimp = jnp.zeros((nefc, 5), dtype)
-    efc_diag = jnp.ones((nefc,), dtype)
-    efc_floss = jnp.zeros((nefc,), dtype)
-    efc_active = jnp.zeros((nefc,), bool)
-    efc_type = jnp.zeros((nefc,), jnp.int32)
-    efc_floss_row = jnp.zeros((nefc,), bool)
-
     origin = com["origin"]
     binv = jnp.asarray(m.body_invweight0, dtype)
     dinv = jnp.asarray(m.dof_invweight0, dtype)
     disable = m.opt.disableflags
 
+    # section accumulators (concatenated in address order at the end)
+    secs = {k: [] for k in ("J", "pos", "margin", "solref", "solimp",
+                            "diag", "floss", "active", "type", "flossrow")}
+
+    def emit(J, pos, solref, solimp, diag, active, etype,
+             margin=None, floss=None, flossrow=None):
+        n = J.shape[0]
+        z = jnp.zeros((n,), dtype)
+        secs["J"].append(J)
+        secs["pos"].append(pos)
+        secs["margin"].append(z if margin is None else margin)
+        secs["solref"].append(solref)
+        secs["solimp"].append(solimp)
+        secs["diag"].append(diag)
+        secs["floss"].append(z if floss is None else floss)
+        secs["active"].append(active)
+        secs["type"].append(jnp.full((n,), etype, jnp.int32))
+        secs["flossrow"].append(
+            jnp.zeros((n,), bool) if flossrow is None else flossrow)
+
     # ---------------- equality ----------------
-    if m.neq and not (disable & int(DisableBit.EQUALITY)):
-        for k in range(m.neq):
-            et = int(lay.eq_type[k])
-            adr = int(lay.eq_efcadr[k])
-            o1, o2 = int(lay.eq_obj1id[k]), int(lay.eq_obj2id[k])
-            data = jnp.asarray(m.eq_data, dtype)[k]
-            solref = jnp.asarray(m.eq_solref, dtype)[k]
-            solimp = jnp.asarray(m.eq_solimp, dtype)[k]
-            active = jnp.asarray(m.eq_active0)[k] & d.body_active[
-                lay.jnt_bodyid[o1] if et == int(EqType.JOINT) else o1]
-            if et == int(EqType.JOINT):
-                qa1 = int(lay.jnt_qposadr[o1])
-                da1 = int(lay.jnt_dofadr[o1])
-                q1 = d.qpos[qa1] - jnp.asarray(m.qpos0, dtype)[qa1]
-                if o2 >= 0:
-                    qa2 = int(lay.jnt_qposadr[o2])
-                    da2 = int(lay.jnt_dofadr[o2])
-                    dx = d.qpos[qa2] - jnp.asarray(m.qpos0, dtype)[qa2]
-                else:
-                    dx = jnp.asarray(0.0, dtype)
-                powers = jnp.stack([dx ** i for i in range(5)])
-                poly = jnp.dot(data[:5], powers)
-                dpoly = jnp.dot(data[1:5] * jnp.arange(1, 5, dtype=dtype),
-                                jnp.stack([dx ** i for i in range(4)]))
-                pos = q1 - poly
-                row = jnp.zeros((nv,), dtype).at[da1].set(1.0)
-                if o2 >= 0:
-                    row = row.at[da2].set(-dpoly)
-                efc_J = efc_J.at[adr].set(row)
-                efc_pos = efc_pos.at[adr].set(pos)
-                efc_solref = efc_solref.at[adr].set(solref)
-                efc_solimp = efc_solimp.at[adr].set(solimp)
-                diag = dinv[da1] + (dinv[da2] if o2 >= 0 else 0.0)
-                efc_diag = efc_diag.at[adr].set(diag)
-                efc_active = efc_active.at[adr].set(active)
-                efc_type = efc_type.at[adr].set(0)
-            elif et == int(EqType.CONNECT):
-                anchor1 = data[0:3]
-                anchor2 = data[3:6]
-                p1 = d.xpos[o1] + mm.rot_vec_quat(anchor1, d.xquat[o1])
-                p2 = d.xpos[o2] + mm.rot_vec_quat(anchor2, d.xquat[o2])
-                J1 = _point_jacobian(m, d, p1[None], np.array([o1]),
-                                     origin[o1][None])[0]
-                J2 = _point_jacobian(m, d, p2[None], np.array([o2]),
-                                     origin[o2][None])[0]
-                rows = J1 - J2
-                pos = p1 - p2
-                efc_J = efc_J.at[adr:adr + 3].set(rows)
-                efc_pos = efc_pos.at[adr:adr + 3].set(pos)
-                efc_solref = efc_solref.at[adr:adr + 3].set(solref)
-                efc_solimp = efc_solimp.at[adr:adr + 3].set(solimp)
-                diag = binv[o1, 0] + binv[o2, 0]
-                efc_diag = efc_diag.at[adr:adr + 3].set(diag)
-                efc_active = efc_active.at[adr:adr + 3].set(active)
-            else:  # WELD
-                anchor = data[0:3]
-                relpose_p = data[3:6]
-                relpose_q = data[6:10]
-                torquescale = data[10]
-                # pos: anchor point on body2 vs its target under body1
-                p2 = d.xpos[o2] + mm.rot_vec_quat(anchor, d.xquat[o2])
-                target = d.xpos[o1] + mm.rot_vec_quat(
-                    relpose_p + mm.rot_vec_quat(anchor, relpose_q),
-                    d.xquat[o1])
-                J2 = _point_jacobian(m, d, p2[None], np.array([o2]),
-                                     origin[o2][None])[0]
-                J1 = _point_jacobian(m, d, target[None], np.array([o1]),
-                                     origin[o1][None])[0]
-                rows_p = J2 - J1
-                pos_p = p2 - target
-                # rot: q_err = (q1 * relpose_q)^-1 * q2, 3D log * torquescale
-                q_target = mm.quat_mul(d.xquat[o1], relpose_q)
-                q_err = mm.quat_mul(mm.quat_inv(q_target), d.xquat[o2])
-                q_err = q_err * jnp.where(q_err[0] < 0, -1.0, 1.0)
-                pos_r = q_err[1:] * torquescale
-                Jr2 = _rot_jacobian(m, d, np.array([o2]))[0]
-                Jr1 = _rot_jacobian(m, d, np.array([o1]))[0]
-                # rotate angular jacobian into target frame (3 rows)
-                Rt = mm.quat_to_mat(q_target).T
-                rows_r = 0.5 * (Rt @ (Jr2 - Jr1)) * torquescale
-                efc_J = efc_J.at[adr:adr + 3].set(rows_p)
-                efc_J = efc_J.at[adr + 3:adr + 6].set(rows_r)
-                efc_pos = efc_pos.at[adr:adr + 3].set(pos_p)
-                efc_pos = efc_pos.at[adr + 3:adr + 6].set(pos_r)
-                efc_solref = efc_solref.at[adr:adr + 6].set(solref)
-                efc_solimp = efc_solimp.at[adr:adr + 6].set(solimp)
-                efc_diag = efc_diag.at[adr:adr + 3].set(
-                    binv[o1, 0] + binv[o2, 0])
-                efc_diag = efc_diag.at[adr + 3:adr + 6].set(
-                    (binv[o1, 1] + binv[o2, 1]) * torquescale * torquescale)
-                efc_active = efc_active.at[adr:adr + 6].set(active)
+    if m.neq:
+        plan = _eq_plan(m)
+        eq_off = (disable & int(DisableBit.EQUALITY)) != 0
+        eq_data = jnp.asarray(m.eq_data, dtype)
+        eq_solref = jnp.asarray(m.eq_solref, dtype)
+        eq_solimp = jnp.asarray(m.eq_solimp, dtype)
+        eq_act0 = jnp.asarray(m.eq_active0)
+        blocks = {k: [] for k in ("J", "pos", "solref", "solimp", "diag",
+                                  "active")}
+
+        def emit_eq(J, pos, solref, solimp, diag, active):
+            blocks["J"].append(J)
+            blocks["pos"].append(pos)
+            blocks["solref"].append(solref)
+            blocks["solimp"].append(solimp)
+            blocks["diag"].append(diag)
+            blocks["active"].append(active)
+
+        if len(plan.jsel):
+            js = plan.jsel
+            data = eq_data[js]                       # (nJ, 11)
+            qpos0 = jnp.asarray(m.qpos0, dtype)
+            q1 = d.qpos[plan.j_qa1] - qpos0[plan.j_qa1]
+            dx = jnp.where(jnp.asarray(plan.j_has2),
+                           d.qpos[plan.j_qa2] - qpos0[plan.j_qa2], 0.0)
+            # poly and its derivative (Horner)
+            c = data[:, :5]
+            poly = (((c[:, 4] * dx + c[:, 3]) * dx + c[:, 2]) * dx
+                    + c[:, 1]) * dx + c[:, 0]
+            dpoly = ((4.0 * c[:, 4] * dx + 3.0 * c[:, 3]) * dx
+                     + 2.0 * c[:, 2]) * dx + c[:, 1]
+            dpoly = jnp.where(jnp.asarray(plan.j_has2), dpoly, 0.0)
+            rows = (jnp.asarray(plan.j_base1, dtype)
+                    - dpoly[:, None] * jnp.asarray(plan.j_base2, dtype))
+            pos = q1 - poly
+            diag = dinv[plan.j_da1] + jnp.where(
+                jnp.asarray(plan.j_has2), dinv[plan.j_da2], 0.0)
+            active = eq_act0[js] & d.body_active[plan.j_body]
+            emit_eq(rows, pos, eq_solref[js], eq_solimp[js], diag, active)
+
+        if len(plan.csel):
+            cs = plan.csel
+            o1 = lay.eq_obj1id[cs]
+            o2 = lay.eq_obj2id[cs]
+            data = eq_data[cs]
+            anchor1, anchor2 = data[:, 0:3], data[:, 3:6]
+            p1 = d.xpos[o1] + mm.rot_vec_quat(anchor1, d.xquat[o1])
+            p2 = d.xpos[o2] + mm.rot_vec_quat(anchor2, d.xquat[o2])
+            J1 = _point_jacobian(m, d, p1, o1, origin[o1])
+            J2 = _point_jacobian(m, d, p2, o2, origin[o2])
+            rows = (J1 - J2).reshape(-1, nv)         # (3*nC, nv)
+            pos = (p1 - p2).reshape(-1)
+            diag = jnp.repeat(binv[o1, 0] + binv[o2, 0], 3)
+            active = jnp.repeat(eq_act0[cs] & d.body_active[o1], 3)
+            emit_eq(rows, pos, jnp.repeat(eq_solref[cs], 3, axis=0),
+                    jnp.repeat(eq_solimp[cs], 3, axis=0), diag, active)
+
+        if len(plan.wsel):
+            ws = plan.wsel
+            o1 = lay.eq_obj1id[ws]
+            o2 = lay.eq_obj2id[ws]
+            data = eq_data[ws]
+            anchor = data[:, 0:3]
+            relpose_p = data[:, 3:6]
+            relpose_q = data[:, 6:10]
+            torquescale = data[:, 10]
+            p2 = d.xpos[o2] + mm.rot_vec_quat(anchor, d.xquat[o2])
+            target = d.xpos[o1] + mm.rot_vec_quat(
+                relpose_p + mm.rot_vec_quat(anchor, relpose_q), d.xquat[o1])
+            J2 = _point_jacobian(m, d, p2, o2, origin[o2])
+            J1 = _point_jacobian(m, d, target, o1, origin[o1])
+            rows_p = J2 - J1                         # (nW, 3, nv)
+            pos_p = p2 - target
+            q_target = mm.quat_mul(d.xquat[o1], relpose_q)
+            q_err = mm.quat_mul(mm.quat_inv(q_target), d.xquat[o2])
+            q_err = q_err * jnp.where(q_err[:, 0:1] < 0, -1.0, 1.0)
+            pos_r = q_err[:, 1:] * torquescale[:, None]
+            Jr2 = _rot_jacobian(m, d, o2)
+            Jr1 = _rot_jacobian(m, d, o1)
+            Rt = jnp.swapaxes(mm.quat_to_mat(q_target), -1, -2)
+            rows_r = 0.5 * jnp.einsum("kij,kjv->kiv", Rt, Jr2 - Jr1) \
+                * torquescale[:, None, None]
+            rows = jnp.concatenate([rows_p, rows_r], axis=1).reshape(-1, nv)
+            pos = jnp.concatenate([pos_p, pos_r], axis=1).reshape(-1)
+            diag_p = (binv[o1, 0] + binv[o2, 0])[:, None].repeat(3, 1)
+            diag_r = ((binv[o1, 1] + binv[o2, 1])
+                      * torquescale * torquescale)[:, None].repeat(3, 1)
+            diag = jnp.concatenate([diag_p, diag_r], axis=1).reshape(-1)
+            active = jnp.repeat(eq_act0[ws] & d.body_active[o1], 6)
+            emit_eq(rows, pos, jnp.repeat(eq_solref[ws], 6, axis=0),
+                    jnp.repeat(eq_solimp[ws], 6, axis=0), diag, active)
+
+        Jb = jnp.concatenate(blocks["J"], axis=0)
+        posb = jnp.concatenate(blocks["pos"], axis=0)
+        srb = jnp.concatenate(blocks["solref"], axis=0)
+        sib = jnp.concatenate(blocks["solimp"], axis=0)
+        diagb = jnp.concatenate(blocks["diag"], axis=0)
+        actb = jnp.concatenate(blocks["active"], axis=0)
+        if not plan.perm_is_identity:
+            p = jnp.asarray(plan.perm)
+            Jb, posb, srb, sib, diagb, actb = (
+                Jb[p], posb[p], srb[p], sib[p], diagb[p], actb[p])
+        if eq_off:
+            actb = jnp.zeros_like(actb)
+        emit(Jb, posb, srb, sib, diagb, actb, 0)
 
     # ---------------- dof friction loss ----------------
-    if len(lay.fri_dofid) and not (disable & int(DisableBit.FRICTIONLOSS)):
+    if len(lay.fri_dofid):
         dofs = lay.fri_dofid
-        adrs = lay.fri_efcadr
-        efc_J = efc_J.at[adrs, dofs].set(1.0)
-        efc_floss = efc_floss.at[adrs].set(
-            jnp.asarray(m.dof_frictionloss, dtype)[dofs])
-        efc_solref = efc_solref.at[adrs].set(
-            jnp.asarray(m.opt.o_solref, dtype))
-        efc_solimp = efc_solimp.at[adrs].set(
-            jnp.asarray(m.opt.o_solimp, dtype))
-        efc_diag = efc_diag.at[adrs].set(dinv[dofs])
-        efc_active = efc_active.at[adrs].set(True)
-        efc_floss_row = efc_floss_row.at[adrs].set(True)
-        efc_type = efc_type.at[adrs].set(1)
+        n = len(dofs)
+        rows = jnp.asarray(_onehot_rows(dofs, nv), dtype)
+        active = jnp.full((n,), not (disable & int(DisableBit.FRICTIONLOSS)),
+                          bool)
+        emit(rows, jnp.zeros((n,), dtype),
+             jnp.broadcast_to(jnp.asarray(m.opt.o_solref, dtype), (n, 2)),
+             jnp.broadcast_to(jnp.asarray(m.opt.o_solimp, dtype), (n, 5)),
+             dinv[dofs], active, 1,
+             floss=jnp.asarray(m.dof_frictionloss, dtype)[dofs],
+             flossrow=jnp.ones((n,), bool))
 
     # ---------------- joint limits (hinge/slide) ----------------
-    if len(lay.lim_jntid) and not (disable & int(DisableBit.LIMIT)):
+    if len(lay.lim_jntid):
         jids = lay.lim_jntid
-        adrs = lay.lim_efcadr
+        n = len(jids)
         qadr = lay.jnt_qposadr[jids]
         dadr = lay.jnt_dofadr[jids]
         rng = jnp.asarray(m.jnt_range, dtype)[jids]
@@ -225,20 +327,17 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
         lower = dist_lo < dist_hi
         dist = jnp.where(lower, dist_lo, dist_hi)
         sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
-        efc_J = efc_J.at[adrs, dadr].set(sign)
-        efc_pos = efc_pos.at[adrs].set(dist - margin)
-        efc_margin = efc_margin.at[adrs].set(margin)
-        efc_solref = efc_solref.at[adrs].set(
-            jnp.asarray(m.jnt_solref, dtype)[jids])
-        efc_solimp = efc_solimp.at[adrs].set(
-            jnp.asarray(m.jnt_solimp, dtype)[jids])
-        efc_diag = efc_diag.at[adrs].set(dinv[dadr])
+        rows = sign[:, None] * jnp.asarray(_onehot_rows(dadr, nv), dtype)
         active = (dist < margin) & d.body_active[lay.jnt_bodyid[jids]]
-        efc_active = efc_active.at[adrs].set(active)
-        efc_type = efc_type.at[adrs].set(2)
+        if disable & int(DisableBit.LIMIT):
+            active = jnp.zeros_like(active)
+        emit(rows, dist - margin,
+             jnp.asarray(m.jnt_solref, dtype)[jids],
+             jnp.asarray(m.jnt_solimp, dtype)[jids],
+             dinv[dadr], active, 2, margin=margin)
 
     # ---------------- contacts (pyramidal, vectorized over the K budget) ----
-    if m.ncon_max and not (disable & int(DisableBit.CONTACT)):
+    if m.ncon_max:
         con = d.contact
         K = m.ncon_max
         mc = m.max_condim
@@ -268,11 +367,14 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
                     jnp.einsum("si,siv->sv", frame[:, 2], Jrdiff))
         pen = con.dist - con.includemargin
         invw = binv[b1, 0] + binv[b2, 0]
+        con_active = con.active
+        if disable & int(DisableBit.CONTACT):
+            con_active = jnp.zeros_like(con_active)
 
         if mc == 1:
             rows = Jn[:, None, :]                      # (K,1,nv)
             diag_rows = invw[:, None]
-            row_act = con.active[:, None]
+            row_act = con_active[:, None]
         else:
             axes = jnp.stack(fric_axes[: mc - 1], axis=1)   # (K, mc-1, nv)
             mu = con.friction[:, : mc - 1]                  # (K, mc-1)
@@ -287,24 +389,29 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
             # rows for friction axes beyond the contact's condim are masked;
             # frictionless contacts keep only the first +- pair (mu=0)
             axis_of_row = np.repeat(np.arange(mc - 1), 2)  # (nrows_per,)
-            row_act = con.active[:, None] & (
+            row_act = con_active[:, None] & (
                 jnp.asarray(axis_of_row)[None, :]
                 < jnp.maximum(con.dim - 1, 1)[:, None])
-        adrs = np.arange(K)[:, None] * nrows_per + m.contact_efcadr \
-            + np.arange(nrows_per)[None, :]
-        flat = adrs.reshape(-1)
-        efc_J = efc_J.at[flat].set(rows.reshape(K * nrows_per, -1))
-        efc_pos = efc_pos.at[flat].set(
-            jnp.repeat(pen, nrows_per).reshape(-1))
-        efc_margin = efc_margin.at[flat].set(
-            jnp.repeat(con.includemargin, nrows_per))
-        efc_solref = efc_solref.at[flat].set(
-            jnp.repeat(con.solref, nrows_per, axis=0))
-        efc_solimp = efc_solimp.at[flat].set(
-            jnp.repeat(con.solimp, nrows_per, axis=0))
-        efc_diag = efc_diag.at[flat].set(diag_rows.reshape(-1))
-        efc_active = efc_active.at[flat].set(row_act.reshape(-1))
-        efc_type = efc_type.at[flat].set(3)
+        emit(rows.reshape(K * nrows_per, nv),
+             jnp.repeat(pen, nrows_per),
+             jnp.repeat(con.solref, nrows_per, axis=0),
+             jnp.repeat(con.solimp, nrows_per, axis=0),
+             diag_rows.reshape(-1), row_act.reshape(-1), 3,
+             margin=jnp.repeat(con.includemargin, nrows_per))
+
+    efc_J = jnp.concatenate(secs["J"], axis=0)
+    efc_pos = jnp.concatenate(secs["pos"], axis=0)
+    efc_solref = jnp.concatenate(secs["solref"], axis=0)
+    efc_solimp = jnp.concatenate(secs["solimp"], axis=0)
+    efc_diag = jnp.concatenate(secs["diag"], axis=0)
+    efc_floss = jnp.concatenate(secs["floss"], axis=0)
+    efc_active = jnp.concatenate(secs["active"], axis=0)
+    efc_type = jnp.concatenate(secs["type"], axis=0)
+    efc_floss_row = jnp.concatenate(secs["flossrow"], axis=0)
+    assert efc_J.shape[0] == nefc, (efc_J.shape, nefc)
+
+    if disable & int(DisableBit.CONSTRAINT):
+        efc_active = jnp.zeros_like(efc_active)
 
     # ---------------- aref / D / R ----------------
     k, b, imp = kbi(efc_solref, efc_solimp, efc_pos, dtype)

@@ -56,11 +56,13 @@ def spring_damper(m: Model, qpos: jax.Array, qvel: jax.Array):
     return qfrc_spring, qfrc_damper
 
 
-def gravcomp(m: Model, com: dict, xipos: jax.Array) -> jax.Array:
+def gravcomp(m: Model, com: dict, xipos: jax.Array,
+             mass=None) -> jax.Array:
     """Anti-gravity force per body scaled by body_gravcomp."""
     dtype = xipos.dtype
     g = jnp.asarray(m.opt.gravity, dtype)
-    f = (-jnp.asarray(m.body_mass, dtype)
+    mass = jnp.asarray(m.body_mass, dtype) if mass is None else mass
+    f = (-mass.astype(dtype)
          * jnp.asarray(m.body_gravcomp, dtype))[:, None] * g
     r = xipos - com["origin"]
     tau_o = jnp.cross(r, f)
@@ -70,13 +72,13 @@ def gravcomp(m: Model, com: dict, xipos: jax.Array) -> jax.Array:
 
 
 def passive(m: Model, com: dict, qpos: jax.Array, qvel: jax.Array,
-            xipos: jax.Array):
+            xipos: jax.Array, mass=None):
     """(qfrc_passive, qfrc_spring, qfrc_damper, qfrc_gravcomp)."""
     dtype = qpos.dtype
     if m.opt.disableflags & int(DisableBit.PASSIVE):
         z = jnp.zeros(m.nv, dtype)
         return z, z, z, z
     qfrc_spring, qfrc_damper = spring_damper(m, qpos, qvel)
-    qfrc_gravcomp = gravcomp(m, com, xipos)
+    qfrc_gravcomp = gravcomp(m, com, xipos, mass)
     return (qfrc_spring + qfrc_damper + qfrc_gravcomp,
             qfrc_spring, qfrc_damper, qfrc_gravcomp)

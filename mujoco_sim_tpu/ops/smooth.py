@@ -148,13 +148,20 @@ def kinematics(m: Model, qpos: jax.Array, mocap_pos=None, mocap_quat=None):
                 geom_xmat=geom_xmat, site_xpos=site_xpos, site_xmat=site_xmat)
 
 
-def com_pos(m: Model, kin: dict):
-    """Subtree COM, c-frame body inertias, dof axes (mj_comPos equivalent)."""
+def com_pos(m: Model, kin: dict, mass=None, inertia=None):
+    """Subtree COM, c-frame body inertias, dof axes (mj_comPos equivalent).
+
+    mass/inertia default to the compiled model values; the engine passes the
+    Data-resident copies so spawn-time inertial overrides (runtime/sim.py)
+    take effect without retracing."""
     lay = m.layout
     xipos = kin["xipos"]
     ximat = kin["ximat"]
     dtype = xipos.dtype
-    mass = jnp.asarray(m.body_mass, dtype)
+    mass = (jnp.asarray(m.body_mass, dtype) if mass is None
+            else mass.astype(dtype))
+    body_inertia = (jnp.asarray(m.body_inertia, dtype) if inertia is None
+                    else inertia.astype(dtype))
 
     # subtree com: backward accumulation over levels
     mom = mass[:, None] * xipos
@@ -173,7 +180,7 @@ def com_pos(m: Model, kin: dict):
 
     # spatial inertia of each body about its c-frame origin
     inert_world = jnp.einsum("bij,bj,bkj->bik", ximat,
-                             m.body_inertia.astype(dtype), ximat)
+                             body_inertia, ximat)
     cinert = mm.spatial_inertia(mass, inert_world, xipos - origin)
 
     # cdof
@@ -353,9 +360,13 @@ def mul_m(m: Model, qM: jax.Array, vec: jax.Array) -> jax.Array:
 
 
 def factor_chol(qM: jax.Array) -> jax.Array:
-    return jnp.linalg.cholesky(qM)
+    # ops/linalg unrolled/blocked kernels: XLA's "Cholesky" custom-call costs
+    # ~2.5 ms at (4096, 6, 6) on TPU (r2 trace); the unrolled form fuses into
+    # the step program and is ~1000x cheaper at robot-sim sizes
+    from mujoco_sim_tpu.ops import linalg
+    return linalg.cholesky(qM)
 
 
 def solve_chol(L: jax.Array, rhs: jax.Array) -> jax.Array:
-    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    from mujoco_sim_tpu.ops import linalg
+    return linalg.cho_solve(L, rhs)

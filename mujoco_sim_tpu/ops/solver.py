@@ -124,7 +124,8 @@ def solve(m: Model, d: Data) -> Data:
         # small relative ridge keeps H SPD under f32 rounding
         ridge = 1e-7 * jnp.trace(H) / H.shape[0]
         H = H + ridge * jnp.eye(H.shape[0], dtype=H.dtype)
-        L = jnp.linalg.cholesky(H)
+        from mujoco_sim_tpu.ops import linalg
+        L = linalg.cholesky(H)
         p = -smooth.solve_chol(L, grad)
         p = jnp.where(jnp.isfinite(p), p, 0.0)
         alpha = line_search(a, p)

@@ -23,6 +23,14 @@ def env_healthy(d: Data, qvel_limit: float = 1e6) -> jax.Array:
     return finite & bounded
 
 
+def contact_saturated(m: Model, d: Data) -> jax.Array:
+    """True where the narrowphase found more active contacts than the
+    compiled ncon_max budget — the top-K compaction silently dropped the
+    shallowest ones (ops/collision.py).  Surfaced so fleets can flag
+    under-budgeted scenes instead of quietly losing contacts."""
+    return d.ncon > m.ncon_max
+
+
 def auto_reset(m: Model, dB: Data, qvel_limit: float = 1e6):
     """Replace diverged envs with fresh make_data state; report the mask.
 

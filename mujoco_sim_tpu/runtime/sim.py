@@ -62,8 +62,64 @@ class SpawnSlot:
     free_jnt: int                  # free joint id of the root (-1 if none)
     qpos_adr: int                  # its qpos address
     dof_adr: int
+    geoms: np.ndarray = None       # geom ids of the subtree
     in_use: bool = False
     public_name: str = ""
+
+
+def _rbound_of(gtype: int, s: np.ndarray) -> float:
+    """Bounding radius by geom type (matches models/compile.py:451-469)."""
+    from mujoco_sim_tpu.models.model import GeomType as GT
+    t = GT(gtype)
+    if t == GT.SPHERE:
+        return float(s[0])
+    if t == GT.CAPSULE:
+        return float(s[0] + s[1])
+    if t == GT.CYLINDER:
+        return float(np.sqrt(s[0] ** 2 + s[1] ** 2))
+    if t == GT.BOX:
+        return float(np.linalg.norm(s))
+    if t == GT.ELLIPSOID:
+        return float(s.max())
+    return 0.0
+
+
+def _mass_inertia_of(gtype: int, s: np.ndarray, density: float):
+    """(mass, diagonal inertia) from geometry + density (the MJCF compiler's
+    behavior the reference relies on when the request has no inertial,
+    mj_ros.cpp:941-966 building a plain <geom>)."""
+    from mujoco_sim_tpu.models.model import GeomType as GT
+    t = GT(gtype)
+    if t == GT.SPHERE:
+        r = float(s[0])
+        mass = density * 4.0 / 3.0 * np.pi * r ** 3
+        i = 0.4 * mass * r * r
+        return mass, np.array([i, i, i])
+    if t == GT.BOX:
+        sx, sy, sz = float(s[0]), float(s[1]), float(s[2])
+        mass = density * 8.0 * sx * sy * sz
+        return mass, mass / 3.0 * np.array(
+            [sy * sy + sz * sz, sx * sx + sz * sz, sx * sx + sy * sy])
+    if t == GT.CYLINDER:
+        r, h = float(s[0]), float(s[1])
+        mass = density * np.pi * r * r * (2.0 * h)
+        ixy = mass * (3.0 * r * r + 4.0 * h * h) / 12.0
+        return mass, np.array([ixy, ixy, 0.5 * mass * r * r])
+    if t == GT.CAPSULE:
+        r, h = float(s[0]), float(s[1])
+        m_cyl = density * np.pi * r * r * (2.0 * h)
+        m_sph = density * 4.0 / 3.0 * np.pi * r ** 3
+        mass = m_cyl + m_sph
+        iz = 0.5 * m_cyl * r * r + 0.4 * m_sph * r * r
+        ixy = (m_cyl * (3.0 * r * r + 4.0 * h * h) / 12.0
+               + m_sph * (0.4 * r * r + h * h + 0.75 * h * r))
+        return mass, np.array([ixy, ixy, iz])
+    if t == GT.ELLIPSOID:
+        a, b, c = float(s[0]), float(s[1]), float(s[2])
+        mass = density * 4.0 / 3.0 * np.pi * a * b * c
+        return mass, 0.2 * mass * np.array(
+            [b * b + c * c, a * a + c * c, a * a + b * b])
+    raise ValueError(f"cannot derive inertia for geom type {t}")
 
 
 def subtree_bodies(m: Model, root: int) -> np.ndarray:
@@ -110,7 +166,8 @@ class Simulation:
                         fj = j0
                         qa = int(lay.jnt_qposadr[j0])
                         da = int(lay.jnt_dofadr[j0])
-                lst.append(SpawnSlot(bid, bodies, fj, qa, da))
+                geoms = np.nonzero(np.isin(lay.geom_bodyid, bodies))[0]
+                lst.append(SpawnSlot(bid, bodies, fj, qa, da, geoms))
                 inactive.extend(bodies.tolist())
             self.slots[cls] = lst
         if inactive:
@@ -124,12 +181,23 @@ class Simulation:
 
     def spawn(self, object_class: str, requested_name: str = "",
               pose: Optional[np.ndarray] = None,
-              velocity: Optional[np.ndarray] = None) -> str:
+              velocity: Optional[np.ndarray] = None,
+              size: Optional[np.ndarray] = None,
+              rgba: Optional[np.ndarray] = None,
+              inertial: Optional[dict] = None,
+              density: float = 1000.0) -> str:
         """Claim a free slot; returns the allocated unique name.
 
         pose: (7,) [x y z qw qx qy qz]; velocity: (6,) [v w] — applied to
-        the slot's free joint (reference sets them from the request,
-        mj_ros.cpp:1340-1412).
+        the slot's free joint.  size/rgba/inertial parameterize the slot's
+        geometry per request like the reference's spawn building a geom from
+        ObjectInfo (mj_ros.cpp:941-966,1340-1412): geom size/rbound/rgba and
+        body mass/inertia are Data leaves, so this never retraces the step.
+        size applies to single-geom slots (primitive classes); inertial is
+        {"m": float, "ixx"/"iyy"/"izz": float} (com offsets unsupported);
+        without inertial, mass/inertia follow geometry at `density` (the
+        MJCF-compiler default the reference inherits).  Mesh-hull collision
+        shapes are compile-time; resizing mesh slots is rejected.
         """
         slots = self.slots.get(object_class)
         if not slots:
@@ -142,7 +210,8 @@ class Simulation:
         slot.public_name = name
         self.by_public_name[name] = slot
 
-        d = self.d
+        m, d = self.m, self.d
+        lay = m.layout
         ba = d.body_active.at[jnp.asarray(slot.bodies)].set(True)
         d = d.replace(body_active=ba)
         if slot.free_jnt >= 0 and pose is not None:
@@ -153,6 +222,52 @@ class Simulation:
             vel = jnp.asarray(velocity, d.qvel.dtype)
             d = d.replace(qvel=jax.lax.dynamic_update_slice(
                 d.qvel, vel, (slot.dof_adr,)))
+        if size is not None:
+            if slot.geoms is None or len(slot.geoms) != 1:
+                raise ValueError(
+                    f"size override requires a single-geom slot; "
+                    f"class {object_class} has {len(slot.geoms or [])} geoms")
+            g = int(slot.geoms[0])
+            gtype = int(lay.geom_type[g])
+            from mujoco_sim_tpu.models.model import GeomType as GT
+            if gtype == int(GT.MESH):
+                raise ValueError("mesh slots cannot be resized at runtime")
+            s3 = np.zeros(3)
+            s3[: len(np.atleast_1d(size))] = np.atleast_1d(size)
+            d = d.replace(
+                geom_size=d.geom_size.at[g].set(
+                    jnp.asarray(s3, d.geom_size.dtype)),
+                geom_rbound=d.geom_rbound.at[g].set(_rbound_of(gtype, s3)))
+            if inertial is not None:
+                mass = float(inertial["m"])
+                inert = np.array([inertial.get("ixx", 0.0),
+                                  inertial.get("iyy", 0.0),
+                                  inertial.get("izz", 0.0)])
+                if not inert.any():
+                    _, inert = _mass_inertia_of(gtype, s3, density)
+                    inert *= mass / max(_mass_inertia_of(
+                        gtype, s3, density)[0], 1e-12)
+            else:
+                mass, inert = _mass_inertia_of(gtype, s3, density)
+            b = slot.root_body
+            d = d.replace(
+                body_mass=d.body_mass.at[b].set(mass),
+                body_inertia=d.body_inertia.at[b].set(
+                    jnp.asarray(inert, d.body_inertia.dtype)))
+        elif inertial is not None:
+            b = slot.root_body
+            d = d.replace(body_mass=d.body_mass.at[b].set(
+                float(inertial["m"])))
+            inert = np.array([inertial.get("ixx", 0.0),
+                              inertial.get("iyy", 0.0),
+                              inertial.get("izz", 0.0)])
+            if inert.any():
+                d = d.replace(body_inertia=d.body_inertia.at[b].set(
+                    jnp.asarray(inert, d.body_inertia.dtype)))
+        if rgba is not None and slot.geoms is not None and len(slot.geoms):
+            d = d.replace(geom_rgba=d.geom_rgba.at[
+                jnp.asarray(slot.geoms)].set(
+                jnp.asarray(rgba, d.geom_rgba.dtype)))
         self.d = d
         return name
 
@@ -180,6 +295,28 @@ class Simulation:
                 d.qpos, park, (slot.qpos_adr,)))
             d = d.replace(qvel=jax.lax.dynamic_update_slice(
                 d.qvel, jnp.zeros(6, d.qvel.dtype), (slot.dof_adr,)))
+        # restore compiled defaults so the next spawn starts clean
+        m = self.m
+        if slot.geoms is not None and len(slot.geoms):
+            gs = jnp.asarray(slot.geoms)
+            d = d.replace(
+                geom_size=d.geom_size.at[gs].set(
+                    jnp.asarray(np.asarray(m.geom_size)[slot.geoms],
+                                d.geom_size.dtype)),
+                geom_rbound=d.geom_rbound.at[gs].set(
+                    jnp.asarray(np.asarray(m.geom_rbound)[slot.geoms],
+                                d.geom_rbound.dtype)),
+                geom_rgba=d.geom_rgba.at[gs].set(
+                    jnp.asarray(np.asarray(m.geom_rgba)[slot.geoms],
+                                d.geom_rgba.dtype)))
+        bs = jnp.asarray(slot.bodies)
+        d = d.replace(
+            body_mass=d.body_mass.at[bs].set(
+                jnp.asarray(np.asarray(m.body_mass)[slot.bodies],
+                            d.body_mass.dtype)),
+            body_inertia=d.body_inertia.at[bs].set(
+                jnp.asarray(np.asarray(m.body_inertia)[slot.bodies],
+                            d.body_inertia.dtype)))
         self.d = d.replace(body_active=ba)
         self.names.release(name)
         slot.in_use = False

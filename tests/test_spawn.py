@@ -102,3 +102,95 @@ def test_name_allocator_semantics():
     alloc.release(a)
     c = alloc.allocate("cube")
     assert c not in (b,)
+
+
+_PRIM_GEOM = {"cube": '<geom type="box" size=".05 .05 .05" mass="1"/>',
+              "sphere": '<geom type="sphere" size=".05" mass="1"/>',
+              "cylinder": '<geom type="cylinder" size=".05 .05" mass="1"/>'}
+
+
+def make_prim_sim(instances=2):
+    """cube/sphere/cylinder spawn classes like the reference driver
+    (test/test_spawn_and_destroy.py:29-45 spawns random-size primitives)."""
+    robots = {}
+    for cls, geom in _PRIM_GEOM.items():
+        path = f"tests/fixtures/spawn_{cls}.xml"
+        with open(path, "w") as f:
+            f.write(f"""
+<mujoco model="{cls}">
+  <worldbody>
+    <body name="{cls}" pos="0 0 0.5"><freejoint/>{geom}</body>
+  </worldbody>
+</mujoco>""")
+        robots[cls] = scene.RobotConfig(path=path)
+    world = scene.compose("/root/reference/model/world/empty.xml",
+                          robots=robots, instances=instances)
+    m = set_const(compile_spec(world))
+    spawnable = {}
+    for cls in _PRIM_GEOM:
+        roots = [n for n in m.names.body
+                 if n == cls or n.endswith("_" + cls)]
+        spawnable[cls] = sorted(roots)
+    return Simulation(m, spawnable=spawnable)
+
+
+def test_spawn_request_geometry():
+    """Request-specified size/rgba/inertial take effect with zero retrace
+    (reference builds the geom from ObjectInfo, mj_ros.cpp:941-966)."""
+    rng = np.random.default_rng(10)  # the reference driver seeds 10
+    sim = make_prim_sim()
+    step = jax.jit(engine.step)
+    d0 = step(sim.m, sim.d)
+    compiles = step._cache_size()
+
+    lay = sim.m.layout
+    expected = []
+    for i, (cls, half_height) in enumerate(
+            [("cube", None), ("sphere", None), ("cylinder", None)]):
+        s = float(rng.uniform(0.04, 0.12))
+        size = {"cube": [s, s, s], "sphere": [s, 0, 0],
+                "cylinder": [s, s, 0]}[cls]
+        rgba = rng.uniform(0, 1, 4).tolist()
+        name = sim.spawn(cls, f"obj_{cls}",
+                         pose=np.array([i * 0.8, 0, 0.4, 1, 0, 0, 0]),
+                         size=np.asarray(size), rgba=np.asarray(rgba))
+        slot = sim.by_public_name[name]
+        g = int(slot.geoms[0])
+        np.testing.assert_allclose(np.asarray(sim.d.geom_size[g])[:len(size)],
+                                   size, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sim.d.geom_rgba[g]), rgba,
+                                   atol=1e-6)
+        # density-derived mass: sphere 4/3 pi r^3 * 1000
+        mass = float(sim.d.body_mass[slot.root_body])
+        if cls == "sphere":
+            np.testing.assert_allclose(mass, 4 / 3 * np.pi * s**3 * 1000,
+                                       rtol=1e-5)
+        expected.append((name, slot, s))
+
+    for _ in range(150):
+        sim.d = step(sim.m, sim.d)
+    assert step._cache_size() == compiles  # zero retrace (SURVEY §3.3)
+
+    # each object settles resting on the floor at its own size
+    for name, slot, s in expected:
+        z = float(sim.d.qpos[slot.qpos_adr + 2])
+        assert abs(z - s) < 0.02, (name, z, s)
+
+    # destroy restores compiled defaults for the slot
+    g0 = int(expected[0][1].geoms[0])
+    sim.destroy(expected[0][0])
+    np.testing.assert_allclose(np.asarray(sim.d.geom_size[g0]),
+                               np.asarray(sim.m.geom_size)[g0], atol=1e-6)
+
+
+def test_spawn_inertial_override():
+    sim = make_prim_sim()
+    name = sim.spawn("cube", "heavy", pose=np.array([0, 0, 0.3, 1, 0, 0, 0]),
+                     size=np.array([0.05, 0.05, 0.05]),
+                     inertial={"m": 7.5, "ixx": 0.1, "iyy": 0.1, "izz": 0.1})
+    slot = sim.by_public_name[name]
+    assert abs(float(sim.d.body_mass[slot.root_body]) - 7.5) < 1e-6
+    np.testing.assert_allclose(np.asarray(
+        sim.d.body_inertia[slot.root_body]), [0.1, 0.1, 0.1], atol=1e-6)
+    sim.step(50)
+    assert np.isfinite(np.asarray(sim.d.qpos)).all()
