@@ -222,7 +222,11 @@ def fwd_constraint(m: Model, d: Data) -> Data:
     if m.nefc_max == 0 or (m.opt.disableflags & int(DisableBit.CONSTRAINT)):
         return d.replace(qacc=d.qacc_smooth,
                          qfrc_constraint=jnp.zeros_like(d.qacc_smooth))
-    return solver_mod.solve(m, d)
+    d = solver_mod.solve(m, d)
+    if m.opt.noslip_iterations > 0:
+        from mujoco_sim_tpu.ops import noslip as noslip_mod
+        d = noslip_mod.noslip(m, d)
+    return d
 
 
 @_full_precision

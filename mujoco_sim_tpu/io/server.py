@@ -26,7 +26,16 @@ from mujoco_sim_tpu.runtime.sim import Simulation
 
 class SimServer:
     def __init__(self, sim: Simulation, host="127.0.0.1", port=7500,
-                 spec=None, robots=None, step_hz: float | None = None):
+                 spec=None, robots=None, step_hz: float | None = None,
+                 receive: dict | None = None, peer: tuple | None = None,
+                 receive_rate: float = 60.0):
+        """receive/peer implement the reference's multi-instance coupling
+        (src/config/sim_1.yaml send:/receive:, mj_sim.cpp:847-960): `receive`
+        maps body names (whose '<name>_ref' mocap twins exist in the model,
+        models/scene.py add_reference_bodies) to received attrs; `peer` is
+        (host, port) of the sending SimServer whose object_states stream
+        drives the twins.  The send side needs no config — object_states is
+        always published."""
         self.sim = sim
         self.host = host
         self.port = port
@@ -39,7 +48,20 @@ class SimServer:
         self._loop = None
         self._thread = None
         self._sim_thread = None
+        self._recv_thread = None
         self.step_hz = step_hz
+        self.receive = receive or {}
+        self.peer = peer
+        self.receive_rate = receive_rate
+        # body name -> mocap slot of its '_ref' twin
+        self._recv_mocap = {}
+        lay = sim.m.layout
+        for name in self.receive:
+            bid = sim.m.names.body_id(f"{name}_ref")
+            if bid < 0:
+                raise KeyError(f"receive body {name} has no {name}_ref twin "
+                               "(compose the scene with reference_bodies)")
+            self._recv_mocap[name] = int(lay.body_mocapid[bid])
 
     # ---------------- sim thread ----------------
     def _sim_worker(self):
@@ -66,6 +88,52 @@ class SimServer:
                 rest = period - (time.perf_counter() - t0)
                 if rest > 0:
                     time.sleep(rest)
+
+    # ---------------- receive-side sync thread ----------------
+    def _receiver_worker(self):
+        """Subscribe to the peer's object_states and drive the local '_ref'
+        mocap twins (reference: external instance sets the grey clones'
+        poses; the weld drags the local body, mj_sim.cpp:847-960)."""
+        import jax.numpy as jnp
+        from mujoco_sim_tpu.io.client import SimClient
+
+        while self._running:
+            try:
+                cli = SimClient(self.peer[0], self.peer[1])
+            except OSError:
+                time.sleep(0.2)
+                continue
+            try:
+                for msg in cli.subscribe(["object_states"],
+                                         rate=self.receive_rate):
+                    if not self._running:
+                        break
+                    objs = msg.get("object_states", {}).get("objects", [])
+                    updates = []
+                    for o in objs:
+                        mid = self._recv_mocap.get(o.get("name"))
+                        if mid is None:
+                            continue
+                        pose = o.get("pose", {})
+                        updates.append((mid, pose.get("position"),
+                                        pose.get("orientation")))
+                    if not updates:
+                        continue
+                    with self._lock:
+                        d = self.sim.d
+                        mp, mq = d.mocap_pos, d.mocap_quat
+                        for mid, pos, quat in updates:
+                            if pos is not None:
+                                mp = mp.at[mid].set(
+                                    jnp.asarray(pos, mp.dtype))
+                            if quat is not None:
+                                mq = mq.at[mid].set(
+                                    jnp.asarray(quat, mq.dtype))
+                        self.sim.d = d.replace(mocap_pos=mp, mocap_quat=mq)
+            except (OSError, ConnectionError, ValueError):
+                time.sleep(0.2)
+            finally:
+                cli.close()
 
     # ---------------- request handling ----------------
     async def _handle(self, reader: asyncio.StreamReader,
@@ -336,6 +404,10 @@ class SimServer:
             self._sim_thread = threading.Thread(target=self._sim_worker,
                                                 daemon=True)
             self._sim_thread.start()
+        if self.receive and self.peer:
+            self._recv_thread = threading.Thread(
+                target=self._receiver_worker, daemon=True)
+            self._recv_thread.start()
 
     def stop(self):
         self._running = False

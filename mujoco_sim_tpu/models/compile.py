@@ -682,6 +682,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
         solver_iterations=ospec.iterations,
         ls_iterations=ospec.ls_iterations,
         tolerance=ospec.tolerance,
+        noslip_iterations=ospec.noslip_iterations,
+        noslip_tolerance=ospec.noslip_tolerance,
         disableflags=ospec.disableflags,
     )
 

@@ -148,6 +148,8 @@ class OptionSpec:
     iterations: int = 100
     ls_iterations: int = 50
     tolerance: float = 1e-8
+    noslip_iterations: int = 0
+    noslip_tolerance: float = 1e-6
     o_margin: float = 0.0
     o_solref: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.02, 1.0]))
@@ -354,6 +356,10 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         opt.iterations = int(_get_f(el, "iterations", opt.iterations))
         opt.ls_iterations = int(_get_f(el, "ls_iterations", opt.ls_iterations))
         opt.tolerance = _get_f(el, "tolerance", opt.tolerance)
+        opt.noslip_iterations = int(_get_f(el, "noslip_iterations",
+                                           opt.noslip_iterations))
+        opt.noslip_tolerance = _get_f(el, "noslip_tolerance",
+                                      opt.noslip_tolerance)
         opt.o_margin = _get_f(el, "o_margin", opt.o_margin)
         for fl in el.findall("flag"):
             from mujoco_sim_tpu.models.model import DisableBit

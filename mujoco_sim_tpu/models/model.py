@@ -104,6 +104,8 @@ class Option:
     solver_iterations: int = static(default=50)
     ls_iterations: int = static(default=20)
     tolerance: float = static(default=1e-8)
+    noslip_iterations: int = static(default=0)
+    noslip_tolerance: float = static(default=1e-6)
     disableflags: int = static(default=0)
 
 

@@ -43,7 +43,7 @@ PAIR_NCON = {
     (GeomType.CAPSULE, GeomType.BOX): 3,
     (GeomType.BOX, GeomType.BOX): 8,
     (GeomType.SPHERE, GeomType.MESH): 1,
-    (GeomType.CAPSULE, GeomType.MESH): 2,
+    (GeomType.CAPSULE, GeomType.MESH): 3,
     (GeomType.BOX, GeomType.MESH): 4,
     (GeomType.MESH, GeomType.MESH): 4,
 }
@@ -56,6 +56,10 @@ EXPENSIVE = {
     (GeomType.MESH, GeomType.MESH),
 }
 
+# Narrowphased hull pairs per group per step: the bound-distance prefilter
+# keeps this many closest pairs.  16 is NOT enough for PR2 — its large
+# base/shoulder hulls have >16 permanently-overlapping bounding spheres that
+# outrank the small fingertip pairs which actually touch (r2 regression).
 DEFAULT_TOP_P = 32
 
 

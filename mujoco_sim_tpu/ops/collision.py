@@ -97,7 +97,7 @@ def _plane_box(pp, pR, s1, bp, bR, size2):
     # 4 smallest heights
     neg_h, idx = _top_k_small(-h, 4)
     dist = -neg_h
-    pos = jnp.take_along_axis(pts, idx[..., None], axis=-2)
+    pos = _select_rows(pts, idx)
     pos = pos - n[..., None, :] * (0.5 * dist)[..., None]
     nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
     return dist, pos, nrm
@@ -251,13 +251,15 @@ def _sphere_box(p1, R1, s1, p2, R2, s2):
 
 
 def _box_box(p1, R1, s1, p2, R2, s2):
-    """8 contacts via face-axis SAT + corner candidates.
+    """8 contacts via full SAT (6 face + 9 edge-edge axes).
 
-    The separating axis is chosen among the 6 face normals (max separation /
-    min penetration); all contacts share that normal, giving stable
-    face-face stacking.  Corner candidates of each box are measured as
-    penetration past the other box's support plane along the axis, gated by
-    lateral containment.  Edge-edge axes land in a later round.
+    The separating axis is chosen among all 15 (max separation / min
+    penetration) with a small bias toward face normals for stable
+    face-on-face stacking.  Face axis -> corner candidates of each box
+    measured as penetration past the other box's support plane along the
+    axis, gated by lateral containment.  Edge-edge axis -> one contact at
+    the closest point between the two support edges (the case mj_collideBox
+    handles through its cross-axis SAT).
     """
     dtype = p1.dtype
     corners = jnp.asarray(np.array(
@@ -276,12 +278,66 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     ta = jnp.einsum("...ai,...i->...a", axes, t)
     sep = jnp.abs(ta) - ra - rb          # (...,6), >0 = separated
     k = jnp.argmax(sep, axis=-1)
+    sep_face = jnp.max(sep, axis=-1)
     a_k = jnp.take_along_axis(axes, k[..., None, None].repeat(3, -1),
                               axis=-2)[..., 0, :]
     ta_k = jnp.take_along_axis(ta, k[..., None], axis=-1)[..., 0]
     n = a_k * jnp.sign(ta_k)[..., None]  # points from box1 toward box2
     ra_k = jnp.take_along_axis(ra, k[..., None], axis=-1)[..., 0]
     rb_k = jnp.take_along_axis(rb, k[..., None], axis=-1)[..., 0]
+
+    # ---- edge-edge axes: cross(R1[:,i], R2[:,j]), 9 candidates
+    e1 = jnp.swapaxes(R1, -1, -2)        # (...,3,3) rows = box1 axes
+    e2 = jnp.swapaxes(R2, -1, -2)
+    cr = jnp.cross(e1[..., :, None, :], e2[..., None, :, :])  # (...,3,3,3)
+    cr = cr.reshape(cr.shape[:-3] + (9, 3))
+    crn = jnp.linalg.norm(cr, axis=-1)
+    ok = crn > 1e-6                       # near-parallel edges degenerate
+    cru = cr / jnp.maximum(crn[..., None], 1e-12)
+    ra_e = jnp.einsum("...aj,...j->...a",
+                      jnp.abs(jnp.einsum("...ai,...ij->...aj", cru, R1)), s1)
+    rb_e = jnp.einsum("...aj,...j->...a",
+                      jnp.abs(jnp.einsum("...ai,...ij->...aj", cru, R2)), s2)
+    ta_e = jnp.einsum("...ai,...i->...a", cru, t)
+    sep_e = jnp.where(ok, jnp.abs(ta_e) - ra_e - rb_e, -1e9)
+    ke = jnp.argmax(sep_e, axis=-1)
+    sep_edge = jnp.max(sep_e, axis=-1)
+    # face bias: the edge axis must beat the best face axis by a margin to
+    # be chosen (avoids flip-flopping on near-degenerate configurations)
+    edge_wins = sep_edge > sep_face + jnp.asarray(1e-4, dtype)
+    a_e = jnp.take_along_axis(cru, ke[..., None, None].repeat(3, -1),
+                              axis=-2)[..., 0, :]
+    ta_ke = jnp.take_along_axis(ta_e, ke[..., None], axis=-1)[..., 0]
+    n_e = a_e * jnp.sign(ta_ke)[..., None]   # from box1 toward box2
+    # support edges: box1 edge along axis i shifted maximally along +n_e,
+    # box2 edge along axis j shifted along -n_e
+    i_idx = ke // 3
+    j_idx = ke % 3
+    dir1 = jnp.take_along_axis(e1, i_idx[..., None, None].repeat(3, -1),
+                               axis=-2)[..., 0, :]
+    dir2 = jnp.take_along_axis(e2, j_idx[..., None, None].repeat(3, -1),
+                               axis=-2)[..., 0, :]
+    sgn1 = jnp.sign(jnp.einsum("...ai,...i->...a", e1, n_e))
+    sgn2 = -jnp.sign(jnp.einsum("...ai,...i->...a", e2, n_e))
+    mask1 = 1.0 - jax.nn.one_hot(i_idx, 3, dtype=dtype)   # off-axis dims
+    mask2 = 1.0 - jax.nn.one_hot(j_idx, 3, dtype=dtype)
+    c1 = p1 + jnp.einsum("...a,...a,...ai->...i", sgn1 * mask1, s1, e1)
+    c2 = p2 + jnp.einsum("...a,...a,...ai->...i", sgn2 * mask2, s2, e2)
+    h1 = jnp.take_along_axis(s1, i_idx[..., None], axis=-1)[..., 0]
+    h2 = jnp.take_along_axis(s2, j_idx[..., None], axis=-1)[..., 0]
+    # closest points between segments (c1 +- h1 dir1), (c2 +- h2 dir2)
+    d12 = c2 - c1
+    Bd = jnp.einsum("...i,...i->...", dir1, dir2)
+    Cd = jnp.einsum("...i,...i->...", dir1, d12)
+    Ed = jnp.einsum("...i,...i->...", dir2, d12)
+    den = jnp.maximum(1.0 - Bd * Bd, 1e-9)
+    t1 = jnp.clip((Cd - Bd * Ed) / den, -h1, h1)
+    t2 = jnp.clip(Bd * t1 - Ed, -h2, h2)
+    t1 = jnp.clip(Cd + Bd * t2, -h1, h1)
+    q1 = c1 + dir1 * t1[..., None]
+    q2 = c2 + dir2 * t2[..., None]
+    pos_edge = 0.5 * (q1 + q2)
+    dist_edge = jnp.where(edge_wins, sep_edge, jnp.asarray(1e9, dtype))
 
     def corner_candidates(pc, Rc, sc, p_other, R_other, s_other,
                           depth_fn):
@@ -314,11 +370,18 @@ def _box_box(p1, R1, s1, p2, R2, s2):
                                p2[..., None, :] - pts)
         - rb_k[..., None])
     dist = jnp.concatenate([d2c, d1c], axis=-1)
-    pts = jnp.concatenate([pts2, pts1], axis=-2)
+    # corners are bogus when the separating axis is edge-edge
+    dist = jnp.where(edge_wins[..., None], 1e9, dist)
+    dist = jnp.concatenate([dist, dist_edge[..., None]], axis=-1)  # (...,17)
+    pts = jnp.concatenate([pts2, pts1, pos_edge[..., None, :]], axis=-2)
+    nrms = jnp.concatenate(
+        [jnp.broadcast_to(n[..., None, :], pts2.shape),
+         jnp.broadcast_to(n[..., None, :], pts1.shape),
+         n_e[..., None, :]], axis=-2)
     neg, idx = _top_k_small(-dist, 8)
     dist8 = -neg
-    pos8 = jnp.take_along_axis(pts, idx[..., None], axis=-2)
-    nrm8 = jnp.broadcast_to(n[..., None, :], pos8.shape)
+    pos8 = _select_rows(pts, idx)
+    nrm8 = _select_rows(nrms, idx)
     return dist8, pos8, nrm8
 
 
@@ -332,7 +395,7 @@ def _plane_mesh(pp, pR, s1, mp, mR, verts, vmask):
     h = jnp.where(vmask > 0.5, h, 1e9)
     neg_h, idx = _top_k_small(-h, 4)
     dist = -neg_h
-    pos = jnp.take_along_axis(pts, idx[..., None], axis=-2)
+    pos = _select_rows(pts, idx)
     pos = pos - n[..., None, :] * (0.5 * dist)[..., None]
     nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
     return dist, pos, nrm
@@ -355,44 +418,49 @@ def _hull_sdf(pts_local, planes):
 
 
 def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
-    """Vertex depths measured along a SHARED reference face.
+    """Vertex depths measured along the face-normal SAT axis.
 
-    The reference face is the sdf face of the shallowest penetrating vertex
-    (the entry face) — deep vertices would otherwise pick lateral faces and
-    destabilize face-on-face stacking (cf. the box-box SAT fix).
+    The reference face maximizes (over faces) the minimum (over points)
+    signed distance — for face-dominated contact this is the true MTV axis,
+    so the deepest vertex's depth equals MuJoCo's MPR penetration depth
+    (the r1 per-vertex-nearest-face sdf underestimated it: PR2 fingertips
+    read -1.06 mm vs the oracle's -1.73 mm).  Edge-edge hull axes are not
+    enumerated; depth is a lower bound in that (rarer) case.
     Returns (depth (...,k_out), pts idx (...,k_out), nref (...,3) local).
     """
-    sdf, fidx = _hull_sdf(pts_local, planes)
+    vals = (jnp.einsum("...ki,...fi->...kf", pts_local, planes[..., :3])
+            - planes[..., None, :, 3])          # (..., V, F)
     if pts_mask is not None:
-        sdf = jnp.where(pts_mask > 0.5, sdf, 1e9)
-    pen = sdf < 0
-    score = jnp.where(pen, sdf, -jnp.inf)
-    ref_v = jnp.argmax(score, axis=-1)
-    any_pen = pen.any(axis=-1)
-    # fall back to the globally closest vertex's face when nothing penetrates
-    ref_v = jnp.where(any_pen, ref_v, jnp.argmin(sdf, axis=-1))
-    ref_f = jnp.take_along_axis(fidx, ref_v[..., None], axis=-1)[..., 0]
-    plane = jnp.take_along_axis(
-        planes, ref_f[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+        vals = jnp.where(pts_mask[..., :, None] > 0.5, vals, 1e9)
+    per_face_min = vals.min(axis=-2)            # (..., F) support separation
+    ref_f = jnp.argmax(per_face_min, axis=-1)
+    # one-hot contraction instead of take_along_axis: TPU element gathers on
+    # the (V, F) tensor cost ~8 ms/step on PR2 (r2 trace fusion.8608), and
+    # recomputing depth from the 4-float plane avoids materializing vals
+    oh = jax.nn.one_hot(ref_f, planes.shape[-2], dtype=planes.dtype)
+    plane = jnp.einsum("...f,...fj->...j", oh, planes)
     nref = plane[..., :3]
     depth = (jnp.einsum("...ki,...i->...k", pts_local, nref)
              - plane[..., 3:4])
-    # Depth magnitude: the per-vertex nearest-face sdf (conservative
-    # underestimate of true MTV depth; matches the oracle's shallow values
-    # at near-touching hulls).  The shared reference face only provides a
-    # stable NORMAL for face-on-face stacking.  Outside points (incl.
-    # padding verts) keep positive sdf so they never activate.
-    rank = jnp.where(pen, depth, sdf)
-    neg, idx = _top_k_small(-rank, k_out)
-    out_depth = jnp.take_along_axis(sdf, idx, axis=-1)
+    if pts_mask is not None:
+        depth = jnp.where(pts_mask > 0.5, depth, 1e9)
+    neg, idx = _top_k_small(-depth, k_out)
+    out_depth = -neg
     return out_depth, idx, nref
 
 
 def _face_normal_world(R, planes, fidx):
     # fidx (...,k); planes (...,f,4) -> outward face normals (...,k,3) world
-    nf = jnp.take_along_axis(planes[..., :3],
-                             fidx[..., :, None].repeat(3, -1), axis=-2)
+    # (one-hot contraction: element gathers are slow on TPU, r2 trace)
+    oh = jax.nn.one_hot(fidx, planes.shape[-2], dtype=planes.dtype)
+    nf = jnp.einsum("...kf,...fj->...kj", oh, planes[..., :3])
     return jnp.einsum("...ij,...kj->...ki", R, nf)
+
+
+def _select_rows(pts, idx):
+    """pts (..., n, 3) at idx (..., k) -> (..., k, 3) via one-hot matmul."""
+    oh = jax.nn.one_hot(idx, pts.shape[-2], dtype=pts.dtype)
+    return jnp.einsum("...kn,...nj->...kj", oh, pts)
 
 
 def _sphere_mesh(p1, R1, s1, p2, R2, verts2, planes2):
@@ -406,16 +474,40 @@ def _sphere_mesh(p1, R1, s1, p2, R2, verts2, planes2):
 
 
 def _capsule_mesh(p1, R1, s1, p2, R2, verts2, planes2):
+    """3 sphere probes along the axis: both ends + the mid point.
+
+    The mid probe supplies side contacts when the capsule lies across a hull
+    face/edge (VERDICT r1 #3: end-sphere-only probing missed them); a
+    refinement step slides each probe toward its face's deepest axis point.
+    """
     axis = R1[..., :, 2]
     hh = s1[..., 1]
-    ends = jnp.stack([p1 + axis * hh[..., None], p1 - axis * hh[..., None]],
-                     axis=-2)  # (...,2,3)
-    cl = jnp.einsum("...ji,...kj->...ki", R2, ends - p2[..., None, :])
+    probes = jnp.stack([p1 + axis * hh[..., None],
+                        p1 - axis * hh[..., None],
+                        p1], axis=-2)  # (...,3,3)
+    cl = jnp.einsum("...ji,...kj->...ki", R2, probes - p2[..., None, :])
     sdf, fidx = _hull_sdf(cl, planes2)
+    # refine: move each probe along the capsule axis to the deepest point
+    # against its current face plane (linear in the axis parameter), then
+    # re-evaluate the sdf there — catches edge contacts between the probes
+    oh_f = jax.nn.one_hot(fidx, planes2.shape[-2], dtype=planes2.dtype)
+    nf = jnp.einsum("...kf,...fj->...kj", oh_f, planes2[..., :3])
+    axis_l = jnp.einsum("...ji,...j->...i", R2, axis)   # axis in hull frame
+    slope = jnp.einsum("...ki,...i->...k", nf, axis_l)  # d sdf / d t
+    t0 = jnp.stack([hh, -hh, jnp.zeros_like(hh)], axis=-1)
+    t_ref = jnp.clip(t0 - jnp.sign(slope) * hh[..., None],
+                     -hh[..., None], hh[..., None])
+    cl_ref = cl + axis_l[..., None, :] * (t_ref - t0)[..., None]
+    sdf_r, fidx_r = _hull_sdf(cl_ref, planes2)
+    better = sdf_r < sdf
+    sdf = jnp.where(better, sdf_r, sdf)
+    fidx = jnp.where(better, fidx_r, fidx)
+    t_best = jnp.where(better, t_ref, t0)
+    centers = p1[..., None, :] + axis[..., None, :] * t_best[..., None]
     r = s1[..., 0:1]
     dist = sdf - r
     n_w = -_face_normal_world(R2, planes2, fidx)
-    pos = ends + n_w * (r + 0.5 * dist)[..., None]
+    pos = centers + n_w * (r + 0.5 * dist)[..., None]
     return dist, pos, n_w
 
 
@@ -429,7 +521,7 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
                                         corners * s1[..., None, :])
     loc2 = jnp.einsum("...ji,...kj->...ki", R2, pts - p2[..., None, :])
     d_a, top, nref = _hull_ref_face_depth(loc2, planes2, 2)
-    pos_a = jnp.take_along_axis(pts, top[..., None], axis=-2)
+    pos_a = _select_rows(pts, top)
     n_a = -jnp.einsum("...ij,...j->...i", R2, nref)[..., None, :]
     n_a = jnp.broadcast_to(n_a, pos_a.shape)
     # hull verts vs box (point-in-box)
@@ -438,14 +530,16 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
     depth = s1[..., None, :] - jnp.abs(loc1)
     pen = depth.min(axis=-1)           # >0 inside box
     ax = depth.argmin(axis=-1)
-    sign = jnp.sign(jnp.take_along_axis(loc1, ax[..., None], axis=-1))[..., 0]
-    n_loc = jax.nn.one_hot(ax, 3, dtype=dtype) * sign[..., None]
+    # one-hot select (per-vert element gather cost 8 ms/step on PR2, r2)
+    oh_ax = jax.nn.one_hot(ax, 3, dtype=dtype)
+    sign = jnp.sign(jnp.sum(loc1 * oh_ax, axis=-1))
+    n_loc = oh_ax * sign[..., None]
     n_w = jnp.einsum("...ij,...kj->...ki", R1, n_loc)  # outward of box=geom1
     dist_b = jnp.where(vmask2 > 0.5, -pen, 1e9)
     neg2, top2 = _top_k_small(-dist_b, 2)
     d_b = -neg2
-    pos_b = jnp.take_along_axis(vw, top2[..., None], axis=-2)
-    n_b = jnp.take_along_axis(n_w, top2[..., None], axis=-2)
+    pos_b = _select_rows(vw, top2)
+    n_b = _select_rows(n_w, top2)
     dist = jnp.concatenate([d_a, d_b], axis=-1)
     pos = jnp.concatenate([pos_a, pos_b], axis=-2)
     nrm = jnp.concatenate([n_a, n_b], axis=-2)
@@ -458,14 +552,14 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
     vw1 = p1[..., None, :] + jnp.einsum("...ij,...kj->...ki", R1, verts1)
     loc2 = jnp.einsum("...ji,...kj->...ki", R2, vw1 - p2[..., None, :])
     d_a, top, nref2 = _hull_ref_face_depth(loc2, planes2, 2, vmask1)
-    pos_a = jnp.take_along_axis(vw1, top[..., None], axis=-2)
+    pos_a = _select_rows(vw1, top)
     n_a = -jnp.einsum("...ij,...j->...i", R2, nref2)[..., None, :]
     n_a = jnp.broadcast_to(n_a, pos_a.shape)
     # verts of 2 in hull 1
     vw2 = p2[..., None, :] + jnp.einsum("...ij,...kj->...ki", R2, verts2)
     loc1 = jnp.einsum("...ji,...kj->...ki", R1, vw2 - p1[..., None, :])
     d_b, top2, nref1 = _hull_ref_face_depth(loc1, planes1, 2, vmask2)
-    pos_b = jnp.take_along_axis(vw2, top2[..., None], axis=-2)
+    pos_b = _select_rows(vw2, top2)
     n_b = jnp.einsum("...ij,...j->...i", R1, nref1)[..., None, :]
     n_b = jnp.broadcast_to(n_b, pos_b.shape)
     dist = jnp.concatenate([d_a, d_b], axis=-1)
@@ -575,15 +669,26 @@ def collision(m: Model, d: Data) -> Data:
             g2d = jnp.asarray(pg2)[selp]
             p1, R1 = d.geom_xpos[g1d], d.geom_xmat[g1d]
             p2, R2 = d.geom_xpos[g2d], d.geom_xmat[g2d]
+            def hull_tables(dids):
+                """Gather hull tables at traced ids via one-hot matmul:
+                XLA's native gather loads element-by-element (~8 ms/step on
+                PR2 at 256 envs, r2 trace); the (P, nmesh) x (nmesh, V*3)
+                matmul rides the MXU instead."""
+                nhull = m.mesh_vert_pad.shape[0]  # meshes + cyl prisms
+                oh = jax.nn.one_hot(dids, nhull, dtype=dtype)
+
+                def take(tab):
+                    tab = jnp.asarray(tab, dtype)
+                    return (oh @ tab.reshape(nhull, -1)).reshape(
+                        dids.shape + tab.shape[1:])
+                return (take(m.mesh_vert_pad), take(m.mesh_face_pad),
+                        take(m.mesh_vert_mask))
+
             did2 = jnp.asarray(lay.geom_hullid[pg2])[selp]
-            verts2 = jnp.asarray(m.mesh_vert_pad, dtype)[did2]
-            planes2 = jnp.asarray(m.mesh_face_pad, dtype)[did2]
-            vmask2 = jnp.asarray(m.mesh_vert_mask, dtype)[did2]
+            verts2, planes2, vmask2 = hull_tables(did2)
             if key == (GeomType.MESH, GeomType.MESH):
                 did1 = jnp.asarray(lay.geom_hullid[pg1])[selp]
-                verts1 = jnp.asarray(m.mesh_vert_pad, dtype)[did1]
-                planes1 = jnp.asarray(m.mesh_face_pad, dtype)[did1]
-                vmask1 = jnp.asarray(m.mesh_vert_mask, dtype)[did1]
+                verts1, planes1, vmask1 = hull_tables(did1)
                 dist, pos, nrm = fn(p1, R1, verts1, planes1, vmask1,
                                     p2, R2, verts2, planes2, vmask2)
             elif key == (GeomType.BOX, GeomType.MESH):

@@ -76,6 +76,11 @@ def build(cfg: dict | str, base_dir: str = "."):
 
     instances = int(cfg.get("spawn_instances", 1))
     spec = scene.compose(world, robots=robot_cfgs, instances=instances)
+    # multi-instance coupling: receive-side '_ref' mocap twins
+    # (src/config/sim_1.yaml receive:, MjSim::init_references)
+    receive = cfg.get("receive") or {}
+    if receive:
+        spec = scene.add_reference_bodies(spec, list(receive))
     m = set_const(compile_spec(spec, ncon_budget=cfg.get("ncon_budget")))
 
     spawnable = {}
@@ -110,10 +115,13 @@ def serve(cfg_path: str, run_sim: bool = True):
     cfg = load_config(cfg_path)
     spec, m, sim, robots_meta = build(cfg,
                                       os.path.dirname(os.path.abspath(cfg_path)))
+    peer = cfg.get("peer")
     srv = SimServer(sim,
                     host=cfg.get("host", "127.0.0.1"),
                     port=int(cfg.get("port", 7500)),
                     spec=spec, robots=robots_meta,
-                    step_hz=cfg.get("step_hz"))
+                    step_hz=cfg.get("step_hz"),
+                    receive=cfg.get("receive") or None,
+                    peer=(peer["host"], int(peer["port"])) if peer else None)
     srv.start(run_sim=run_sim)
     return srv

@@ -71,3 +71,22 @@ def test_ring_exchange():
     # ring shift by one: env i receives env (i-1)'s x
     expect = np.roll(np.arange(8.0), 1)
     np.testing.assert_allclose(pos[:, 0], expect, atol=1e-5)
+
+
+def test_egress_overlap_matches_oneshot():
+    """rollout_collect (chunked, overlapped device->host egress) returns the
+    same trajectory and final state as a single on-device scan."""
+    import numpy as np
+    from mujoco_sim_tpu.parallel.egress import rollout_collect
+
+    m = load_model("tests/fixtures/floor_box.xml")
+    m32 = engine.put_model(m, jnp.float32)
+    mesh = pmesh.make_env_mesh()
+    mR = pmesh.replicate_model(m32, mesh)
+    dB = pmesh.make_batch(mR, 16, mesh)
+    ref_final, ref_traj = jax.jit(
+        lambda mm, dd: pmesh.rollout_traj(mm, dd, 32))(mR, dB)
+    got_final, got_traj = rollout_collect(mR, dB, 32, chunk=8)
+    np.testing.assert_array_equal(np.asarray(ref_traj), got_traj)
+    np.testing.assert_array_equal(np.asarray(ref_final.qpos),
+                                  np.asarray(got_final.qpos))

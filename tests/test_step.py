@@ -111,26 +111,19 @@ def test_box_drop_contact():
 
 
 def test_pr2_trajectory_short():
-    """PR2 free-falling briefly: 49 dofs, mimic equalities + limits engage.
-
-    Contacts are disabled on both sides: the oracle starts with
-    self-penetrating mesh-mesh contacts whose narrowphase we don't
-    implement yet (Model.npair_unsupported tracks them).
-    """
-    import mujoco as mj
-    from mujoco_sim_tpu.models.model import DisableBit
-
+    """PR2 with CONTACTS ON: 49 dofs, mimic equalities + limits + the
+    persistent gripper-fingertip mesh-mesh contacts the oracle holds in
+    equilibrium against the mimic springs (VERDICT r1 #3 done-criterion:
+    50-step qpos err <= 1e-3 with contacts enabled)."""
     path = f"{REF}/test/pr2/pr2.xml"
     mm = oracle_model(path)
-    mm.opt.disableflags |= mj.mjtDisableBit.mjDSBL_CONTACT
     m = load_model(path)
-    m = m.replace(opt=m.opt.replace(
-        disableflags=m.opt.disableflags | int(DisableBit.CONTACT)))
+    assert m.npair_unsupported == 0
     n = 50
     ours = run_ours(m, n)
     theirs = run_oracle(mm, n)
     qpos_err = max(np.max(np.abs(a[0] - b[0])) for a, b in zip(ours, theirs))
-    assert qpos_err < 1e-4, f"qpos err {qpos_err}"
+    assert qpos_err < 1e-3, f"qpos err {qpos_err}"
 
 
 def test_box_stacking():
@@ -224,3 +217,68 @@ def test_cylinder_box_and_capsule_pairs():
     # capsules: one on slab (z ~ 0.1+0.04), second resting on/beside first
     z1 = q[16]
     assert 0.1 < z1 < 0.2, z1
+
+
+def test_box_box_edge_edge():
+    """Two 45-deg-rotated long boxes crossed 90 deg in yaw: the upper one
+    rests ridge-on-ridge — only the edge-edge SAT axes produce this contact
+    (VERDICT r1 #3; mj_collideBox cross-axis case)."""
+    xml = "tests/fixtures/edge_edge.xml"
+    with open(xml, "w") as f:
+        f.write("""
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <geom name="floor" size="0 0 .05" type="plane"/>
+    <body name="ridge" pos="0 0 0.141" euler="45 0 0">
+      <geom type="box" size=".4 .1 .1"/></body>
+    <body name="top" pos="0 0 0.5" euler="0 45 90"><freejoint/>
+      <geom type="box" size=".3 .08 .08"/></body>
+  </worldbody>
+</mujoco>""")
+    mm = oracle_model(xml)
+    m = load_model(xml)
+    n = 400
+    ours = run_ours(m, n)
+    theirs = run_oracle(mm, n)
+    z_mine = ours[-1][0][2]
+    z_oracle = theirs[-1][0][2]
+    # rests on the ridge edge, well above the floor
+    assert z_mine > 0.2, z_mine
+    assert abs(z_mine - z_oracle) < 3e-2, (z_mine, z_oracle)
+    assert np.abs(ours[-1][1]).max() < 0.1
+
+
+def test_noslip_matches_oracle():
+    """noslip post-solver: lateral drift under sub-threshold push is
+    suppressed to the oracle's value (the reference's controller world sets
+    noslip_iterations=5, model/ontology/scene.xml:2-3; VERDICT r1 #4)."""
+    xml = "tests/fixtures/noslip_box.xml"
+    with open(xml, "w") as f:
+        f.write("""
+<mujoco>
+  <option timestep="0.005" gravity="0 0 -9.81" noslip_iterations="5"
+          noslip_tolerance="1e-6"/>
+  <worldbody>
+    <geom name="floor" size="0 0 .05" type="plane"/>
+    <body name="box" pos="0 0 0.0995"><freejoint/>
+      <geom type="box" size=".1 .1 .1" friction="0.4"/></body>
+  </worldbody>
+</mujoco>""")
+    mm = oracle_model(xml)
+    assert mm.opt.noslip_iterations == 5
+    m = load_model(xml)
+    assert m.opt.noslip_iterations == 5
+    dd = mujoco.MjData(mm)
+    d = engine.make_data(m)
+    step = jax.jit(engine.step)
+    push = jnp.asarray([0, 0, 0, 20.0, 0, 0.0])  # [torque, force]
+    for _ in range(200):
+        dd.xfrc_applied[1, :3] = [20.0, 0, 0]
+        mujoco.mj_step(mm, dd)
+        d = d.replace(xfrc_applied=d.xfrc_applied.at[1, :].set(push))
+        d = step(m, d)
+    # noslip holds the box nearly still; x matches oracle tightly
+    assert abs(float(d.qpos[0]) - dd.qpos[0]) < 1e-5
+    assert abs(float(d.qpos[0])) < 1e-4  # drift suppressed (vs 1.3e-3 w/o)
+    np.testing.assert_allclose(np.asarray(d.qpos), dd.qpos, atol=5e-5)
