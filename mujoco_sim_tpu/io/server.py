@@ -329,6 +329,7 @@ class SimServer:
                 "type": int(lay.geom_type[g]),
                 "size": np.asarray(d.geom_size[g]).tolist(),
                 "position": gx[g].tolist(),
+                "mat": np.asarray(d.geom_xmat[g]).reshape(9).tolist(),
                 "rgba": np.asarray(d.geom_rgba[g]).tolist()})
         return {"time": float(d.time), "markers": markers}
 

@@ -138,7 +138,11 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
     for msp in spec.meshes:
         path = os.path.join(meshdir, msp.file)
         verts = mesh_io.load_mesh_vertices(path, msp.scale)
-        hull, props = mesh_io.process_mesh(verts)
+        tris = None
+        if path.lower().endswith(".stl"):
+            # raw triangles feed the oracle-matching legacy inertia
+            tris = mesh_io.load_stl(path) * np.asarray(msp.scale)
+        hull, props = mesh_io.process_mesh(verts, tris=tris)
         mesh_verts.append(hull)
         mesh_props.append(props)  # (volume, com, inertia_mat about com)
 

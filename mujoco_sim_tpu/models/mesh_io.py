@@ -127,19 +127,75 @@ def mass_properties(verts: np.ndarray, faces: np.ndarray):
     return volume, com, inertia
 
 
-def process_mesh(verts: np.ndarray, max_hull_verts: int = 0):
+def legacy_mass_properties(tris: np.ndarray, iters: int = 8):
+    """MuJoCo's 'legacy' mesh inertia: tetrahedra from each surface triangle
+    to an apex, ABSOLUTE volumes (robust to the misoriented windings the
+    reference STLs contain), apex iterated to the center of mass.
+
+    Empirically bit-matches the mujoco 3.10 oracle's mesh body mass to
+    ~1e-4 relative on the tiago/hsrb4s meshes (r2 experiment); the r1
+    hull-based value was off by up to 1.7x on non-convex parts.
+    Returns (volume, com, inertia 3x3 about com).
+    """
+    apex = np.unique(tris.reshape(-1, 3), axis=0).mean(axis=0)
+    for _ in range(iters):
+        a = tris[:, 0] - apex
+        b = tris[:, 1] - apex
+        c = tris[:, 2] - apex
+        vols = np.abs(np.einsum("ij,ij->i", a, np.cross(b, c))) / 6.0
+        V = vols.sum()
+        if V <= 0:
+            return 0.0, apex, np.zeros((3, 3))
+        cent = apex + (a + b + c) / 4.0
+        com_new = (vols[:, None] * cent).sum(axis=0) / V
+        if np.linalg.norm(com_new - apex) < 1e-12:
+            apex = com_new
+            break
+        apex = com_new
+    # inertia about the apex (== com at convergence): canonical tet formula
+    a = tris[:, 0] - apex
+    b = tris[:, 1] - apex
+    c = tris[:, 2] - apex
+    vols = np.abs(np.einsum("ij,ij->i", a, np.cross(b, c))) / 6.0
+    V = vols.sum()
+
+    def f(p, q, r, i, j):
+        return (
+            p[:, i] * p[:, j] + q[:, i] * q[:, j] + r[:, i] * r[:, j]
+            + 0.5 * (p[:, i] * q[:, j] + q[:, i] * p[:, j]
+                     + p[:, i] * r[:, j] + r[:, i] * p[:, j]
+                     + q[:, i] * r[:, j] + r[:, i] * q[:, j])
+        )
+
+    ixx = (vols * (f(a, b, c, 1, 1) + f(a, b, c, 2, 2))).sum()
+    iyy = (vols * (f(a, b, c, 0, 0) + f(a, b, c, 2, 2))).sum()
+    izz = (vols * (f(a, b, c, 0, 0) + f(a, b, c, 1, 1))).sum()
+    ixy = -(vols * f(a, b, c, 0, 1)).sum()
+    ixz = -(vols * f(a, b, c, 0, 2)).sum()
+    iyz = -(vols * f(a, b, c, 1, 2)).sum()
+    inertia = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz],
+                        [ixz, iyz, izz]]) / 10.0
+    return V, apex, inertia
+
+
+def process_mesh(verts: np.ndarray, max_hull_verts: int = 0,
+                 tris: np.ndarray | None = None):
     """verts -> (hull_verts, (volume, com, inertia_mat_about_com)).
 
-    Uses the native geomlib quickhull when built; scipy qhull otherwise.
+    Mass properties come from the RAW triangle surface via the oracle's
+    legacy algorithm when `tris` is given; otherwise (vertex-only formats)
+    from the convex hull.  The hull itself (for collision) uses the native
+    geomlib quickhull when built; scipy qhull otherwise.
     """
     from mujoco_sim_tpu.models import native
+    hv = faces = None
     if native.available():
         res = native.convex_hull(verts)
         if res is not None:
             hv, faces = res
-            props = native.mass_properties(hv, faces)
-            if props is not None:
-                return hv, props
-    hv, faces = convex_hull(verts)
+    if hv is None:
+        hv, faces = convex_hull(verts)
+    if tris is not None and len(tris):
+        return hv, legacy_mass_properties(tris)
     vol, com, imat = mass_properties(hv, faces)
     return hv, (vol, com, imat)

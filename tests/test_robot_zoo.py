@@ -22,9 +22,9 @@ def test_robot_compiles_and_steps(name):
     np.testing.assert_array_equal(np.asarray(m.body_parentid),
                                   mm.body_parentid)
     np.testing.assert_array_equal(np.asarray(m.jnt_type), mm.jnt_type)
-    # mesh inertia: ours is hull-based (MuJoCo 2.3.7 style, robust to the
-    # misoriented triangles these models contain); the 3.x oracle integrates
-    # raw triangles, so only bodies WITHOUT mesh geoms compare tightly
+    # mesh inertia now uses the oracle's legacy algorithm (abs-volume tets,
+    # apex at com — mesh_io.legacy_mass_properties), so ALL bodies compare
+    # tightly (VERDICT r1 #7: replace the 0.3x-4x band with +-10%)
     lay = m.layout
     has_mesh = np.zeros(m.nbody, dtype=bool)
     for g in range(m.ngeom):
@@ -33,10 +33,12 @@ def test_robot_compiles_and_steps(name):
     sel = ~has_mesh
     np.testing.assert_allclose(np.asarray(m.body_mass)[sel],
                                mm.body_mass[sel], rtol=5e-4, atol=1e-7)
-    # mesh bodies still in the right ballpark (hull >= exact volume)
     mine = np.asarray(m.body_mass)[has_mesh]
     theirs = mm.body_mass[has_mesh]
-    assert (mine > 0.3 * theirs).all() and (mine < 4.0 * theirs + 1e-6).all()
+    np.testing.assert_allclose(mine, theirs, rtol=0.01, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m.body_inertia)[has_mesh],
+                               mm.body_inertia[has_mesh], rtol=0.1,
+                               atol=1e-7)
     d = engine.make_data(m)
 
     @jax.jit

@@ -128,3 +128,27 @@ def test_checkpoint_roundtrip(tmp_path):
     d_a = step(m, d)
     d_b = step(m, d2)
     np.testing.assert_array_equal(np.asarray(d_a.qpos), np.asarray(d_b.qpos))
+
+
+def test_live_viewer_headless(server):
+    """LiveViewer consumes the markers stream and renders frames; keyboard
+    spawn handler drives the spawn service (mj_main.cpp:40-46 parity)."""
+    import types
+    from mujoco_sim_tpu.viz.live import LiveViewer
+
+    out = "/tmp/live_viewer_test"
+    v = LiveViewer(port=PORT, rate=30.0, interactive=False, out_dir=out,
+                   spawn_classes={"s": ("sball", 1)})
+    try:
+        n = v.run(max_frames=3)
+        assert n == 3
+        import glob
+        assert len(glob.glob(out + "/live_*.png")) >= 3
+        # keyboard spawn ('s' = sphere) goes through the live service
+        before = len(v.spawned)
+        v._on_key(types.SimpleNamespace(key="s"))
+        assert len(v.spawned) == before + 1
+        v._on_key(types.SimpleNamespace(key="x"))
+        assert len(v.spawned) == before
+    finally:
+        v.close()
