@@ -639,8 +639,11 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
     if ncon_budget is None:
         ncon_budget = min(ncand, 64)
     ncon_max = min(ncon_budget, ncand)
+    from mujoco_sim_tpu.models.model import contact_rows_per, ConeType as _CT
     max_condim = int(max(pair_condim)) if pair_condim else 1
-    rows_per_con = max(1, 2 * (max_condim - 1))
+    cone_i = int(_CT.PYRAMIDAL if spec.option.cone == "pyramidal"
+                 else _CT.ELLIPTIC)
+    rows_per_con = contact_rows_per(max_condim, cone_i)
     contact_efcadr = adr_cursor
     adr_cursor += ncon_max * rows_per_con
     nefc_max = adr_cursor

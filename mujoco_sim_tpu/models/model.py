@@ -431,6 +431,14 @@ class Data:
     energy: jax.Array          # (2,) potential, kinetic
 
 
+def contact_rows_per(max_condim: int, cone: int) -> int:
+    """efc rows per contact slot: pyramidal = +-pair per friction axis;
+    elliptic = one row per contact dimension (normal + frictions)."""
+    if cone == int(ConeType.ELLIPTIC):
+        return max(1, max_condim)
+    return max(1, 2 * (max_condim - 1))
+
+
 def np_f(x, dtype=np.float64):
     return np.asarray(x, dtype=dtype)
 

@@ -17,8 +17,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mujoco_sim_tpu.models.model import Model, Data, GeomType
+from mujoco_sim_tpu.models.model import (Model, Data, GeomType,
+                                          contact_rows_per)
 from mujoco_sim_tpu.ops import math as mm
+
+
+def _rows_per(m: Model) -> int:
+    return contact_rows_per(m.max_condim, m.opt.cone)
 
 
 def _top_k_small(x: jax.Array, k: int):
@@ -742,7 +747,7 @@ def collision(m: Model, d: Data) -> Data:
         dim=jnp.asarray(lay.pair_condim, jnp.int32)[sel_pair],
         efc_address=jnp.asarray(
             m.contact_efcadr
-            + np.arange(K) * max(1, 2 * (m.max_condim - 1)), jnp.int32),
+            + np.arange(K) * _rows_per(m), jnp.int32),
     )
     ncon = jnp.sum(cand_act.astype(jnp.int32)).astype(jnp.int32)
     return d.replace(contact=con, ncon=ncon)

@@ -336,12 +336,14 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
              jnp.asarray(m.jnt_solimp, dtype)[jids],
              dinv[dadr], active, 2, margin=margin)
 
-    # ---------------- contacts (pyramidal, vectorized over the K budget) ----
+    # ---------------- contacts (vectorized over the K budget) ----
     if m.ncon_max:
+        from mujoco_sim_tpu.models.model import ConeType, contact_rows_per
         con = d.contact
         K = m.ncon_max
         mc = m.max_condim
-        nrows_per = max(1, 2 * (mc - 1))
+        elliptic = m.opt.cone == int(ConeType.ELLIPTIC)
+        nrows_per = contact_rows_per(mc, m.opt.cone)
         gb = jnp.asarray(lay.geom_bodyid)
         b1 = gb[con.geom1]
         b2 = gb[con.geom2]
@@ -375,6 +377,25 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
             rows = Jn[:, None, :]                      # (K,1,nv)
             diag_rows = invw[:, None]
             row_act = con_active[:, None]
+        elif elliptic:
+            # one row per contact dimension: [normal, t1, t2, tors, r1, r2].
+            # Friction-row regularization follows the oracle exactly
+            # (probed via mj_constraintUpdate, r2):
+            #   R_i = R_normal * mu0^2 / (impratio * mu_i^2)
+            # realized as diag_i = invw * mu0^2/(impratio mu_i^2) with the
+            # friction rows sharing the normal row's efc_pos (hence its
+            # impedance); the position term is removed from their aref below.
+            axes = jnp.stack(fric_axes[: mc - 1], axis=1)   # (K, mc-1, nv)
+            mu = con.friction[:, : mc - 1]                  # (K, mc-1)
+            mu0 = con.friction[:, 0:1]
+            impratio = jnp.asarray(m.opt.impratio, dtype)
+            rows = jnp.concatenate([Jn[:, None, :], axes], axis=1)
+            diag_fric = (invw[:, None] * mu0 * mu0
+                         / (impratio * jnp.maximum(mu * mu, 1e-12)))
+            diag_rows = jnp.concatenate([invw[:, None], diag_fric], axis=1)
+            row_idx = np.arange(mc)                       # (mc,)
+            row_act = con_active[:, None] & (
+                jnp.asarray(row_idx)[None, :] < jnp.maximum(con.dim, 1)[:, None])
         else:
             axes = jnp.stack(fric_axes[: mc - 1], axis=1)   # (K, mc-1, nv)
             mu = con.friction[:, : mc - 1]                  # (K, mc-1)
@@ -417,6 +438,18 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
     k, b, imp = kbi(efc_solref, efc_solimp, efc_pos, dtype)
     vel = efc_J @ d.qvel
     aref = -b * vel - k * imp * efc_pos
+    from mujoco_sim_tpu.models.model import ConeType as _CT
+    if m.ncon_max and m.opt.cone == int(_CT.ELLIPTIC) and m.max_condim > 1:
+        # elliptic friction rows: velocity damping only, no position term
+        # (oracle efc_aref; they share the normal row's pos for impedance)
+        from mujoco_sim_tpu.models.model import contact_rows_per
+        rp = contact_rows_per(m.max_condim, m.opt.cone)
+        fric_mask = np.zeros(nefc, dtype=bool)
+        for kslot in range(m.ncon_max):
+            base = m.contact_efcadr + kslot * rp
+            fric_mask[base + 1: base + rp] = True
+        aref = jnp.where(jnp.asarray(fric_mask),
+                         aref + k * imp * efc_pos, aref)
     R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, _MINIMP) * efc_diag,
                     1e-12)
     D = 1.0 / R

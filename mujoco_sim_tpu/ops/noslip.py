@@ -41,8 +41,12 @@ def _plan(m: Model):
         rows_p.append(int(adr))
         rows_m.append(int(adr))   # unused for floss rows
         kinds.append(0)
+    from mujoco_sim_tpu.models.model import ConeType, contact_rows_per
+    if m.opt.cone == int(ConeType.ELLIPTIC):
+        raise NotImplementedError(
+            "noslip with elliptic cones is not implemented yet")
     mc = m.max_condim
-    nrows_per = max(1, 2 * (mc - 1))
+    nrows_per = contact_rows_per(mc, m.opt.cone)
     if mc > 1:
         for k in range(m.ncon_max):
             base = m.contact_efcadr + k * nrows_per
