@@ -10,7 +10,7 @@ achieved on this single chip at 4096 envs.
 Scenarios (BENCH_SCENARIO env var):
   box    (default) contact-rich free box on the floor, 4096 envs — headline
   mobile mobile base (odom-driven) + 3-dof PD arm, 1024 envs   — config 3
-  pr2    PR2 robot in the world, 64 envs                        — config 2
+  pr2    PR2 robot in the world, 256 envs                       — config 2
   spawn  4 spawnable robots/env, half the slots active, 4096    — config 4
   all    run everything (headline line printed first)
 """
@@ -149,8 +149,9 @@ def bench_mobile(nenv=1024, nsteps=200):
     return {"scenario": "mobile", "nenv": nenv, "rate": rate}
 
 
-def bench_pr2(nenv=64, nsteps=50):
-    """Config 2: PR2 (49 dof, mimic equalities), batched."""
+def bench_pr2(nenv=256, nsteps=50):
+    """Config 2: PR2 (49 dof, mimic equalities), batched at the VERDICT r1
+    done-criterion env count."""
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.models import scene
     from mujoco_sim_tpu.models.compile import compile_spec

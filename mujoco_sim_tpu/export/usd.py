@@ -75,10 +75,11 @@ def export_usd(m, d, path: str, spec=None) -> str:
     def write_geom(g: int, indent: str):
         t = GeomType(int(lay.geom_type[g]))
         name = _sanitize(m.names.geom[g] or f"geom{g}")
-        size = np.asarray(m.geom_size[g])
+        # Data-resident geometry: spawn-time size/rgba overrides export too
+        size = np.asarray(d.geom_size[g] if d is not None else m.geom_size[g])
         pos = np.asarray(m.geom_pos[g])
         quat = np.asarray(m.geom_quat[g])
-        rgba = np.asarray(m.geom_rgba[g])
+        rgba = np.asarray(d.geom_rgba[g] if d is not None else m.geom_rgba[g])
         xf = [
             f"{indent}    double3 xformOp:translate = {_v3(pos)}",
             f"{indent}    quatd xformOp:orient = {_quat(quat)}",
@@ -147,7 +148,8 @@ def export_usd(m, d, path: str, spec=None) -> str:
         w(f"{indent}    quatd xformOp:orient = {_quat(xquat[b])}")
         w(f'{indent}    uniform token[] xformOpOrder = '
           f'["xformOp:translate", "xformOp:orient"]')
-        w(f"{indent}    float physics:mass = {float(m.body_mass[b])}")
+        w(f"{indent}    float physics:mass = "
+          f"{float(d.body_mass[b] if d is not None else m.body_mass[b])}")
         w(f"{indent}    point3f physics:centerOfMass = "
           f"{_v3(np.asarray(m.body_ipos[b]))}")
         for g in geom_by_body.get(b, []):

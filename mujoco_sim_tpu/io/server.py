@@ -25,10 +25,18 @@ from mujoco_sim_tpu.runtime.sim import Simulation
 
 
 class SimServer:
+    # reference robot.yaml:62-92 schema: per-topic, per-body-class rates
+    TOPIC_CFG = {"markers": "pub_object_marker_array", "tf": "pub_tf",
+                 "object_states": "pub_object_state_array",
+                 "joint_states": "pub_joint_states"}
+    CLASS_RATE = {"robot": "robot_bodies_rate",
+                  "world": "world_bodies_rate",
+                  "spawned": "spawned_object_bodies_rate"}
+
     def __init__(self, sim: Simulation, host="127.0.0.1", port=7500,
                  spec=None, robots=None, step_hz: float | None = None,
                  receive: dict | None = None, peer: tuple | None = None,
-                 receive_rate: float = 60.0):
+                 receive_rate: float = 60.0, pub_config: dict | None = None):
         """receive/peer implement the reference's multi-instance coupling
         (src/config/sim_1.yaml send:/receive:, mj_sim.cpp:847-960): `receive`
         maps body names (whose '<name>_ref' mocap twins exist in the model,
@@ -53,6 +61,9 @@ class SimServer:
         self.receive = receive or {}
         self.peer = peer
         self.receive_rate = receive_rate
+        # per-class publisher config (MjRos::set_params, mj_ros.cpp:380-454)
+        self.pub_config = pub_config or {}
+        self._body_class = self._classify_bodies()
         # body name -> mocap slot of its '_ref' twin
         self._recv_mocap = {}
         lay = sim.m.layout
@@ -88,6 +99,24 @@ class SimServer:
                 rest = period - (time.perf_counter() - t0)
                 if rest > 0:
                     time.sleep(rest)
+
+    def _classify_bodies(self):
+        """body id -> 'robot' | 'world' | 'spawned' (the reference's three
+        publisher object classes {Robot, World, SpawnedObject})."""
+        from mujoco_sim_tpu.runtime.sim import subtree_bodies
+        m = self.sim.m
+        cls = ["world"] * m.nbody
+        for slots in self.sim.slots.values():
+            for slot in slots:
+                for b in slot.bodies:
+                    cls[int(b)] = "spawned"
+        for robot in self.robots:
+            bid = m.names.body_id(robot)
+            if bid >= 0:
+                for b in subtree_bodies(m, bid):
+                    if cls[int(b)] == "world":
+                        cls[int(b)] = "robot"
+        return cls
 
     # ---------------- receive-side sync thread ----------------
     def _receiver_worker(self):
@@ -263,7 +292,8 @@ class SimServer:
         return (lay.body_jntnum[bid] > 0
                 and int(lay.jnt_type[lay.body_jntadr[bid]]) == 0)
 
-    def _world_state(self, names=None, free_bodies_only=False) -> dict:
+    def _world_state(self, names=None, free_bodies_only=False,
+                     classes=None) -> dict:
         m, d = self.sim.m, self.sim.d
         xpos = np.asarray(d.xpos)
         xquat = np.asarray(d.xquat)
@@ -279,6 +309,8 @@ class SimServer:
             slot = self.sim.by_public_name.get(name)
             bid = slot.root_body if slot is not None else m.names.body_id(name)
             if bid < 0 or not active[bid]:
+                continue
+            if classes is not None and self._body_class[bid] not in classes:
                 continue
             if free_bodies_only and not self._is_free_body(bid):
                 continue
@@ -312,7 +344,7 @@ class SimServer:
             out.append({"robot": robot, "pose": pose, "twist": twist})
         return {"time": float(d.time), "odom": out}
 
-    def _markers(self) -> dict:
+    def _markers(self, classes=None, free_bodies_only=False) -> dict:
         """Marker-array equivalent: geom shapes + world transforms for viz
         clients (publish_marker_array, mj_ros.cpp:1706-1755)."""
         m, d = self.sim.m, self.sim.d
@@ -324,6 +356,10 @@ class SimServer:
             bid = int(lay.geom_bodyid[g])
             if not active[bid]:
                 continue
+            if classes is not None and self._body_class[bid] not in classes:
+                continue
+            if free_bodies_only and not self._is_free_body(bid):
+                continue
             markers.append({
                 "name": m.names.geom[g],
                 "type": int(lay.geom_type[g]),
@@ -333,13 +369,16 @@ class SimServer:
                 "rgba": np.asarray(d.geom_rgba[g]).tolist()})
         return {"time": float(d.time), "markers": markers}
 
-    def _joint_states(self, robot=None) -> dict:
+    def _joint_states(self, robot=None, classes=None) -> dict:
         m, d = self.sim.m, self.sim.d
         lay = m.layout
         qpos = np.asarray(d.qpos)
         qvel = np.asarray(d.qvel)
         joints = []
         for j in range(m.njnt):
+            if classes is not None and self._body_class[
+                    int(lay.jnt_bodyid[j])] not in classes:
+                continue
             if int(lay.jnt_type[j]) in (2, 3):  # slide/hinge
                 joints.append({
                     "name": m.names.joint[j],
@@ -352,27 +391,63 @@ class SimServer:
         return {"time": float(d.time),
                 "sensordata": np.asarray(d.sensordata).tolist()}
 
+    def _due_classes(self, topic: str, now: float, next_due: dict,
+                     default_rate: float):
+        """Per-body-class scheduling from pub_config (robot.yaml:62-92):
+        each class {robot, world, spawned} publishes at its own rate; a rate
+        of 0 disables the class.  Without config, all classes tick at the
+        subscription rate."""
+        cfg = self.pub_config.get(self.TOPIC_CFG.get(topic, ""), None)
+        due = []
+        for cls, key in self.CLASS_RATE.items():
+            rate = (float(cfg.get(key, 0.0)) if cfg is not None
+                    else default_rate)
+            if rate <= 0:
+                continue
+            slot = (topic, cls)
+            if now >= next_due.get(slot, 0.0):
+                due.append(cls)
+                next_due[slot] = max(next_due.get(slot, now),
+                                     now) + 1.0 / rate
+        fbo = bool(cfg.get("free_bodies_only", False)) if cfg else False
+        return due, fbo
+
     async def _stream(self, writer: asyncio.StreamWriter, req: dict):
         topics = req.get("topics", ["object_states"])
         rate = float(req.get("rate", 60.0))
         period = 1.0 / max(rate, 1e-3)
+        next_due: dict = {}
         try:
             while self._running:
+                now = time.monotonic()
                 msg = {}
                 if "object_states" in topics or "tf" in topics:
-                    msg["object_states"] = self._world_state(
-                        free_bodies_only=bool(req.get("free_bodies_only",
-                                                      False)))
+                    due, fbo = self._due_classes("object_states", now,
+                                                 next_due, rate)
+                    if due:
+                        msg["object_states"] = self._world_state(
+                            free_bodies_only=bool(req.get(
+                                "free_bodies_only", fbo)),
+                            classes=set(due))
                 if "base_pose" in topics:
                     msg["base_pose"] = self._base_pose()
                 if "markers" in topics:
-                    msg["markers"] = self._markers()
+                    due, fbo = self._due_classes("markers", now, next_due,
+                                                 rate)
+                    if due:
+                        msg["markers"] = self._markers(
+                            classes=set(due), free_bodies_only=fbo)
                 if "joint_states" in topics:
-                    msg["joint_states"] = self._joint_states()
+                    due, _ = self._due_classes("joint_states", now,
+                                               next_due, rate)
+                    if due:
+                        msg["joint_states"] = self._joint_states(
+                            classes=set(due))
                 if "sensors" in topics:
                     msg["sensors"] = self._sensors()
-                writer.write((json.dumps(msg) + "\n").encode())
-                await writer.drain()
+                if msg:
+                    writer.write((json.dumps(msg) + "\n").encode())
+                    await writer.drain()
                 await asyncio.sleep(period)
         except (ConnectionResetError, BrokenPipeError):
             pass

@@ -122,11 +122,16 @@ def _accumulate_inertia(geoms, mesh_lookup):
     return mass, com, R.mat_to_quat_np(evecs), np.maximum(evals, 0.0)
 
 
-def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
+def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
+                 max_hull_verts: int = 32) -> Model:
     """Flatten a SpecTree into a frozen Model (numpy-backed; f64).
 
     ncon_budget: max simultaneous contacts kept per step (top-K compaction);
     default min(total candidates, 64).
+    max_hull_verts: collision-hull decimation cap (mesh_io.decimate_hull);
+    the padded mesh-narrowphase tensors scale with the largest hull, so the
+    cap bounds the PR2-class contact cost.  Mass properties always use the
+    full raw mesh.  0 disables decimation.
     """
     from mujoco_sim_tpu.models import mesh_io
 
@@ -142,7 +147,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None) -> Model:
         if path.lower().endswith(".stl"):
             # raw triangles feed the oracle-matching legacy inertia
             tris = mesh_io.load_stl(path) * np.asarray(msp.scale)
-        hull, props = mesh_io.process_mesh(verts, tris=tris)
+        hull, props = mesh_io.process_mesh(
+            verts, max_hull_verts=max_hull_verts, tris=tris)
         mesh_verts.append(hull)
         mesh_props.append(props)  # (volume, com, inertia_mat about com)
 

@@ -178,6 +178,33 @@ def legacy_mass_properties(tris: np.ndarray, iters: int = 8):
     return V, apex, inertia
 
 
+def decimate_hull(hv: np.ndarray, max_verts: int) -> np.ndarray:
+    """Reduce a convex hull to <= max_verts vertices by greedy
+    farthest-point sampling (seeded with the 6 axis extremes), then
+    re-hulling.  The padded collision tensors scale with the LARGEST hull
+    in the model (P pairs x V verts x F faces), so capping vertex count
+    bounds the whole mesh-narrowphase cost (MuJoCo's own maxhullvert
+    default is 64).  Max surface deviation is checked by the PR2 contact
+    parity test."""
+    if len(hv) <= max_verts:
+        return hv
+    chosen = list({int(np.argmin(hv[:, i])) for i in range(3)}
+                  | {int(np.argmax(hv[:, i])) for i in range(3)})
+    d2 = np.full(len(hv), np.inf)
+    for c in chosen:
+        d2 = np.minimum(d2, ((hv - hv[c]) ** 2).sum(axis=1))
+    while len(chosen) < max_verts:
+        nxt = int(np.argmax(d2))
+        if not np.isfinite(d2[nxt]) or d2[nxt] <= 0:
+            break
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((hv - hv[nxt]) ** 2).sum(axis=1))
+    sub = hv[np.asarray(sorted(set(chosen)))]
+    # re-hull: sampling can leave interior points after subsetting
+    hv2, _ = convex_hull(sub)
+    return hv2
+
+
 def process_mesh(verts: np.ndarray, max_hull_verts: int = 0,
                  tris: np.ndarray | None = None):
     """verts -> (hull_verts, (volume, com, inertia_mat_about_com)).
@@ -196,6 +223,10 @@ def process_mesh(verts: np.ndarray, max_hull_verts: int = 0,
     if hv is None:
         hv, faces = convex_hull(verts)
     if tris is not None and len(tris):
-        return hv, legacy_mass_properties(tris)
-    vol, com, imat = mass_properties(hv, faces)
-    return hv, (vol, com, imat)
+        props = legacy_mass_properties(tris)
+    else:
+        vol, com, imat = mass_properties(hv, faces)
+        props = (vol, com, imat)
+    if max_hull_verts and len(hv) > max_hull_verts:
+        hv = decimate_hull(hv, max_hull_verts)
+    return hv, props

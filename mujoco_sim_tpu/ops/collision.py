@@ -438,6 +438,7 @@ def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
     if pts_mask is not None:
         vals = jnp.where(pts_mask[..., :, None] > 0.5, vals, 1e9)
     per_face_min = vals.min(axis=-2)            # (..., F) support separation
+    sep = per_face_min.max(axis=-1)             # >0 => a face separates
     ref_f = jnp.argmax(per_face_min, axis=-1)
     # one-hot contraction instead of take_along_axis: TPU element gathers on
     # the (V, F) tensor cost ~8 ms/step on PR2 (r2 trace fusion.8608), and
@@ -451,7 +452,7 @@ def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
         depth = jnp.where(pts_mask > 0.5, depth, 1e9)
     neg, idx = _top_k_small(-depth, k_out)
     out_depth = -neg
-    return out_depth, idx, nref
+    return out_depth, idx, nref, sep
 
 
 def _face_normal_world(R, planes, fidx):
@@ -525,13 +526,20 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
     pts = p1[..., None, :] + jnp.einsum("...ij,...kj->...ki", R1,
                                         corners * s1[..., None, :])
     loc2 = jnp.einsum("...ji,...kj->...ki", R2, pts - p2[..., None, :])
-    d_a, top, nref = _hull_ref_face_depth(loc2, planes2, 2)
+    d_a, top, nref, sep_h = _hull_ref_face_depth(loc2, planes2, 2)
     pos_a = _select_rows(pts, top)
     n_a = -jnp.einsum("...ij,...j->...i", R2, nref)[..., None, :]
     n_a = jnp.broadcast_to(n_a, pos_a.shape)
     # hull verts vs box (point-in-box)
     vw = p2[..., None, :] + jnp.einsum("...ij,...kj->...ki", R2, verts2)
     loc1 = jnp.einsum("...ji,...kj->...ki", R1, vw - p1[..., None, :])
+    # SAT over the BOX's 6 face axes: a separating box face must deactivate
+    # the hull-face candidates too (face-only SAT on one hull gave phantom
+    # -0.03 contacts on tiago, r2 regression)
+    big = jnp.asarray(1e9, dtype)
+    lo_min = jnp.where(vmask2[..., :, None] > 0.5, loc1, big).min(axis=-2)
+    lo_max = jnp.where(vmask2[..., :, None] > 0.5, loc1, -big).max(axis=-2)
+    sep_box = jnp.maximum(lo_min - s1, -lo_max - s1).max(axis=-1)
     depth = s1[..., None, :] - jnp.abs(loc1)
     pen = depth.min(axis=-1)           # >0 inside box
     ax = depth.argmin(axis=-1)
@@ -545,6 +553,11 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
     d_b = -neg2
     pos_b = _select_rows(vw, top2)
     n_b = _select_rows(n_w, top2)
+    # the pair's true separation is at least max over BOTH face sets;
+    # lift the hull-face candidate distances by it (kills phantoms, and
+    # sharpens depth to the two-set MTV when penetrating)
+    sep = jnp.maximum(sep_h, sep_box)
+    d_a = jnp.maximum(d_a, sep[..., None])
     dist = jnp.concatenate([d_a, d_b], axis=-1)
     pos = jnp.concatenate([pos_a, pos_b], axis=-2)
     nrm = jnp.concatenate([n_a, n_b], axis=-2)
@@ -556,17 +569,22 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
     # verts of 1 in hull 2 (shared reference face)
     vw1 = p1[..., None, :] + jnp.einsum("...ij,...kj->...ki", R1, verts1)
     loc2 = jnp.einsum("...ji,...kj->...ki", R2, vw1 - p2[..., None, :])
-    d_a, top, nref2 = _hull_ref_face_depth(loc2, planes2, 2, vmask1)
+    d_a, top, nref2, sepA = _hull_ref_face_depth(loc2, planes2, 2, vmask1)
     pos_a = _select_rows(vw1, top)
     n_a = -jnp.einsum("...ij,...j->...i", R2, nref2)[..., None, :]
     n_a = jnp.broadcast_to(n_a, pos_a.shape)
     # verts of 2 in hull 1
     vw2 = p2[..., None, :] + jnp.einsum("...ij,...kj->...ki", R2, verts2)
     loc1 = jnp.einsum("...ji,...kj->...ki", R1, vw2 - p1[..., None, :])
-    d_b, top2, nref1 = _hull_ref_face_depth(loc1, planes1, 2, vmask2)
+    d_b, top2, nref1, sepB = _hull_ref_face_depth(loc1, planes1, 2, vmask2)
     pos_b = _select_rows(vw2, top2)
     n_b = jnp.einsum("...ij,...j->...i", R1, nref1)[..., None, :]
     n_b = jnp.broadcast_to(n_b, pos_b.shape)
+    # joint face-SAT over BOTH hulls: one separating face on either side
+    # deactivates everything (face-only SAT per side gave phantom contacts)
+    sep = jnp.maximum(sepA, sepB)
+    d_a = jnp.maximum(d_a, sep[..., None])
+    d_b = jnp.maximum(d_b, sep[..., None])
     dist = jnp.concatenate([d_a, d_b], axis=-1)
     pos = jnp.concatenate([pos_a, pos_b], axis=-2)
     nrm = jnp.concatenate([n_a, n_b], axis=-2)

@@ -30,8 +30,9 @@ def _contact_body_wrench(m: Model, d: Data, origin: jax.Array):
     out = jnp.zeros((m.nbody, 6), dtype)
     if K == 0:
         return out
+    from mujoco_sim_tpu.models.model import ConeType, contact_rows_per
     mc = m.max_condim
-    nrows = max(1, 2 * (mc - 1))
+    nrows = contact_rows_per(mc, m.opt.cone)
     con = d.contact
     lay = m.layout
     gb = jnp.asarray(lay.geom_bodyid)
@@ -45,6 +46,19 @@ def _contact_body_wrench(m: Model, d: Data, origin: jax.Array):
     if mc == 1:
         force = f_rows[:, 0:1] * n
         torque_local = jnp.zeros((K, 3), dtype)
+    elif m.opt.cone == int(ConeType.ELLIPTIC):
+        # elliptic layout: rows = [normal, t1, t2, tors, r1, r2] directly
+        fn = f_rows[:, 0]
+        ft = f_rows[:, 1:]
+        force = fn[:, None] * n + ft[:, 0:1] * con.frame[:, 1]
+        if mc >= 3:
+            force = force + ft[:, 1:2] * con.frame[:, 2]
+        torque_local = jnp.zeros((K, 3), dtype)
+        if mc >= 4:
+            torque_local = torque_local + ft[:, 2:3] * n
+        if mc >= 6:
+            torque_local = (torque_local + ft[:, 3:4] * con.frame[:, 1]
+                            + ft[:, 4:5] * con.frame[:, 2])
     else:
         naxes = mc - 1
         f_plus = f_rows[:, 0::2][:, :naxes]

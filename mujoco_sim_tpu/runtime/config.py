@@ -116,12 +116,17 @@ def serve(cfg_path: str, run_sim: bool = True):
     spec, m, sim, robots_meta = build(cfg,
                                       os.path.dirname(os.path.abspath(cfg_path)))
     peer = cfg.get("peer")
+    pub_config = {k: cfg[k] for k in
+                  ("pub_object_marker_array", "pub_tf",
+                   "pub_object_state_array", "pub_joint_states")
+                  if k in cfg}
     srv = SimServer(sim,
                     host=cfg.get("host", "127.0.0.1"),
                     port=int(cfg.get("port", 7500)),
                     spec=spec, robots=robots_meta,
                     step_hz=cfg.get("step_hz"),
                     receive=cfg.get("receive") or None,
-                    peer=(peer["host"], int(peer["port"])) if peer else None)
+                    peer=(peer["host"], int(peer["port"])) if peer else None,
+                    pub_config=pub_config or None)
     srv.start(run_sim=run_sim)
     return srv

@@ -59,8 +59,9 @@ def render_frame(m, d, path: str, *, rtf: float | None = None,
         if not active[lay.geom_bodyid[g]]:
             continue
         t = GeomType(int(lay.geom_type[g]))
-        size = np.asarray(m.geom_size[g])
-        rgba = np.asarray(m.geom_rgba[g])
+        # Data-resident geometry (spawn-time size/rgba overrides)
+        size = np.asarray(d.geom_size[g])
+        rgba = np.asarray(d.geom_rgba[g])
         p, R = xpos[g], xmat[g]
         color = rgba[:3]
         alpha = float(min(1.0, rgba[3]))

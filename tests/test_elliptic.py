@@ -92,3 +92,34 @@ def test_elliptic_condim3_drop():
     np.testing.assert_allclose(np.asarray(d.qpos)[:3], dd.qpos[:3],
                                atol=2e-2)
     assert abs(float(d.qpos[2]) - 0.1) < 5e-3
+
+
+def test_elliptic_noslip_drift_suppressed():
+    """noslip with elliptic cones: sub-threshold lateral push holds the box
+    still, tracking the oracle's drift suppression."""
+    xml = "tests/fixtures/elliptic_noslip.xml"
+    with open(xml, "w") as f:
+        f.write("""
+<mujoco>
+  <option timestep="0.005" gravity="0 0 -9.81" cone="elliptic"
+          noslip_iterations="5" noslip_tolerance="1e-6"/>
+  <worldbody>
+    <geom name="floor" size="0 0 .05" type="plane" friction="0.4"/>
+    <body name="box" pos="0 0 0.0995"><freejoint/>
+      <geom type="box" size=".1 .1 .1" friction="0.4"/></body>
+  </worldbody>
+</mujoco>""")
+    mm = oracle_model(xml)
+    dd = mujoco.MjData(mm)
+    m = load_model(xml)
+    d = engine.make_data(m)
+    step = jax.jit(engine.step)
+    push = jnp.asarray([0, 0, 0, 20.0, 0, 0.0])
+    for _ in range(200):
+        dd.xfrc_applied[1, :3] = [20.0, 0, 0]
+        mujoco.mj_step(mm, dd)
+        d = d.replace(xfrc_applied=d.xfrc_applied.at[1, :].set(push))
+        d = step(m, d)
+    # drift suppressed to the same order as the oracle
+    assert abs(float(d.qpos[0])) < 5e-4, float(d.qpos[0])
+    assert abs(float(d.qpos[0]) - dd.qpos[0]) < 5e-4

@@ -49,3 +49,43 @@ def test_robot_compiles_and_steps(name):
     d = roll(m, d)
     assert np.isfinite(np.asarray(d.qpos)).all()
     assert np.isfinite(np.asarray(d.qvel)).all()
+
+
+def test_tiago_contact_trajectory():
+    """tiago WITH contacts: wheels + self-collision meshes track the oracle
+    (regression for the face-only-SAT phantom contacts, r2)."""
+    import mujoco
+    path = "/root/reference/model/test/tiago/tiago.xml"
+    mm = oracle_model(path)
+    dd = mujoco.MjData(mm)
+    m = load_model(path)
+    d = engine.make_data(m)
+    step = jax.jit(engine.step)
+    maxerr = 0.0
+    for _ in range(50):
+        mujoco.mj_step(mm, dd)
+        d = step(m, d)
+        maxerr = max(maxerr, float(
+            np.abs(np.asarray(d.qpos) - dd.qpos).max()))
+    assert maxerr < 1e-4, maxerr
+
+
+def test_hsrb4s_contact_sanity():
+    """hsrb4s steps stably with contacts: its gripper meshes START 18 mm
+    interpenetrated, where manifold-count differences vs the oracle's single
+    MPR contact shift the finger-spring equilibrium — base pose must still
+    track; finger angles get a loose band."""
+    import mujoco
+    path = "/root/reference/model/test/hsrb4s/hsrb4s.xml"
+    mm = oracle_model(path)
+    dd = mujoco.MjData(mm)
+    m = load_model(path)
+    d = engine.make_data(m)
+    step = jax.jit(engine.step)
+    for _ in range(50):
+        mujoco.mj_step(mm, dd)
+        d = step(m, d)
+    q = np.asarray(d.qpos)
+    assert np.isfinite(q).all()
+    np.testing.assert_allclose(q[:3], dd.qpos[:3], atol=5e-2)  # base pos
+    assert np.abs(q - dd.qpos).max() < 0.5  # no joint runs away

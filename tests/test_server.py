@@ -152,3 +152,45 @@ def test_live_viewer_headless(server):
         assert len(v.spawned) == before
     finally:
         v.close()
+
+
+def test_per_class_publisher_rates():
+    """Per-object-class rate config (robot.yaml:62-92): world bodies at rate
+    0 are never published; spawned objects stream at their own rate."""
+    import json
+    import socket
+
+    world = scene.compose(
+        "/root/reference/model/world/empty.xml",
+        robots={"sball": scene.RobotConfig(path=BALL_XML)},
+        instances=2)
+    m = set_const(compile_spec(world))
+    sim = Simulation(m, spawnable={"sball": ["sball", "1_sball"]})
+    srv = SimServer(sim, port=PORT + 7, spec=world, pub_config={
+        "pub_object_state_array": {"free_bodies_only": False,
+                                   "robot_bodies_rate": 0.0,
+                                   "world_bodies_rate": 0.0,
+                                   "spawned_object_bodies_rate": 60.0}})
+    srv.start(run_sim=False)
+    try:
+        public = sim.spawn("sball", "streamball",
+                           pose=np.array([0, 0, 0.5, 1, 0, 0, 0]))
+        c = SimClient(port=PORT + 7)
+        got = []
+        for msg in c.subscribe(["object_states"], rate=60.0):
+            if "object_states" in msg:
+                got.append(msg["object_states"]["objects"])
+            if len(got) >= 3:
+                break
+        c.close()
+        names = {o["name"] for objs in got for o in objs}
+        assert public in names                 # spawned class streams
+        # every streamed body belongs to the spawned class (world/robot
+        # classes are at rate 0)
+        for n in names:
+            slot = sim.by_public_name.get(n)
+            bid = (slot.root_body if slot is not None
+                   else m.names.body_id(n))
+            assert srv._body_class[bid] == "spawned", (n, bid)
+    finally:
+        srv.stop()
