@@ -39,6 +39,8 @@ def _batch(m, d, nenv, jitter=True):
 
 
 def _time_rollout(run, m, dB, nenv, nsteps):
+    """One warmup dispatch, then a timed rollout.  Rollouts are long enough
+    that the axon tunnel's ~0.1-0.2 s round-trip amortizes below ~10%."""
     out = run(m, dB)
     jax.block_until_ready(out.qpos)
     t0 = time.time()
@@ -48,7 +50,7 @@ def _time_rollout(run, m, dB, nenv, nsteps):
     return nenv * nsteps / dt, dt
 
 
-def bench_box(nenv=None, nsteps=200):
+def bench_box(nenv=None, nsteps=1000):
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.models.compile import load_model
     from mujoco_sim_tpu.parallel import mesh as pmesh
@@ -107,7 +109,7 @@ def _mobile_model():
     return set_const(compile_spec(world))
 
 
-def bench_mobile(nenv=1024, nsteps=200):
+def bench_mobile(nenv=1024, nsteps=500):
     """Config 3: base velocity control + PD arm, batched (Euler: the
     world's RK4 default quadruples solver passes per step)."""
     from mujoco_sim_tpu import engine
@@ -149,7 +151,7 @@ def bench_mobile(nenv=1024, nsteps=200):
     return {"scenario": "mobile", "nenv": nenv, "rate": rate}
 
 
-def bench_pr2(nenv=256, nsteps=50):
+def bench_pr2(nenv=256, nsteps=100):
     """Config 2: PR2 (49 dof, mimic equalities), batched at the VERDICT r1
     done-criterion env count."""
     from mujoco_sim_tpu import engine
@@ -174,7 +176,7 @@ def bench_pr2(nenv=256, nsteps=50):
     return {"scenario": "pr2", "nenv": nenv, "rate": rate}
 
 
-def bench_spawn(nenv=4096, nsteps=200):
+def bench_spawn(nenv=4096, nsteps=500):
     """Config 4: masked spawn slots, half active."""
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.models import scene

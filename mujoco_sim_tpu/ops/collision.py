@@ -19,7 +19,6 @@ import numpy as np
 
 from mujoco_sim_tpu.models.model import (Model, Data, GeomType,
                                           contact_rows_per)
-from mujoco_sim_tpu.ops import math as mm
 
 
 def _rows_per(m: Model) -> int:

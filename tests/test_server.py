@@ -194,3 +194,35 @@ def test_per_class_publisher_rates():
             assert srv._body_class[bid] == "spawned", (n, bid)
     finally:
         srv.stop()
+
+
+def test_spawn_with_size_rgba_over_tcp(server):
+    """ObjectInfo.size/rgba/inertial travel through the TCP spawn service
+    into Data-resident geometry (mj_ros.cpp:941-966 parity end-to-end)."""
+    c = SimClient(port=PORT)
+    names = c.spawn_objects([{
+        "info": {"name": "bigball", "type": 1, "size": [0.17, 0, 0],
+                 "rgba": [0.9, 0.1, 0.2, 1.0],
+                 "inertial": {"m": 2.5, "ixx": 0.03, "iyy": 0.03,
+                              "izz": 0.03}},
+        "class": "sball",
+        "pose": [0, 0.9, 0.6, 1, 0, 0, 0]}])
+    assert len(names) == 1
+    sim = server.sim
+    slot = sim.by_public_name[names[0]]
+    g = int(slot.geoms[0])
+    assert abs(float(sim.d.geom_size[g, 0]) - 0.17) < 1e-6
+    np.testing.assert_allclose(np.asarray(sim.d.geom_rgba[g]),
+                               [0.9, 0.1, 0.2, 1.0], atol=1e-6)
+    assert abs(float(sim.d.body_mass[slot.root_body]) - 2.5) < 1e-6
+    # settles at its requested radius (sim thread is stepping)
+    deadline = time.time() + 60
+    z = None
+    while time.time() < deadline:
+        time.sleep(0.5)
+        z = float(sim.d.qpos[slot.qpos_adr + 2])
+        if abs(z - 0.17) < 0.02:
+            break
+    assert z is not None and abs(z - 0.17) < 0.02, z
+    c.destroy_objects(names)
+    c.close()
