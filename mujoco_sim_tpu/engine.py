@@ -301,6 +301,40 @@ def _euler(m: Model, d: Data) -> Data:
     return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
 
 
+def _implicit(m: Model, d: Data, fast: bool) -> Data:
+    """mj_implicit / mj_implicitFast: integrate velocity implicitly using
+    d(qfrc)/d(qvel).  implicitfast keeps only the passive-damping derivative
+    (with no tendons/actuators/fluid that is diag(dof_damping), making it
+    coincide with mj_Euler's implicit-damping form); full implicit also
+    differentiates the RNE bias Coriolis term — obtained here by forward-mode
+    AD of ops/smooth.rne instead of MuJoCo's hand-written mjd_smooth_vel.
+    The modified matrix is nonsymmetric, so a general LU solve is used
+    (models requesting implicit are off the reference's hot path).
+    """
+    dtype = d.qpos.dtype
+    h = jnp.asarray(m.opt.timestep, dtype)
+    damping = jnp.asarray(m.dof_damping, dtype)
+    MhB = d.qM + jnp.diag(h * damping)
+    rhs = d.qfrc_smooth + d.qfrc_constraint
+    if fast:
+        from mujoco_sim_tpu.ops import linalg as _linalg
+        qacc = _linalg.cho_solve(_linalg.cholesky(MhB), rhs)
+    else:
+        com = _com_dict(m, d)
+        com_full = dict(com, cinert=_cinert(m, d))
+
+        def bias_of_v(v):
+            vel = smooth.com_vel(m, com_full, v)
+            return smooth.rne(m, com_full, vel, v)
+
+        dbias_dv = jax.jacfwd(bias_of_v)(d.qvel)   # (nv, nv), nonsymmetric
+        A = MhB + h * dbias_dv
+        qacc = jnp.linalg.solve(A, rhs)
+    qvel = jnp.where(_dof_active(m, d), d.qvel + h * qacc, 0.0)
+    qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)
+    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+
+
 _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
 _RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
@@ -337,6 +371,10 @@ def step(m: Model, d: Data) -> Data:
     d = d.replace(qacc_warmstart=d.qacc)
     if m.opt.integrator == int(Integrator.RK4):
         return _rk4(m, d)
+    if m.opt.integrator == int(Integrator.IMPLICIT):
+        return _implicit(m, d, fast=False)
+    if m.opt.integrator == int(Integrator.IMPLICITFAST):
+        return _implicit(m, d, fast=True)
     return _euler(m, d)
 
 
@@ -358,6 +396,10 @@ def step2(m: Model, d: Data) -> Data:
     d = d.replace(qacc_warmstart=d.qacc)
     if m.opt.integrator == int(Integrator.RK4):
         return _rk4(m, d)
+    if m.opt.integrator == int(Integrator.IMPLICIT):
+        return _implicit(m, d, fast=False)
+    if m.opt.integrator == int(Integrator.IMPLICITFAST):
+        return _implicit(m, d, fast=True)
     return _euler(m, d)
 
 

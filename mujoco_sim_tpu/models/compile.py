@@ -671,14 +671,6 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
 
     # ---- option
     ospec = spec.option
-    if _INTEGRATOR[ospec.integrator] in (Integrator.IMPLICIT,
-                                         Integrator.IMPLICITFAST):
-        # fail loudly instead of silently integrating with different dynamics
-        # (mjModel would accept these; engine.step only implements
-        # Euler-with-implicit-damping and RK4)
-        raise NotImplementedError(
-            f"integrator '{ospec.integrator}' is not implemented; "
-            "use 'Euler' (implicit joint damping) or 'RK4'")
     opt = Option(
         timestep=np_f(ospec.timestep),
         gravity=np_f(ospec.gravity),

@@ -282,3 +282,35 @@ def test_noslip_matches_oracle():
     assert abs(float(d.qpos[0]) - dd.qpos[0]) < 1e-5
     assert abs(float(d.qpos[0])) < 1e-4  # drift suppressed (vs 1.3e-3 w/o)
     np.testing.assert_allclose(np.asarray(d.qpos), dd.qpos, atol=5e-5)
+
+
+def test_implicit_integrators_match_oracle():
+    """mj_implicit / mj_implicitFast parity: the velocity-derivative comes
+    from forward-mode AD of ops/smooth.rne instead of MuJoCo's hand-written
+    mjd_smooth_vel; a damped double pendulum (hinge + ball) matches to
+    machine precision over 200 steps."""
+    for integ in ("implicitfast", "implicit"):
+        xml = f"tests/fixtures/implicit_{integ}.xml"
+        with open(xml, "w") as f:
+            f.write(f"""
+<mujoco>
+  <option timestep="0.005" gravity="0 0 -9.81" integrator="{integ}"/>
+  <worldbody>
+    <body pos="0 0 1"><joint name="j1" type="hinge" axis="0 1 0"
+                             damping="0.3"/>
+      <geom type="capsule" size=".04 .2" pos="0.2 0 0" euler="0 90 0"/>
+      <body pos="0.4 0 0"><joint name="j2" type="ball" damping="0.1"/>
+        <geom type="capsule" size=".03 .15" pos="0.15 0 0" euler="0 90 0"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>""")
+        mm = oracle_model(xml)
+        m = load_model(xml)
+        n = 200
+        qvel0 = np.zeros(mm.nv)
+        qvel0[0] = 1.0
+        ours = run_ours(m, n, qvel=qvel0)
+        theirs = run_oracle(mm, n, qvel=qvel0)
+        err = max(np.max(np.abs(a[0] - b[0])) for a, b in zip(ours, theirs))
+        assert err < 1e-10, (integ, err)
