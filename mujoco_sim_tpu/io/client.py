@@ -8,7 +8,7 @@ import socket
 
 
 class SimClient:
-    def __init__(self, host="127.0.0.1", port=7500, timeout=30.0):
+    def __init__(self, host="127.0.0.1", port=7500, timeout=120.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.f = self.sock.makefile("rw")
 

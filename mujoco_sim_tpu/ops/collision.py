@@ -629,7 +629,7 @@ def collision(m: Model, d: Data) -> Data:
 
     # per-group candidate blocks, concatenated in the (contiguous, ordered)
     # cand_adr layout at the end — scatters don't fuse on TPU
-    blk_dist, blk_pos, blk_nrm, blk_act, blk_pair = [], [], [], [], []
+    blk_dist, blk_pos, blk_nrm, blk_act, blk_selp = [], [], [], [], []
 
     from mujoco_sim_tpu.ops.colgroups import pair_key
     keys = [pair_key(GeomType(lay.geom_type[a]), GeomType(lay.geom_type[b]))[0]
@@ -671,7 +671,7 @@ def collision(m: Model, d: Data) -> Data:
             b1 = lay.geom_bodyid[g1]
             b2 = lay.geom_bodyid[g2]
             act = act & body_act[b1][..., None] & body_act[b2][..., None]
-            pair_blk = jnp.asarray(np.repeat(sel, ncap), jnp.int32)
+            selp_blk = None
         else:
             fn = _DISPATCH_MESH[key]
             ncap = g.cap
@@ -725,46 +725,83 @@ def collision(m: Model, d: Data) -> Data:
             gb = jnp.asarray(lay.geom_bodyid)
             act = (act & body_act[gb[g1d]][..., None]
                    & body_act[gb[g2d]][..., None])
-            pair_blk = jnp.repeat(pairid_d, ncap).astype(jnp.int32)
+            selp_blk = selp
 
         blk_dist.append(dist.reshape(-1))
         blk_pos.append(pos.reshape(-1, 3))
         blk_nrm.append(nrm.reshape(-1, 3))
         blk_act.append(act.reshape(-1))
-        blk_pair.append(pair_blk)
+        blk_selp.append(selp_blk)
 
     cand_dist = jnp.concatenate(blk_dist)
     cand_pos = jnp.concatenate(blk_pos)
     cand_nrm = jnp.concatenate(blk_nrm)
     cand_act = jnp.concatenate(blk_act)
-    cand_pair = jnp.concatenate(blk_pair)
     assert cand_dist.shape[0] == m.ncand
 
-    # ---- top-K compaction by penetration depth (active first)
-    K = m.ncon_max
-    score = jnp.where(cand_act, cand_dist, BIG)
-    _, idx = _top_k_small(-score, K)
+    # per-candidate pair attributes.  Primitive groups have STATIC pair ids
+    # (lay.cand_pairid); mesh groups pick pairs dynamically, so their
+    # attribute segments are re-selected with a small one-hot matmul — no
+    # dynamic element gathers anywhere (each cost 85-170us/step on PR2, r2
+    # trace fusion.8611+).
+    pair_attrs = jnp.concatenate([
+        jnp.asarray(lay.pair_geom1, dtype)[:, None],
+        jnp.asarray(lay.pair_geom2, dtype)[:, None],
+        jnp.asarray(m.pair_margin - m.pair_gap, dtype)[:, None],
+        jnp.asarray(lay.pair_condim, dtype)[:, None],
+        jnp.asarray(m.pair_friction, dtype),
+        jnp.asarray(m.pair_solref, dtype),
+        jnp.asarray(m.pair_solimp, dtype),
+    ], axis=1)                                      # (npair, 4+5+2+5)
+    attr_blocks = []
+    for g, selp_blk in zip(groups, blk_selp):
+        base = pair_attrs[g.pair_idx]               # static gather
+        if g.key in EXPENSIVE:
+            oh = jax.nn.one_hot(selp_blk, len(g.pair_idx), dtype=dtype)
+            sel_attr = oh @ base                    # (P, nattr)
+            attr_blocks.append(jnp.repeat(sel_attr, g.cap, axis=0))
+        else:
+            attr_blocks.append(jnp.repeat(base, g.cap, axis=0))
+    cand_attr = jnp.concatenate(attr_blocks, axis=0)   # (ncand, nattr)
 
-    sel_pair = cand_pair[idx]
-    nrm_k = cand_nrm[idx]
+    # ---- rank compaction into the K contact slots.  The previous top-K
+    # (K argmax passes + ~15 dynamic gathers) dominated PR2 step time; the
+    # cumulative-rank one-hot turns compaction into a single (K, ncand)
+    # matmul.  Slot order is candidate order, not depth order — the solver
+    # is order-invariant.  If MORE than K candidates are active the later
+    # ones drop (runtime/health.contact_saturated flags this).
+    K = m.ncon_max
+    act_i = cand_act.astype(jnp.int32)
+    rank = jnp.cumsum(act_i) * act_i                 # 1..n for active, 0 else
+    oh = (rank[None, :] == jnp.arange(1, K + 1, dtype=jnp.int32)[:, None])
+    valid = oh.any(axis=1)
+    ohf = oh.astype(dtype)
+
+    dist_k = ohf @ cand_dist
+    pos_k = ohf @ cand_pos
+    nrm_k = ohf @ cand_nrm
+    attr_k = ohf @ cand_attr
+    # empty slots got all-zero rows; give them a unit normal and dim 1
+    nrm_k = jnp.where(valid[:, None], nrm_k,
+                      jnp.asarray([0.0, 0.0, 1.0], dtype))
     t1k, t2k = _make_tangents(nrm_k)
     frame = jnp.stack([nrm_k, t1k, t2k], axis=-2)
 
     con = d.contact.replace(
-        dist=cand_dist[idx],
-        pos=cand_pos[idx],
+        dist=dist_k,
+        pos=pos_k,
         frame=frame,
-        active=cand_act[idx],
-        geom1=jnp.asarray(lay.pair_geom1, jnp.int32)[sel_pair],
-        geom2=jnp.asarray(lay.pair_geom2, jnp.int32)[sel_pair],
-        includemargin=jnp.asarray(m.pair_margin - m.pair_gap, dtype)[sel_pair],
-        friction=jnp.asarray(m.pair_friction, dtype)[sel_pair],
-        solref=jnp.asarray(m.pair_solref, dtype)[sel_pair],
-        solimp=jnp.asarray(m.pair_solimp, dtype)[sel_pair],
-        dim=jnp.asarray(lay.pair_condim, jnp.int32)[sel_pair],
+        active=valid,
+        geom1=jnp.round(attr_k[:, 0]).astype(jnp.int32),
+        geom2=jnp.round(attr_k[:, 1]).astype(jnp.int32),
+        includemargin=attr_k[:, 2],
+        dim=jnp.maximum(jnp.round(attr_k[:, 3]).astype(jnp.int32), 1),
+        friction=attr_k[:, 4:9],
+        solref=attr_k[:, 9:11],
+        solimp=attr_k[:, 11:16],
         efc_address=jnp.asarray(
             m.contact_efcadr
             + np.arange(K) * _rows_per(m), jnp.int32),
     )
-    ncon = jnp.sum(cand_act.astype(jnp.int32)).astype(jnp.int32)
+    ncon = jnp.sum(act_i).astype(jnp.int32)
     return d.replace(contact=con, ncon=ncon)
