@@ -38,16 +38,19 @@ def _batch(m, d, nenv, jitter=True):
     return dB
 
 
-def _time_rollout(run, m, dB, nenv, nsteps):
-    """One warmup dispatch, then a timed rollout.  Rollouts are long enough
-    that the axon tunnel's ~0.1-0.2 s round-trip amortizes below ~10%."""
+def _time_rollout(run, m, dB, nenv, nsteps, reps=3):
+    """One warmup dispatch, then best-of-`reps` timed rollouts.  Rollouts
+    are long enough that the axon tunnel's round-trip amortizes below ~10%,
+    and best-of-reps rides out tunnel congestion spikes."""
     out = run(m, dB)
     jax.block_until_ready(out.qpos)
-    t0 = time.time()
-    out = run(m, out)
-    jax.block_until_ready(out.qpos)
-    dt = time.time() - t0
-    return nenv * nsteps / dt, dt
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = run(m, out)
+        jax.block_until_ready(out.qpos)
+        best = min(best, time.time() - t0)
+    return nenv * nsteps / best, best
 
 
 def bench_box(nenv=None, nsteps=1000):

@@ -764,17 +764,26 @@ def collision(m: Model, d: Data) -> Data:
             attr_blocks.append(jnp.repeat(base, g.cap, axis=0))
     cand_attr = jnp.concatenate(attr_blocks, axis=0)   # (ncand, nattr)
 
-    # ---- rank compaction into the K contact slots.  The previous top-K
-    # (K argmax passes + ~15 dynamic gathers) dominated PR2 step time; the
-    # cumulative-rank one-hot turns compaction into a single (K, ncand)
-    # matmul.  Slot order is candidate order, not depth order — the solver
-    # is order-invariant.  If MORE than K candidates are active the later
-    # ones drop (runtime/health.contact_saturated flags this).
+    # ---- compaction into the K contact slots, as ONE one-hot matmul over
+    # the candidates (the previous K-argmax-pass top-K + ~15 dynamic
+    # gathers dominated PR2 step time).  Two static variants:
+    #   small scenes (ncand <= 2K): depth-ordered argmax passes — cheap at
+    #     this size and keeps the deepest-first slot order;
+    #   large scenes: cumulative-rank selection — slot order becomes
+    #     candidate order (the solver is order-invariant), and if MORE than
+    #     K candidates are active the later ones drop
+    #     (runtime/health.contact_saturated flags this).
     K = m.ncon_max
     act_i = cand_act.astype(jnp.int32)
-    rank = jnp.cumsum(act_i) * act_i                 # 1..n for active, 0 else
-    oh = (rank[None, :] == jnp.arange(1, K + 1, dtype=jnp.int32)[:, None])
-    valid = oh.any(axis=1)
+    if m.ncand <= 2 * K:
+        score = jnp.where(cand_act, cand_dist, BIG)
+        _, idx = _top_k_small(-score, K)
+        oh = (idx[:, None] == jnp.arange(m.ncand, dtype=idx.dtype)[None, :])
+        valid = (oh & cand_act[None, :]).any(axis=1)
+    else:
+        rank = jnp.cumsum(act_i) * act_i             # 1..n for active, 0 else
+        oh = (rank[None, :] == jnp.arange(1, K + 1, dtype=jnp.int32)[:, None])
+        valid = oh.any(axis=1)
     ohf = oh.astype(dtype)
 
     dist_k = ohf @ cand_dist

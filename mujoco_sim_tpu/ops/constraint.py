@@ -344,15 +344,34 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
         mc = m.max_condim
         elliptic = m.opt.cone == int(ConeType.ELLIPTIC)
         nrows_per = contact_rows_per(mc, m.opt.cone)
-        gb = jnp.asarray(lay.geom_bodyid)
-        b1 = gb[con.geom1]
-        b2 = gb[con.geom2]
+        # all per-contact body lookups via one-hot matmuls: the dynamic
+        # element gathers they replace cost ~0.1-0.2 ms each per step on
+        # TPU (r2 trace fusion.614/615); the (K, nbody) one-hots fuse.
+        # geom->body is folded into the one-hot with a static 0/1 matrix.
+        geom2body = np.zeros((m.ngeom, m.nbody))
+        geom2body[np.arange(m.ngeom), lay.geom_bodyid] = 1.0
+        g2b = jnp.asarray(geom2body, dtype)
+        B1 = jax.nn.one_hot(con.geom1, m.ngeom, dtype=dtype) @ g2b  # (K,nb)
+        B2 = jax.nn.one_hot(con.geom2, m.ngeom, dtype=dtype) @ g2b
         pos_c = con.pos            # (K, 3)
         frame = con.frame          # (K, 3, 3) rows n,t1,t2
-        o1 = d.subtree_com[jnp.asarray(lay.body_rootid)[b1]]
-        o2 = d.subtree_com[jnp.asarray(lay.body_rootid)[b2]]
-        Jp2 = _point_jacobian(m, d, pos_c, b2, o2)
-        Jp1 = _point_jacobian(m, d, pos_c, b1, o1)
+        origin_of_body = d.subtree_com[lay.body_rootid]     # static gather
+        o1 = B1 @ origin_of_body
+        o2 = B2 @ origin_of_body
+        anc = jnp.asarray(m.ancestor_mask, dtype)           # (nbody, nv)
+        mask1 = B1 @ anc
+        mask2 = B2 @ anc
+        cdof = d.cdof
+        ang, lin = cdof[:, :3], cdof[:, 3:]
+
+        def point_jac(point, origin, mask):
+            jac = lin.T[None] + jnp.cross(
+                ang[None, :, :], (point - origin)[..., None, :]
+            ).swapaxes(-1, -2)
+            return jac * mask[:, None, :]
+
+        Jp2 = point_jac(pos_c, o2, mask2)
+        Jp1 = point_jac(pos_c, o1, mask1)
         Jdiff = Jp2 - Jp1          # (K, 3, nv)
         Jn = jnp.einsum("si,siv->sv", frame[:, 0], Jdiff)
         fric_axes = [
@@ -360,7 +379,7 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
             jnp.einsum("si,siv->sv", frame[:, 2], Jdiff),
         ]
         if mc >= 4:
-            Jrdiff = _rot_jacobian(m, d, b2) - _rot_jacobian(m, d, b1)
+            Jrdiff = ang.T[None] * (mask2 - mask1)[:, None, :]
             fric_axes.append(jnp.einsum("si,siv->sv", frame[:, 0], Jrdiff))
             if mc >= 6:
                 fric_axes.append(
@@ -368,7 +387,7 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
                 fric_axes.append(
                     jnp.einsum("si,siv->sv", frame[:, 2], Jrdiff))
         pen = con.dist - con.includemargin
-        invw = binv[b1, 0] + binv[b2, 0]
+        invw = (B1 + B2) @ binv[:, 0]
         con_active = con.active
         if disable & int(DisableBit.CONTACT):
             con_active = jnp.zeros_like(con_active)
