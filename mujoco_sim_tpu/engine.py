@@ -198,8 +198,10 @@ def _cinert(m: Model, d: Data):
     from mujoco_sim_tpu.ops import math as mm
     dtype = d.qpos.dtype
     lay = m.layout
-    inert_world = jnp.einsum("bij,bj,bkj->bik", d.ximat,
-                             d.body_inertia.astype(dtype), d.ximat)
+    # R diag(I) R^T as broadcast-multiply + reduce: a K=3 einsum lowers to
+    # a slow XLA "convolution fusion" on TPU (r2 PR2 trace, ~170us/step)
+    RI = d.ximat * d.body_inertia.astype(dtype)[..., None, :]
+    inert_world = (RI[..., :, None, :] * d.ximat[..., None, :, :]).sum(-1)
     origin = d.subtree_com[lay.body_rootid]
     return mm.spatial_inertia(d.body_mass.astype(dtype), inert_world,
                               d.xipos - origin)

@@ -67,7 +67,7 @@ def _make_tangents(n: jax.Array):
 def _plane_sphere(pp, pR, s1, sp, sR, size2):
     """1 contact: (dist, pos, normal). pp/pR plane frame; sp sphere center."""
     n = pR[..., :, 2]
-    h = jnp.einsum("...i,...i->...", n, sp - pp)
+    h = (n * (sp - pp)).sum(-1)
     r = size2[..., 0]
     dist = h - r
     pos = sp - n * (r + 0.5 * dist)[..., None]
@@ -82,7 +82,7 @@ def _plane_capsule(pp, pR, s1, cp, cR, size2):
     hh = size2[..., 1]
     ends = jnp.stack([cp + axis * hh[..., None], cp - axis * hh[..., None]],
                      axis=-2)  # (...,2,3)
-    h = jnp.einsum("...i,...ki->...k", n, ends - pp[..., None, :])
+    h = (n[..., None, :] * (ends - pp[..., None, :])).sum(-1)
     dist = h - r[..., None]
     pos = ends - n[..., None, :] * (r[..., None] + 0.5 * dist)[..., None]
     nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
@@ -95,9 +95,9 @@ def _plane_box(pp, pR, s1, bp, bR, size2):
     corners = jnp.asarray(np.array(
         [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]),
         dtype=bp.dtype)  # (8,3)
-    pts = bp[..., None, :] + jnp.einsum(
-        "...ij,...kj->...ki", bR, corners * size2[..., None, :])
-    h = jnp.einsum("...i,...ki->...k", n, pts - pp[..., None, :])
+    pts = bp[..., None, :] + _rotate_rows_fwd(
+        bR, corners * size2[..., None, :])
+    h = (n[..., None, :] * (pts - pp[..., None, :])).sum(-1)
     # 4 smallest heights
     neg_h, idx = _top_k_small(-h, 4)
     dist = -neg_h
@@ -114,7 +114,7 @@ def _plane_cylinder(pp, pR, s1, cp, cR, size2):
     r = size2[..., 0]
     hh = size2[..., 1]
     # downhill direction in cap plane
-    proj = jnp.einsum("...i,...i->...", n, axis)
+    proj = (n * axis).sum(-1)
     u = n - axis * proj[..., None]
     un = jnp.linalg.norm(u, axis=-1, keepdims=True)
     # if axis || n, pick arbitrary radial dir
@@ -126,7 +126,7 @@ def _plane_cylinder(pp, pR, s1, cp, cR, size2):
         caps - u[..., None, :] * r[..., None, None],
         caps + u[..., None, :] * r[..., None, None],
     ], axis=-2)  # (...,4,3)
-    h = jnp.einsum("...i,...ki->...k", n, pts - pp[..., None, :])
+    h = (n[..., None, :] * (pts - pp[..., None, :])).sum(-1)
     pos = pts - n[..., None, :] * (0.5 * h)[..., None]
     nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
     return h, pos, nrm
@@ -135,12 +135,12 @@ def _plane_cylinder(pp, pR, s1, cp, cR, size2):
 def _plane_ellipsoid(pp, pR, s1, ep, eR, size2):
     n = pR[..., :, 2]
     # support point in -n direction: x = -E^2 R^T n / |E R^T n|
-    nl = jnp.einsum("...ji,...j->...i", eR, n)  # n in ellipsoid frame
+    nl = (eR * n[..., :, None]).sum(-2)        # n in ellipsoid frame
     en = size2 * nl
     denom = jnp.linalg.norm(en, axis=-1, keepdims=True)
     xl = -(size2 * en) / jnp.maximum(denom, 1e-12)
-    x = ep + jnp.einsum("...ij,...j->...i", eR, xl)
-    h = jnp.einsum("...i,...i->...", n, x - pp)
+    x = ep + (eR * xl[..., None, :]).sum(-1)
+    h = (n * (x - pp)).sum(-1)
     pos = x - n * (0.5 * h)[..., None]
     return h[..., None], pos[..., None, :], n[..., None, :]
 
@@ -158,8 +158,7 @@ def _sphere_sphere(p1, R1, s1, p2, R2, s2):
 def _sphere_capsule(p1, R1, s1, p2, R2, s2):
     axis = R2[..., :, 2]
     hh = s2[..., 1]
-    t = jnp.clip(jnp.einsum("...i,...i->...", p1 - p2, axis),
-                 -hh, hh)
+    t = jnp.clip(((p1 - p2) * axis).sum(-1), -hh, hh)
     cp = p2 + axis * t[..., None]
     d = cp - p1
     dist_c = jnp.linalg.norm(d, axis=-1)
@@ -182,9 +181,9 @@ def _capsule_capsule(p1, R1, s1, p2, R2, s2):
     # closed-form segment-segment closest parameters (clamped)
     d12 = p2 - p1
     A = jnp.ones_like(h1)                     # a1.a1
-    B = jnp.einsum("...i,...i->...", a1, a2)
-    C = jnp.einsum("...i,...i->...", a1, d12)
-    E = jnp.einsum("...i,...i->...", a2, d12)
+    B = (a1 * a2).sum(-1)
+    C = (a1 * d12).sum(-1)
+    E = (a2 * d12).sum(-1)
     den = jnp.maximum(A - B * B, 1e-9)
     t1 = jnp.clip((C - B * E) / den, -h1, h1)
     t2 = jnp.clip(B * t1 - E, -h2, h2)
@@ -228,7 +227,7 @@ def _capsule_box(p1, R1, s1, p2, R2, s2):
 
 def _sphere_box(p1, R1, s1, p2, R2, s2):
     # sphere center in box frame
-    cl = jnp.einsum("...ji,...j->...i", R2, p1 - p2)
+    cl = (R2 * (p1 - p2)[..., :, None]).sum(-2)
     clamped = jnp.clip(cl, -s2, s2)
     inside = jnp.all(jnp.abs(cl) < s2, axis=-1)
     # outside: closest point on surface
@@ -238,9 +237,9 @@ def _sphere_box(p1, R1, s1, p2, R2, s2):
     # inside: push out along min-penetration face
     depth = s2 - jnp.abs(cl)
     ax = jnp.argmin(depth, axis=-1)
-    sign = jnp.sign(jnp.take_along_axis(cl, ax[..., None], axis=-1))[..., 0]
+    sign = jnp.sign(_oh_pick(cl, ax))
     n_in = -(jax.nn.one_hot(ax, 3, dtype=cl.dtype) * sign[..., None])
-    dist_in = -jnp.take_along_axis(depth, ax[..., None], axis=-1)[..., 0]
+    dist_in = -_oh_pick(depth, ax)
     surf = jnp.where(inside[..., None],
                      clamped + n_in * dist_in[..., None], clamped)
     nl = jnp.where(inside[..., None], n_in, n_out)
@@ -248,8 +247,8 @@ def _sphere_box(p1, R1, s1, p2, R2, s2):
     r1 = s1[..., 0]
     dist = dist_l - r1
     # back to world: normal from sphere toward box
-    n = jnp.einsum("...ij,...j->...i", R2, nl)
-    surf_w = p2 + jnp.einsum("...ij,...j->...i", R2, surf)
+    n = (R2 * nl[..., None, :]).sum(-1)
+    surf_w = p2 + (R2 * surf[..., None, :]).sum(-1)
     pos = 0.5 * (surf_w + p1 + n * r1[..., None])
     return dist[..., None], pos[..., None, :], n[..., None, :]
 
@@ -275,20 +274,19 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     axes = jnp.concatenate([jnp.swapaxes(R1, -1, -2),
                             jnp.swapaxes(R2, -1, -2)], axis=-2)
     # projection radii of each box onto each axis
-    proj1 = jnp.abs(jnp.einsum("...ai,...ij->...aj", axes, R1))  # (...,6,3)
-    ra = jnp.einsum("...aj,...j->...a", proj1, s1)
-    proj2 = jnp.abs(jnp.einsum("...ai,...ij->...aj", axes, R2))
-    rb = jnp.einsum("...aj,...j->...a", proj2, s2)
-    ta = jnp.einsum("...ai,...i->...a", axes, t)
+    proj1 = jnp.abs((axes[..., :, :, None] * R1[..., None, :, :]).sum(-2))
+    ra = (proj1 * s1[..., None, :]).sum(-1)
+    proj2 = jnp.abs((axes[..., :, :, None] * R2[..., None, :, :]).sum(-2))
+    rb = (proj2 * s2[..., None, :]).sum(-1)
+    ta = (axes * t[..., None, :]).sum(-1)
     sep = jnp.abs(ta) - ra - rb          # (...,6), >0 = separated
     k = jnp.argmax(sep, axis=-1)
     sep_face = jnp.max(sep, axis=-1)
-    a_k = jnp.take_along_axis(axes, k[..., None, None].repeat(3, -1),
-                              axis=-2)[..., 0, :]
-    ta_k = jnp.take_along_axis(ta, k[..., None], axis=-1)[..., 0]
+    a_k = _oh_pick_rows(axes, k)
+    ta_k = _oh_pick(ta, k)
     n = a_k * jnp.sign(ta_k)[..., None]  # points from box1 toward box2
-    ra_k = jnp.take_along_axis(ra, k[..., None], axis=-1)[..., 0]
-    rb_k = jnp.take_along_axis(rb, k[..., None], axis=-1)[..., 0]
+    ra_k = _oh_pick(ra, k)
+    rb_k = _oh_pick(rb, k)
 
     # ---- edge-edge axes: cross(R1[:,i], R2[:,j]), 9 candidates
     e1 = jnp.swapaxes(R1, -1, -2)        # (...,3,3) rows = box1 axes
@@ -298,42 +296,39 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     crn = jnp.linalg.norm(cr, axis=-1)
     ok = crn > 1e-6                       # near-parallel edges degenerate
     cru = cr / jnp.maximum(crn[..., None], 1e-12)
-    ra_e = jnp.einsum("...aj,...j->...a",
-                      jnp.abs(jnp.einsum("...ai,...ij->...aj", cru, R1)), s1)
-    rb_e = jnp.einsum("...aj,...j->...a",
-                      jnp.abs(jnp.einsum("...ai,...ij->...aj", cru, R2)), s2)
-    ta_e = jnp.einsum("...ai,...i->...a", cru, t)
+    ra_e = (jnp.abs((cru[..., :, :, None] * R1[..., None, :, :]).sum(-2))
+            * s1[..., None, :]).sum(-1)
+    rb_e = (jnp.abs((cru[..., :, :, None] * R2[..., None, :, :]).sum(-2))
+            * s2[..., None, :]).sum(-1)
+    ta_e = (cru * t[..., None, :]).sum(-1)
     sep_e = jnp.where(ok, jnp.abs(ta_e) - ra_e - rb_e, -1e9)
     ke = jnp.argmax(sep_e, axis=-1)
     sep_edge = jnp.max(sep_e, axis=-1)
     # face bias: the edge axis must beat the best face axis by a margin to
     # be chosen (avoids flip-flopping on near-degenerate configurations)
     edge_wins = sep_edge > sep_face + jnp.asarray(1e-4, dtype)
-    a_e = jnp.take_along_axis(cru, ke[..., None, None].repeat(3, -1),
-                              axis=-2)[..., 0, :]
-    ta_ke = jnp.take_along_axis(ta_e, ke[..., None], axis=-1)[..., 0]
+    a_e = _oh_pick_rows(cru, ke)
+    ta_ke = _oh_pick(ta_e, ke)
     n_e = a_e * jnp.sign(ta_ke)[..., None]   # from box1 toward box2
     # support edges: box1 edge along axis i shifted maximally along +n_e,
     # box2 edge along axis j shifted along -n_e
     i_idx = ke // 3
     j_idx = ke % 3
-    dir1 = jnp.take_along_axis(e1, i_idx[..., None, None].repeat(3, -1),
-                               axis=-2)[..., 0, :]
-    dir2 = jnp.take_along_axis(e2, j_idx[..., None, None].repeat(3, -1),
-                               axis=-2)[..., 0, :]
-    sgn1 = jnp.sign(jnp.einsum("...ai,...i->...a", e1, n_e))
-    sgn2 = -jnp.sign(jnp.einsum("...ai,...i->...a", e2, n_e))
+    dir1 = _oh_pick_rows(e1, i_idx)
+    dir2 = _oh_pick_rows(e2, j_idx)
+    sgn1 = jnp.sign((e1 * n_e[..., None, :]).sum(-1))
+    sgn2 = -jnp.sign((e2 * n_e[..., None, :]).sum(-1))
     mask1 = 1.0 - jax.nn.one_hot(i_idx, 3, dtype=dtype)   # off-axis dims
     mask2 = 1.0 - jax.nn.one_hot(j_idx, 3, dtype=dtype)
-    c1 = p1 + jnp.einsum("...a,...a,...ai->...i", sgn1 * mask1, s1, e1)
-    c2 = p2 + jnp.einsum("...a,...a,...ai->...i", sgn2 * mask2, s2, e2)
-    h1 = jnp.take_along_axis(s1, i_idx[..., None], axis=-1)[..., 0]
-    h2 = jnp.take_along_axis(s2, j_idx[..., None], axis=-1)[..., 0]
+    c1 = p1 + ((sgn1 * mask1 * s1)[..., :, None] * e1).sum(-2)
+    c2 = p2 + ((sgn2 * mask2 * s2)[..., :, None] * e2).sum(-2)
+    h1 = _oh_pick(s1, i_idx)
+    h2 = _oh_pick(s2, j_idx)
     # closest points between segments (c1 +- h1 dir1), (c2 +- h2 dir2)
     d12 = c2 - c1
-    Bd = jnp.einsum("...i,...i->...", dir1, dir2)
-    Cd = jnp.einsum("...i,...i->...", dir1, d12)
-    Ed = jnp.einsum("...i,...i->...", dir2, d12)
+    Bd = (dir1 * dir2).sum(-1)
+    Cd = (dir1 * d12).sum(-1)
+    Ed = (dir2 * d12).sum(-1)
     den = jnp.maximum(1.0 - Bd * Bd, 1e-9)
     t1 = jnp.clip((Cd - Bd * Ed) / den, -h1, h1)
     t2 = jnp.clip(Bd * t1 - Ed, -h2, h2)
@@ -345,12 +340,10 @@ def _box_box(p1, R1, s1, p2, R2, s2):
 
     def corner_candidates(pc, Rc, sc, p_other, R_other, s_other,
                           depth_fn):
-        pts = pc[..., None, :] + jnp.einsum("...ij,...kj->...ki", Rc,
-                                            corners * sc[..., None, :])
+        pts = pc[..., None, :] + _rotate_rows_fwd(Rc, corners * sc[..., None, :])
         dist = depth_fn(pts)
         # lateral containment in the other box (slack = 5% of size)
-        loc = jnp.einsum("...ji,...kj->...ki", R_other,
-                         pts - p_other[..., None, :])
+        loc = _rotate_rows(R_other, pts - p_other[..., None, :])
         inside = jnp.abs(loc) <= (s_other * 1.05 + 1e-4)[..., None, :]
         # only require the two axes orthogonal to the contact normal; the
         # normal-axis containment is what `dist` measures.  Approximate by
@@ -364,14 +357,13 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     # depth = (c - p1).n - ra  (negative = penetrating past the plane)
     d2c, pts2 = corner_candidates(
         p2, R2, s2, p1, R1, s1,
-        lambda pts: jnp.einsum("...ki,...i->...k", pts - p1[..., None, :], n)
+        lambda pts: ((pts - p1[..., None, :]) * n[..., None, :]).sum(-1)
         - ra_k[..., None])
     # corners of box1 vs box2's near support plane:
     # depth = (p2 - c).n - rb
     d1c, pts1 = corner_candidates(
         p1, R1, s1, p2, R2, s2,
-        lambda pts: jnp.einsum("...i,...ki->...k", n,
-                               p2[..., None, :] - pts)
+        lambda pts: (n[..., None, :] * (p2[..., None, :] - pts)).sum(-1)
         - rb_k[..., None])
     dist = jnp.concatenate([d2c, d1c], axis=-1)
     # corners are bogus when the separating axis is edge-edge
@@ -394,8 +386,8 @@ def _plane_mesh(pp, pR, s1, mp, mR, verts, vmask):
     (padding verts rotate arbitrarily with the mesh frame and must never
     participate)."""
     n = pR[..., :, 2]
-    pts = mp[..., None, :] + jnp.einsum("...ij,...kj->...ki", mR, verts)
-    h = jnp.einsum("...i,...ki->...k", n, pts - pp[..., None, :])
+    pts = mp[..., None, :] + _rotate_rows_fwd(mR, verts)
+    h = (n[..., None, :] * (pts - pp[..., None, :])).sum(-1)
     h = jnp.where(vmask > 0.5, h, 1e9)
     neg_h, idx = _top_k_small(-h, 4)
     dist = -neg_h
@@ -412,10 +404,30 @@ def _plane_mesh(pp, pR, s1, mp, mR, verts, vmask):
 # of geom2 penetrating geom1 gets n = +nf (cf. _box_box SAT orientation).
 # ---------------------------------------------------------------------------
 
+def _pts_vs_planes(pts_local, planes):
+    """(..., k, 3) x (..., f, 4) -> signed distances (..., k, f).
+
+    Written as broadcast-multiply + reduce over the 3-axis, NOT einsum: XLA
+    lowers a K=3 dot_general as a 'convolution fusion' that ran at ~30 GB/s
+    on the r2 PR2 trace (443us per call); the elementwise form fuses into
+    the downstream min/max reductions on the VPU."""
+    prod = pts_local[..., :, None, :] * planes[..., None, :, :3]
+    return prod.sum(-1) - planes[..., None, :, 3]
+
+
+def _rotate_rows(R, pts):
+    """world->local: (..., 3, 3) x (..., k, 3) -> R^T pts (..., k, 3)."""
+    return (R[..., None, :, :] * pts[..., :, :, None]).sum(-2)
+
+
+def _rotate_rows_fwd(R, pts):
+    """local->world: (..., 3, 3) x (..., k, 3) -> R pts (..., k, 3)."""
+    return (R[..., None, :, :] * pts[..., :, None, :]).sum(-1)
+
+
 def _hull_sdf(pts_local, planes):
     """pts_local (..., k, 3), planes (..., f, 4) -> (sdf (...,k), face idx)."""
-    vals = (jnp.einsum("...ki,...fi->...kf", pts_local, planes[..., :3])
-            - planes[..., None, :, 3])
+    vals = _pts_vs_planes(pts_local, planes)
     sdf = vals.max(axis=-1)
     fidx = vals.argmax(axis=-1)
     return sdf, fidx
@@ -432,8 +444,7 @@ def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
     enumerated; depth is a lower bound in that (rarer) case.
     Returns (depth (...,k_out), pts idx (...,k_out), nref (...,3) local).
     """
-    vals = (jnp.einsum("...ki,...fi->...kf", pts_local, planes[..., :3])
-            - planes[..., None, :, 3])          # (..., V, F)
+    vals = _pts_vs_planes(pts_local, planes)    # (..., V, F)
     if pts_mask is not None:
         vals = jnp.where(pts_mask[..., :, None] > 0.5, vals, 1e9)
     per_face_min = vals.min(axis=-2)            # (..., F) support separation
@@ -443,9 +454,9 @@ def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
     # the (V, F) tensor cost ~8 ms/step on PR2 (r2 trace fusion.8608), and
     # recomputing depth from the 4-float plane avoids materializing vals
     oh = jax.nn.one_hot(ref_f, planes.shape[-2], dtype=planes.dtype)
-    plane = jnp.einsum("...f,...fj->...j", oh, planes)
+    plane = (oh[..., None] * planes).sum(-2)
     nref = plane[..., :3]
-    depth = (jnp.einsum("...ki,...i->...k", pts_local, nref)
+    depth = ((pts_local * nref[..., None, :]).sum(-1)
              - plane[..., 3:4])
     if pts_mask is not None:
         depth = jnp.where(pts_mask > 0.5, depth, 1e9)
@@ -458,18 +469,32 @@ def _face_normal_world(R, planes, fidx):
     # fidx (...,k); planes (...,f,4) -> outward face normals (...,k,3) world
     # (one-hot contraction: element gathers are slow on TPU, r2 trace)
     oh = jax.nn.one_hot(fidx, planes.shape[-2], dtype=planes.dtype)
-    nf = jnp.einsum("...kf,...fj->...kj", oh, planes[..., :3])
-    return jnp.einsum("...ij,...kj->...ki", R, nf)
+    nf = (oh[..., :, :, None] * planes[..., None, :, :3]).sum(-2)
+    return _rotate_rows_fwd(R, nf)
+
+
+def _oh_pick(vals, idx):
+    """vals (..., n) picked at idx (...,) via one-hot reduce (TPU
+    take_along_axis lowers to element gathers — see _pts_vs_planes)."""
+    oh = jax.nn.one_hot(idx, vals.shape[-1], dtype=vals.dtype)
+    return (vals * oh).sum(-1)
+
+
+def _oh_pick_rows(rows, idx):
+    """rows (..., n, 3) picked at idx (...,) -> (..., 3) via one-hot."""
+    oh = jax.nn.one_hot(idx, rows.shape[-2], dtype=rows.dtype)
+    return (rows * oh[..., None]).sum(-2)
 
 
 def _select_rows(pts, idx):
-    """pts (..., n, 3) at idx (..., k) -> (..., k, 3) via one-hot matmul."""
+    """pts (..., n, 3) at idx (..., k) -> (..., k, 3) via one-hot reduce
+    (elementwise form — see _pts_vs_planes on why not einsum)."""
     oh = jax.nn.one_hot(idx, pts.shape[-2], dtype=pts.dtype)
-    return jnp.einsum("...kn,...nj->...kj", oh, pts)
+    return (oh[..., :, :, None] * pts[..., None, :, :]).sum(-2)
 
 
 def _sphere_mesh(p1, R1, s1, p2, R2, verts2, planes2):
-    cl = jnp.einsum("...ji,...j->...i", R2, p1 - p2)[..., None, :]
+    cl = ((R2 * (p1 - p2)[..., :, None]).sum(-2))[..., None, :]
     sdf, fidx = _hull_sdf(cl, planes2)
     r = s1[..., 0:1]
     dist = sdf - r
@@ -490,15 +515,15 @@ def _capsule_mesh(p1, R1, s1, p2, R2, verts2, planes2):
     probes = jnp.stack([p1 + axis * hh[..., None],
                         p1 - axis * hh[..., None],
                         p1], axis=-2)  # (...,3,3)
-    cl = jnp.einsum("...ji,...kj->...ki", R2, probes - p2[..., None, :])
+    cl = _rotate_rows(R2, probes - p2[..., None, :])
     sdf, fidx = _hull_sdf(cl, planes2)
     # refine: move each probe along the capsule axis to the deepest point
     # against its current face plane (linear in the axis parameter), then
     # re-evaluate the sdf there — catches edge contacts between the probes
     oh_f = jax.nn.one_hot(fidx, planes2.shape[-2], dtype=planes2.dtype)
-    nf = jnp.einsum("...kf,...fj->...kj", oh_f, planes2[..., :3])
-    axis_l = jnp.einsum("...ji,...j->...i", R2, axis)   # axis in hull frame
-    slope = jnp.einsum("...ki,...i->...k", nf, axis_l)  # d sdf / d t
+    nf = (oh_f[..., :, :, None] * planes2[..., None, :, :3]).sum(-2)
+    axis_l = (R2 * axis[..., :, None]).sum(-2)          # axis in hull frame
+    slope = (nf * axis_l[..., None, :]).sum(-1)         # d sdf / d t
     t0 = jnp.stack([hh, -hh, jnp.zeros_like(hh)], axis=-1)
     t_ref = jnp.clip(t0 - jnp.sign(slope) * hh[..., None],
                      -hh[..., None], hh[..., None])
@@ -522,16 +547,15 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
         [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]),
         dtype=dtype)
     # box corners vs hull planes (shared reference face)
-    pts = p1[..., None, :] + jnp.einsum("...ij,...kj->...ki", R1,
-                                        corners * s1[..., None, :])
-    loc2 = jnp.einsum("...ji,...kj->...ki", R2, pts - p2[..., None, :])
+    pts = p1[..., None, :] + _rotate_rows_fwd(R1, corners * s1[..., None, :])
+    loc2 = _rotate_rows(R2, pts - p2[..., None, :])
     d_a, top, nref, sep_h = _hull_ref_face_depth(loc2, planes2, 2)
     pos_a = _select_rows(pts, top)
-    n_a = -jnp.einsum("...ij,...j->...i", R2, nref)[..., None, :]
+    n_a = -((R2 * nref[..., None, :]).sum(-1))[..., None, :]
     n_a = jnp.broadcast_to(n_a, pos_a.shape)
     # hull verts vs box (point-in-box)
-    vw = p2[..., None, :] + jnp.einsum("...ij,...kj->...ki", R2, verts2)
-    loc1 = jnp.einsum("...ji,...kj->...ki", R1, vw - p1[..., None, :])
+    vw = p2[..., None, :] + _rotate_rows_fwd(R2, verts2)
+    loc1 = _rotate_rows(R1, vw - p1[..., None, :])
     # SAT over the BOX's 6 face axes: a separating box face must deactivate
     # the hull-face candidates too (face-only SAT on one hull gave phantom
     # -0.03 contacts on tiago, r2 regression)
@@ -546,7 +570,7 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
     oh_ax = jax.nn.one_hot(ax, 3, dtype=dtype)
     sign = jnp.sign(jnp.sum(loc1 * oh_ax, axis=-1))
     n_loc = oh_ax * sign[..., None]
-    n_w = jnp.einsum("...ij,...kj->...ki", R1, n_loc)  # outward of box=geom1
+    n_w = _rotate_rows_fwd(R1, n_loc)  # outward of box=geom1
     dist_b = jnp.where(vmask2 > 0.5, -pen, 1e9)
     neg2, top2 = _top_k_small(-dist_b, 2)
     d_b = -neg2
@@ -566,18 +590,18 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
 def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
                p2, R2, verts2, planes2, vmask2):
     # verts of 1 in hull 2 (shared reference face)
-    vw1 = p1[..., None, :] + jnp.einsum("...ij,...kj->...ki", R1, verts1)
-    loc2 = jnp.einsum("...ji,...kj->...ki", R2, vw1 - p2[..., None, :])
+    vw1 = p1[..., None, :] + _rotate_rows_fwd(R1, verts1)
+    loc2 = _rotate_rows(R2, vw1 - p2[..., None, :])
     d_a, top, nref2, sepA = _hull_ref_face_depth(loc2, planes2, 2, vmask1)
     pos_a = _select_rows(vw1, top)
-    n_a = -jnp.einsum("...ij,...j->...i", R2, nref2)[..., None, :]
+    n_a = -((R2 * nref2[..., None, :]).sum(-1))[..., None, :]
     n_a = jnp.broadcast_to(n_a, pos_a.shape)
     # verts of 2 in hull 1
-    vw2 = p2[..., None, :] + jnp.einsum("...ij,...kj->...ki", R2, verts2)
-    loc1 = jnp.einsum("...ji,...kj->...ki", R1, vw2 - p1[..., None, :])
+    vw2 = p2[..., None, :] + _rotate_rows_fwd(R2, verts2)
+    loc1 = _rotate_rows(R1, vw2 - p1[..., None, :])
     d_b, top2, nref1, sepB = _hull_ref_face_depth(loc1, planes1, 2, vmask2)
     pos_b = _select_rows(vw2, top2)
-    n_b = jnp.einsum("...ij,...j->...i", R1, nref1)[..., None, :]
+    n_b = ((R1 * nref1[..., None, :]).sum(-1))[..., None, :]
     n_b = jnp.broadcast_to(n_b, pos_b.shape)
     # joint face-SAT over BOTH hulls: one separating face on either side
     # deactivates everything (face-only SAT per side gave phantom contacts)
@@ -644,6 +668,17 @@ def collision(m: Model, d: Data) -> Data:
     margin_all = jnp.asarray(m.pair_margin, dtype)
     sizes = d.geom_size.astype(dtype)
 
+    # per-geom dynamic payload, built once and shared by every mesh group:
+    # [xpos(3) | xmat(9) | size(3) | body_active(1)] -> (ngeom, 16).  Mesh
+    # groups select rows with chained one-hot matmuls (see below) instead of
+    # per-field traced-index gathers or a big per-pair concat.
+    geom_pay = jnp.concatenate([
+        d.geom_xpos.astype(dtype),
+        d.geom_xmat.astype(dtype).reshape(m.ngeom, 9),
+        sizes,
+        body_act[lay.geom_bodyid].astype(dtype)[:, None],
+    ], axis=1)
+
     for g in groups:
         assert g.cand_adr == cursor, (g.cand_adr, cursor)
         cursor += g.ncand
@@ -676,6 +711,7 @@ def collision(m: Model, d: Data) -> Data:
             fn = _DISPATCH_MESH[key]
             ncap = g.cap
             P = g.top_p
+            npg = len(sel)
             pg1 = lay.pair_geom1[sel]
             pg2 = lay.pair_geom2[sel]
             c1 = d.geom_xpos[pg1]
@@ -686,46 +722,62 @@ def collision(m: Model, d: Data) -> Data:
                      & body_act[lay.geom_bodyid[pg2]])
             score = jnp.where(alive, bd, BIG)
             _, selp = _top_k_small(-score, P)
-            pairid_d = jnp.asarray(sel, jnp.int32)[selp]
-            g1d = jnp.asarray(pg1)[selp]
-            g2d = jnp.asarray(pg2)[selp]
-            p1, R1 = d.geom_xpos[g1d], d.geom_xmat[g1d]
-            p2, R2 = d.geom_xpos[g2d], d.geom_xmat[g2d]
-            def hull_tables(dids):
-                """Gather hull tables at traced ids via one-hot matmul:
-                XLA's native gather loads element-by-element (~8 ms/step on
-                PR2 at 256 envs, r2 trace); the (P, nmesh) x (nmesh, V*3)
-                matmul rides the MXU instead."""
-                nhull = m.mesh_vert_pad.shape[0]  # meshes + cyl prisms
-                oh = jax.nn.one_hot(dids, nhull, dtype=dtype)
+            # The selected pairs' payload comes from chained one-hot
+            # matmuls, all with STATIC 0/1 right-hand sides:
+            #   ohp (P, npairs_g)         traced top-P selection
+            #   T = ohp @ S               S = [pair->geom1 | pair->geom2 |
+            #                                  margin] constants
+            #   sel_i = A_i @ geom_pay    per-geom dynamic payload (16 cols)
+            #   oh_hull = A_2 @ G2H       geom->hull constant
+            # replacing per-field traced-index gathers (~1.9 ms/step on the
+            # r2 PR2 trace) and the earlier (nenv, npairs, 83) payload
+            # concat (~0.5 ms/step, r2 trace concatenate.1873).
+            ohp = jax.nn.one_hot(selp, npg, dtype=dtype)    # (P, npairs_g)
+            nhull = m.mesh_vert_pad.shape[0]  # meshes + cyl prisms
+            is_mm = key == (GeomType.MESH, GeomType.MESH)
+            S = np.zeros((npg, 2 * m.ngeom))
+            S[np.arange(npg), pg1] = 1.0
+            S[np.arange(npg), m.ngeom + pg2] = 1.0
+            T = ohp @ jnp.asarray(S, dtype)
+            A1 = T[:, :m.ngeom]                             # (P, ngeom)
+            A2 = T[:, m.ngeom:]
+            marg = ohp @ margin_all[sel][:, None]           # traced leaf
+            sel1 = A1 @ geom_pay                            # (P, 16)
+            sel2 = A2 @ geom_pay
+            p1, p2 = sel1[:, 0:3], sel2[:, 0:3]
+            R1 = sel1[:, 3:12].reshape(P, 3, 3)
+            R2 = sel2[:, 3:12].reshape(P, 3, 3)
+            s1 = sel1[:, 12:15]
+            alive_sel = (sel1[:, 15] > 0.5) & (sel2[:, 15] > 0.5)
 
+            G2H = np.zeros((m.ngeom, nhull))
+            hg = lay.geom_hullid >= 0
+            G2H[np.nonzero(hg)[0], lay.geom_hullid[hg]] = 1.0
+            G2H = jnp.asarray(G2H, dtype)
+
+            def hull_tables(oh):
+                """Hull tables at selected pairs via the (P, nhull) one-hot:
+                the (P, nhull) x (nhull, V*3) matmul rides the MXU instead
+                of element gathers (r2 trace)."""
                 def take(tab):
                     tab = jnp.asarray(tab, dtype)
                     return (oh @ tab.reshape(nhull, -1)).reshape(
-                        dids.shape + tab.shape[1:])
+                        oh.shape[:-1] + tab.shape[1:])
                 return (take(m.mesh_vert_pad), take(m.mesh_face_pad),
                         take(m.mesh_vert_mask))
 
-            did2 = jnp.asarray(lay.geom_hullid[pg2])[selp]
-            verts2, planes2, vmask2 = hull_tables(did2)
-            if key == (GeomType.MESH, GeomType.MESH):
-                did1 = jnp.asarray(lay.geom_hullid[pg1])[selp]
-                verts1, planes1, vmask1 = hull_tables(did1)
+            verts2, planes2, vmask2 = hull_tables(A2 @ G2H)
+            if is_mm:
+                verts1, planes1, vmask1 = hull_tables(A1 @ G2H)
                 dist, pos, nrm = fn(p1, R1, verts1, planes1, vmask1,
                                     p2, R2, verts2, planes2, vmask2)
             elif key == (GeomType.BOX, GeomType.MESH):
-                s1 = sizes[g1d]
                 dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts2, planes2,
                                     vmask2)
             else:
-                s1 = sizes[g1d]
                 dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts2, planes2)
-            marg = margin_all[jnp.asarray(sel)][selp][..., None]
-            act = dist < marg
-            gb = jnp.asarray(lay.geom_bodyid)
-            act = (act & body_act[gb[g1d]][..., None]
-                   & body_act[gb[g2d]][..., None])
-            selp_blk = selp
+            act = (dist < marg) & alive_sel[..., None]
+            selp_blk = ohp
 
         blk_dist.append(dist.reshape(-1))
         blk_pos.append(pos.reshape(-1, 3))
@@ -757,8 +809,7 @@ def collision(m: Model, d: Data) -> Data:
     for g, selp_blk in zip(groups, blk_selp):
         base = pair_attrs[g.pair_idx]               # static gather
         if g.key in EXPENSIVE:
-            oh = jax.nn.one_hot(selp_blk, len(g.pair_idx), dtype=dtype)
-            sel_attr = oh @ base                    # (P, nattr)
+            sel_attr = selp_blk @ base              # (P, nattr) via one-hot
             attr_blocks.append(jnp.repeat(sel_attr, g.cap, axis=0))
         else:
             attr_blocks.append(jnp.repeat(base, g.cap, axis=0))
