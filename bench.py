@@ -41,7 +41,9 @@ def _batch(m, d, nenv, jitter=True):
 def _time_rollout(run, m, dB, nenv, nsteps, reps=3):
     """One warmup dispatch, then best-of-`reps` timed rollouts.  Rollouts
     are long enough that the axon tunnel's round-trip amortizes below ~10%,
-    and best-of-reps rides out tunnel congestion spikes."""
+    and best-of-reps rides out congestion: the tunneled chip is TIME-SHARED
+    with other tenants, and identical rollouts measured 4.6-28.7 ms/step
+    minutes apart (r2); only the quiet-window minimum reflects the code."""
     out = run(m, dB)
     jax.block_until_ready(out.qpos)
     best = float("inf")
@@ -112,7 +114,7 @@ def _mobile_model():
     return set_const(compile_spec(world))
 
 
-def bench_mobile(nenv=1024, nsteps=500):
+def bench_mobile(nenv=1024, nsteps=500, reps=5):
     """Config 3: base velocity control + PD arm, batched (Euler: the
     world's RK4 default quadruples solver passes per step)."""
     from mujoco_sim_tpu import engine
@@ -150,13 +152,14 @@ def bench_mobile(nenv=1024, nsteps=500):
         (dB_, stB_), _ = jax.lax.scan(body, (dB_, stB), None, length=nsteps)
         return dB_
 
-    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps)
+    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
     return {"scenario": "mobile", "nenv": nenv, "rate": rate}
 
 
-def bench_pr2(nenv=256, nsteps=100):
+def bench_pr2(nenv=256, nsteps=100, reps=10):
     """Config 2: PR2 (49 dof, mimic equalities), batched at the VERDICT r1
-    done-criterion env count."""
+    done-criterion env count.  Short rollouts -> many reps (~0.3 s each) to
+    catch a quiet window on the shared chip."""
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.models import scene
     from mujoco_sim_tpu.models.compile import compile_spec
@@ -175,11 +178,11 @@ def bench_pr2(nenv=256, nsteps=100):
     d = engine.make_data(m32, jnp.float32)
     dB = _batch(m32, d, nenv, jitter=False)
     run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps))
-    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps)
+    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
     return {"scenario": "pr2", "nenv": nenv, "rate": rate}
 
 
-def bench_spawn(nenv=4096, nsteps=500):
+def bench_spawn(nenv=4096, nsteps=500, reps=5):
     """Config 4: masked spawn slots, half active."""
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.models import scene
@@ -205,7 +208,7 @@ def bench_spawn(nenv=4096, nsteps=500):
     d = d.replace(body_active=jnp.asarray(ba))
     dB = _batch(m32, d, nenv)
     run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps))
-    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps)
+    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
     return {"scenario": "spawn", "nenv": nenv, "rate": rate}
 
 

@@ -80,7 +80,8 @@ def make_data(m: Model, dtype=None) -> Data:
         qpos=jnp.asarray(m.qpos0, dtype),
         qvel=z(nv), qacc=z(nv), qacc_warmstart=z(nv),
         qfrc_applied=z(nv), xfrc_applied=z(nbody, 6),
-        ctrl=z(0),
+        ctrl=z(m.nu), act=z(m.nu), act_dot=z(m.nu),
+        actuator_force=z(m.nu), qfrc_actuator=z(nv),
         body_active=jnp.ones((nbody,), bool),
         geom_size=jnp.asarray(m.geom_size, dtype),
         geom_rbound=jnp.asarray(m.geom_rbound, dtype),
@@ -208,13 +209,67 @@ def _cinert(m: Model, d: Data):
 
 
 def fwd_actuation(m: Model, d: Data) -> Data:
-    return d  # no <actuator> models in the reference set yet
+    """mj_fwdActuation equivalent: ctrl clamp -> activation dynamics ->
+    affine gain/bias force -> force clamp -> moment^T into dof space.
+
+    The reference delegates this to libmujoco inside mj_step2 (SURVEY
+    §2.2).  All shortcut actuators (motor/position/velocity/damper/
+    intvelocity) are the fixed/affine gain + none/affine bias special
+    cases, so the whole set is one branch-free vectorized formula; joint
+    (hinge/slide) transmissions make the moment matrix a STATIC 0/1 dof
+    mask scaled by gear[0] (Layout.act_moment01), so qfrc_actuator is a
+    single (nu,) x (nu, nv) matmul."""
+    if m.nu == 0:
+        return d
+    from mujoco_sim_tpu.models.model import DynType, GainType, BiasType
+    dtype = d.qpos.dtype
+    lay = m.layout
+    gear0 = m.actuator_gear.astype(dtype)[:, 0]
+    length = d.qpos[lay.act_qposadr] * gear0
+    velocity = d.qvel[lay.act_dofadr] * gear0
+    ctrl = d.ctrl.astype(dtype)
+    cr = m.actuator_ctrlrange.astype(dtype)
+    ctrl = jnp.where(jnp.asarray(lay.act_ctrllimited),
+                     jnp.clip(ctrl, cr[:, 0], cr[:, 1]), ctrl)
+    dyn = lay.act_dyntype                      # static numpy
+    act = d.act.astype(dtype)
+    tau = jnp.maximum(m.actuator_dynprm.astype(dtype)[:, 0], 1e-12)
+    h = jnp.asarray(m.opt.timestep, dtype)
+    is_int = jnp.asarray(dyn == int(DynType.INTEGRATOR))
+    is_filt = jnp.asarray(dyn == int(DynType.FILTER))
+    # filterexact folds the exact exponential update into act_dot so the
+    # integrators' plain act += h*act_dot advance reproduces it
+    is_fex = jnp.asarray(dyn == int(DynType.FILTEREXACT))
+    filt_dot = (ctrl - act) / tau
+    fex_dot = (ctrl - act) * (1.0 - jnp.exp(-h / tau)) / jnp.maximum(h, 1e-12)
+    act_dot = jnp.where(is_int, ctrl,
+                        jnp.where(is_filt, filt_dot,
+                                  jnp.where(is_fex, fex_dot, 0.0)))
+    has_act = jnp.asarray(dyn != int(DynType.NONE))
+    inp = jnp.where(has_act, act, ctrl)
+    gp = m.actuator_gainprm.astype(dtype)
+    gain_aff = jnp.asarray(lay.act_gaintype == int(GainType.AFFINE))
+    gain = gp[:, 0] + jnp.where(
+        gain_aff, gp[:, 1] * length + gp[:, 2] * velocity, 0.0)
+    bp = m.actuator_biasprm.astype(dtype)
+    bias_aff = jnp.asarray(lay.act_biastype == int(BiasType.AFFINE))
+    bias = jnp.where(
+        bias_aff, bp[:, 0] + bp[:, 1] * length + bp[:, 2] * velocity, 0.0)
+    force = gain * inp + bias
+    fr = m.actuator_forcerange.astype(dtype)
+    force = jnp.where(jnp.asarray(lay.act_forcelimited),
+                      jnp.clip(force, fr[:, 0], fr[:, 1]), force)
+    moment01 = jnp.asarray(lay.act_moment01, dtype)     # (nu, nv) static
+    qfrc = (force * gear0) @ moment01
+    return d.replace(act_dot=act_dot, actuator_force=force,
+                     qfrc_actuator=qfrc)
 
 
 def fwd_acceleration(m: Model, d: Data) -> Data:
     com = _com_dict(m, d)
     qfrc_x = support.xfrc_accumulate(m, com, d.xipos, d.xfrc_applied)
-    qfrc_smooth = (d.qfrc_passive + d.qfrc_applied + qfrc_x - d.qfrc_bias)
+    qfrc_smooth = (d.qfrc_passive + d.qfrc_actuator + d.qfrc_applied
+                   + qfrc_x - d.qfrc_bias)
     qacc_smooth = smooth.solve_chol(d.qLD, qfrc_smooth)
     return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
@@ -300,7 +355,14 @@ def _euler(m: Model, d: Data) -> Data:
     qacc = smooth.solve_chol(L, rhs)
     qvel = jnp.where(_dof_active(m, d), d.qvel + h * qacc, 0.0)
     qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)
-    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+    return d.replace(qpos=qpos, qvel=qvel, act=_advance_act(m, d, h),
+                     time=d.time + h)
+
+
+def _advance_act(m: Model, d: Data, h) -> jax.Array:
+    if m.nu == 0:
+        return d.act
+    return d.act + h * d.act_dot
 
 
 def _implicit(m: Model, d: Data, fast: bool) -> Data:
@@ -334,7 +396,8 @@ def _implicit(m: Model, d: Data, fast: bool) -> Data:
         qacc = jnp.linalg.solve(A, rhs)
     qvel = jnp.where(_dof_active(m, d), d.qvel + h * qacc, 0.0)
     qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)
-    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+    return d.replace(qpos=qpos, qvel=qvel, act=_advance_act(m, d, h),
+                     time=d.time + h)
 
 
 _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
@@ -344,8 +407,8 @@ _RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 def _rk4(m: Model, d: Data) -> Data:
     """mj_RungeKutta(4): stages re-run forward_core; pos via manifold update."""
     h = jnp.asarray(m.opt.timestep, d.qpos.dtype)
-    qpos0, qvel0 = d.qpos, d.qvel
-    F = [(d.qvel, d.qacc)]
+    qpos0, qvel0, act0 = d.qpos, d.qvel, d.act
+    F = [(d.qvel, d.qacc, d.act_dot)]
     dcur = d
     for i in range(3):
         dq = sum(a * f[0] for a, f in zip(_RK4_A[i], F) if a)
@@ -356,14 +419,19 @@ def _rk4(m: Model, d: Data) -> Data:
         # stage states are close, cutting lockstep Newton iterations
         dcur = dcur.replace(qpos=qpos_i, qvel=qvel_i,
                             qacc_warmstart=dcur.qacc)
+        if m.nu:
+            da = sum(a * f[2] for a, f in zip(_RK4_A[i], F) if a)
+            dcur = dcur.replace(act=act0 + h * da)
         dcur = forward_core(m, dcur)
-        F.append((dcur.qvel, dcur.qacc))
+        F.append((dcur.qvel, dcur.qacc, dcur.act_dot))
     dq = sum(b * f[0] for b, f in zip(_RK4_B, F))
     dv = sum(b * f[1] for b, f in zip(_RK4_B, F))
     act = _dof_active(m, d)
     qpos = integrate_mod.integrate_pos(m, qpos0, jnp.where(act, dq, 0.0), h)
     qvel = jnp.where(act, qvel0 + h * dv, 0.0)
-    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+    act_new = (act0 + h * sum(b * f[2] for b, f in zip(_RK4_B, F))
+               if m.nu else d.act)
+    return d.replace(qpos=qpos, qvel=qvel, act=act_new, time=d.time + h)
 
 
 @_full_precision

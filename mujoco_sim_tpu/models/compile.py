@@ -558,6 +558,58 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     nsensor = len(sens)
     nsensordata = sadr
 
+    # ---- actuators: shortcut-normalized general form (mjcf.py), joint
+    # transmissions only; the moment matrix is STATIC (gear[0] on the
+    # joint's dof) so qfrc_actuator is one one-hot matmul at runtime
+    from mujoco_sim_tpu.models.model import DynType, GainType, BiasType
+    jname2id = {j.name: k for k, j in enumerate(jnt_specs) if j.name}
+    nu = len(spec.actuators)
+    act_trnjnt = np.zeros(nu, dtype=int)
+    act_qposadr = np.zeros(nu, dtype=int)
+    act_dofadr = np.zeros(nu, dtype=int)
+    act_dyntype = np.zeros(nu, dtype=int)
+    act_gaintype = np.zeros(nu, dtype=int)
+    act_biastype = np.zeros(nu, dtype=int)
+    act_ctrllimited = np.zeros(nu, dtype=bool)
+    act_forcelimited = np.zeros(nu, dtype=bool)
+    act_gear = np.zeros((nu, 6))
+    act_gainprm = np.zeros((nu, 3))
+    act_biasprm = np.zeros((nu, 3))
+    act_dynprm = np.zeros((nu, 3))
+    act_ctrlrange = np.zeros((nu, 2))
+    act_forcerange = np.zeros((nu, 2))
+    _dyn_map = {"none": DynType.NONE, "integrator": DynType.INTEGRATOR,
+                "filter": DynType.FILTER, "filterexact": DynType.FILTEREXACT}
+    for k, a in enumerate(spec.actuators):
+        jid = jname2id.get(a.joint, -1)
+        if jid < 0:
+            raise ValueError(
+                f"actuator '{a.name}' targets unknown joint '{a.joint}'")
+        jt = JointType(jnt_type[jid])
+        if jt not in (JointType.HINGE, JointType.SLIDE):
+            raise ValueError(
+                f"actuator '{a.name}': only hinge/slide joint transmissions "
+                "are supported (free/ball wrenches are not)")
+        act_trnjnt[k] = jid
+        act_qposadr[k] = jnt_qposadr[jid]
+        act_dofadr[k] = jnt_dofadr[jid]
+        act_dyntype[k] = int(_dyn_map[a.dyntype])
+        act_gaintype[k] = int(GainType.FIXED if a.gaintype == "fixed"
+                              else GainType.AFFINE)
+        act_biastype[k] = int(BiasType.NONE if a.biastype == "none"
+                              else BiasType.AFFINE)
+        act_ctrllimited[k] = a.ctrllimited
+        act_forcelimited[k] = a.forcelimited
+        act_gear[k] = a.gear
+        act_gainprm[k] = a.gainprm[:3]
+        act_biasprm[k] = a.biasprm[:3]
+        act_dynprm[k] = a.dynprm[:3]
+        act_ctrlrange[k] = a.ctrlrange
+        act_forcerange[k] = a.forcerange
+    act_moment01 = np.zeros((nu, nv))
+    if nu:
+        act_moment01[np.arange(nu), act_dofadr] = 1.0
+
     # ---- qpos0 / qpos_spring
     qpos0 = np.zeros(nq)
     qpos_spring = np.zeros(nq)
@@ -686,6 +738,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
                  else ConeType.ELLIPTIC),
         solver_iterations=ospec.iterations,
         ls_iterations=ospec.ls_iterations,
+        ls_tolerance=ospec.ls_tolerance,
         tolerance=ospec.tolerance,
         noslip_iterations=ospec.noslip_iterations,
         noslip_tolerance=ospec.noslip_tolerance,
@@ -731,6 +784,15 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         sensor_type=np.asarray([s[0] for s in sens], dtype=int),
         sensor_objid=np.asarray([s[1] for s in sens], dtype=int),
         sensor_adr=np.asarray([s[2] for s in sens], dtype=int),
+        act_trnjnt=act_trnjnt,
+        act_qposadr=act_qposadr,
+        act_dofadr=act_dofadr,
+        act_dyntype=act_dyntype,
+        act_gaintype=act_gaintype,
+        act_biastype=act_biastype,
+        act_ctrllimited=act_ctrllimited,
+        act_forcelimited=act_forcelimited,
+        act_moment01=act_moment01,
     )
 
     names = NameTable(
@@ -741,6 +803,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         mesh=mesh_names,
         sensor=[s[3] or f"sensor{k}" for k, s in enumerate(sens)],
         eq=[r[7] or f"eq{k}" for k, r in enumerate(eq_rows)],
+        actuator=[a.name or f"actuator{k}"
+                  for k, a in enumerate(spec.actuators)],
     )
 
     model = Model(
@@ -843,6 +907,13 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         qpos_spring=np_f(qpos_spring),
         nq=nq, nv=nv, nbody=nbody, njnt=njnt, ngeom=ngeom, nsite=nsite,
         nmesh=len(mesh_names), neq=neq, npair=npair, nsensor=nsensor,
+        nu=nu,
+        actuator_gear=np_f(act_gear),
+        actuator_gainprm=np_f(act_gainprm),
+        actuator_biasprm=np_f(act_biasprm),
+        actuator_dynprm=np_f(act_dynprm),
+        actuator_ctrlrange=np_f(act_ctrlrange),
+        actuator_forcerange=np_f(act_forcerange),
         nsensordata=nsensordata, nmocap=nmocap,
         ncon_max=ncon_max, nefc_max=nefc_max,
         ncand=ncand, max_condim=max_condim, contact_efcadr=contact_efcadr,

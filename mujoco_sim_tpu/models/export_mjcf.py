@@ -189,6 +189,21 @@ def export_mjcf(spec: mjcf.SpecTree, path: str, model=None, data=None,
         for s in spec.sensors:
             ET.SubElement(sens, s.type,
                           {"name": s.name, "site": s.site})
+    if spec.actuators:
+        # written back in the normalized <general> form (parse re-reads it)
+        act_el = ET.SubElement(root, "actuator")
+        for a in spec.actuators:
+            attrs = {"name": a.name, "joint": a.joint, "gear": _fmt(a.gear),
+                     "dyntype": a.dyntype, "gaintype": a.gaintype,
+                     "biastype": a.biastype, "dynprm": _fmt(a.dynprm),
+                     "gainprm": _fmt(a.gainprm), "biasprm": _fmt(a.biasprm)}
+            if a.ctrllimited:
+                attrs["ctrllimited"] = "true"
+                attrs["ctrlrange"] = _fmt(a.ctrlrange)
+            if a.forcelimited:
+                attrs["forcelimited"] = "true"
+                attrs["forcerange"] = _fmt(a.forcerange)
+            ET.SubElement(act_el, "general", attrs)
 
     ET.indent(root)
     tree = ET.ElementTree(root)

@@ -134,6 +134,36 @@ class SensorSpec:
 
 
 @dataclasses.dataclass
+class ActuatorSpec:
+    """One <actuator> child, normalized to the general form.
+
+    Shortcuts (motor/position/velocity/damper) are canonicalized at parse
+    into gain/bias/dyn type+prm, the same normalization the reference's
+    libmujoco compiler performs on mjcf shortcuts.
+    """
+
+    name: str = ""
+    joint: str = ""             # joint transmission target
+    gear: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([1.0, 0, 0, 0, 0, 0]))
+    ctrllimited: bool = False
+    ctrlrange: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2))
+    forcelimited: bool = False
+    forcerange: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2))
+    dyntype: str = "none"       # none | integrator | filter
+    gaintype: str = "fixed"     # fixed | affine
+    biastype: str = "none"      # none | affine
+    dynprm: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([1.0, 0, 0]))
+    gainprm: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([1.0, 0, 0]))
+    biasprm: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+
+
+@dataclasses.dataclass
 class OptionSpec:
     timestep: float = 0.002
     gravity: np.ndarray = dataclasses.field(
@@ -147,6 +177,7 @@ class OptionSpec:
     solver: str = "Newton"
     iterations: int = 100
     ls_iterations: int = 50
+    ls_tolerance: float = 0.01
     tolerance: float = 1e-8
     noslip_iterations: int = 0
     noslip_tolerance: float = 1e-6
@@ -184,6 +215,7 @@ class SpecTree:
     excludes: list = dataclasses.field(default_factory=list)   # (body1, body2)
     pairs: list = dataclasses.field(default_factory=list)      # explicit geom pairs
     sensors: list = dataclasses.field(default_factory=list)
+    actuators: list = dataclasses.field(default_factory=list)
     base_dir: str = ""
 
 
@@ -355,6 +387,7 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         opt.solver = el.get("solver", opt.solver)
         opt.iterations = int(_get_f(el, "iterations", opt.iterations))
         opt.ls_iterations = int(_get_f(el, "ls_iterations", opt.ls_iterations))
+        opt.ls_tolerance = _get_f(el, "ls_tolerance", opt.ls_tolerance)
         opt.tolerance = _get_f(el, "tolerance", opt.tolerance)
         opt.noslip_iterations = int(_get_f(el, "noslip_iterations",
                                            opt.noslip_iterations))
@@ -441,6 +474,21 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         g.quat = _quat_from_attrs(el, deg, comp.eulerseq)
         size = _get_v(el, "size", np.zeros(3))
         g.size = np.pad(size, (0, 3 - len(size)))[:3]
+        ft = _get_v(el, "fromto", None)
+        if ft is not None:
+            # segment form (capsule/cylinder/ellipsoid/box): frame centered
+            # at the midpoint, z axis along the segment, half-length into
+            # size[1] (size gives the radius only)
+            from mujoco_sim_tpu.models import rotations as _R
+            p1, p2 = ft[:3], ft[3:6]
+            g.pos = 0.5 * (p1 + p2)
+            seg = p2 - p1
+            g.quat = _R.zaxis_to_quat(seg / max(np.linalg.norm(seg), 1e-30))
+            g.size = g.size.copy()
+            if g.type in ("box", "ellipsoid"):
+                g.size[2] = 0.5 * np.linalg.norm(seg)   # z half-size
+            else:
+                g.size[1] = 0.5 * np.linalg.norm(seg)   # half-length
         g.density = _get_f(el, "density", g.density)
         g.mass = _get_f(el, "mass", None)
         fr = _get_v(el, "friction", None)
@@ -558,6 +606,87 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
                 spec.excludes.append((el.get("body1"), el.get("body2")))
             elif el.tag == "pair":
                 spec.pairs.append(dict(el.attrib))
+
+    # -- actuators (shortcut canonicalization: libmujoco compiler behavior)
+    def parse_actuator(el) -> ActuatorSpec:
+        tag = el.tag
+        el = _with_defaults(el, defaults, "main", "")
+        a = ActuatorSpec(name=el.get("name", ""), joint=el.get("joint", ""))
+        for attr in ("tendon", "site", "cranksite", "jointinparent"):
+            if el.get(attr):
+                raise ValueError(
+                    f"<{tag}> transmission '{attr}' is not supported; only "
+                    "joint transmissions are implemented")
+        g = _get_v(el, "gear", None)
+        if g is not None:
+            a.gear = np.pad(g, (0, 6 - len(g)))[:6]
+        cr = _get_v(el, "ctrlrange", None)
+        if cr is not None:
+            a.ctrlrange = cr
+        limited = _get_b(el, "ctrllimited", None)
+        a.ctrllimited = bool(
+            limited if limited is not None
+            else comp.autolimits and cr is not None and np.any(cr != 0))
+        fr = _get_v(el, "forcerange", None)
+        if fr is not None:
+            a.forcerange = fr
+        flimited = _get_b(el, "forcelimited", None)
+        a.forcelimited = bool(
+            flimited if flimited is not None
+            else comp.autolimits and fr is not None and np.any(fr != 0))
+        if tag == "motor":
+            pass  # gain fixed 1, bias none, dyn none
+        elif tag == "position":
+            kp = _get_f(el, "kp", 1.0)
+            kv = _get_f(el, "kv", 0.0)
+            a.gaintype = "fixed"
+            a.gainprm = np.array([kp, 0.0, 0.0])
+            a.biastype = "affine"
+            a.biasprm = np.array([0.0, -kp, -kv])
+        elif tag == "velocity":
+            kv = _get_f(el, "kv", 1.0)
+            a.gaintype = "fixed"
+            a.gainprm = np.array([kv, 0.0, 0.0])
+            a.biastype = "affine"
+            a.biasprm = np.array([0.0, 0.0, -kv])
+        elif tag == "damper":
+            kv = _get_f(el, "kv", 1.0)
+            a.gaintype = "affine"
+            a.gainprm = np.array([0.0, 0.0, -kv])
+            a.ctrllimited = True
+        elif tag == "intvelocity":
+            kp = _get_f(el, "kp", 1.0)
+            a.dyntype = "integrator"
+            a.gaintype = "fixed"
+            a.gainprm = np.array([kp, 0.0, 0.0])
+            a.biastype = "affine"
+            a.biasprm = np.array([0.0, -kp, -_get_f(el, "kv", 0.0)])
+            # actrange (the integrated-position clamp) is the ctrl clamp here
+        elif tag == "general":
+            a.dyntype = el.get("dyntype", "none")
+            a.gaintype = el.get("gaintype", "fixed")
+            a.biastype = el.get("biastype", "none")
+            for nm in ("dynprm", "gainprm", "biasprm"):
+                v = _get_v(el, nm, None)
+                if v is not None:
+                    cur = getattr(a, nm).copy()
+                    cur[: min(3, len(v))] = v[:3]
+                    setattr(a, nm, cur)
+            if a.dyntype not in ("none", "integrator", "filter",
+                                 "filterexact"):
+                raise ValueError(f"actuator dyntype '{a.dyntype}' "
+                                 "not supported (muscle is out of scope)")
+            if a.gaintype not in ("fixed", "affine") or a.biastype not in (
+                    "none", "affine"):
+                raise ValueError("only fixed/affine gain and none/affine "
+                                 "bias actuators are supported")
+        else:
+            raise ValueError(f"actuator <{tag}> is not supported")
+        return a
+
+    for a_root in root.findall("actuator"):
+        for el in a_root:
+            spec.actuators.append(parse_actuator(el))
 
     # -- sensors
     for s_root in root.findall("sensor"):

@@ -59,6 +59,23 @@ class ConeType(enum.IntEnum):
     ELLIPTIC = 1
 
 
+class DynType(enum.IntEnum):
+    NONE = 0
+    INTEGRATOR = 1
+    FILTER = 2
+    FILTEREXACT = 3
+
+
+class GainType(enum.IntEnum):
+    FIXED = 0
+    AFFINE = 1
+
+
+class BiasType(enum.IntEnum):
+    NONE = 0
+    AFFINE = 1
+
+
 class SensorType(enum.IntEnum):
     # subset surfaced by the reference (mj_sim.cpp:973-1014 registers
     # FORCE/TORQUE only); more added as needed
@@ -103,6 +120,7 @@ class Option:
     cone: int = static(default=int(ConeType.PYRAMIDAL))
     solver_iterations: int = static(default=50)
     ls_iterations: int = static(default=20)
+    ls_tolerance: float = static(default=0.01)
     tolerance: float = static(default=1e-8)
     noslip_iterations: int = static(default=0)
     noslip_tolerance: float = static(default=1e-6)
@@ -198,6 +216,16 @@ class Model:
     mesh_vert_mask: jax.Array     # (nmesh, maxvert) 1.0 for real verts
     mesh_face_pad: jax.Array      # (nmesh, maxface, 4) [normal, offset]
 
+    # ---- actuators (normalized general form; joint transmissions only.
+    # type/limited flags live in Layout so kernels branch statically;
+    # parameters are leaves so they stay runtime-tunable without retrace)
+    actuator_gear: jax.Array      # (nu, 6)
+    actuator_gainprm: jax.Array   # (nu, 3)
+    actuator_biasprm: jax.Array   # (nu, 3)
+    actuator_dynprm: jax.Array    # (nu, 3)
+    actuator_ctrlrange: jax.Array  # (nu, 2)
+    actuator_forcerange: jax.Array  # (nu, 2)
+
     # ---- equality constraints
     eq_type: jax.Array            # (neq,) i32
     eq_obj1id: jax.Array          # (neq,) i32
@@ -238,6 +266,7 @@ class Model:
     nsensor: int = static(default=0)
     nsensordata: int = static(default=0)
     nmocap: int = static(default=0)
+    nu: int = static(default=0)         # actuators (na act slots == nu)
     ncon_max: int = static(default=0)   # contact budget K (top-K compaction)
     nefc_max: int = static(default=0)   # padded constraint-row capacity
     ncand: int = static(default=0)      # total narrowphase candidates
@@ -293,10 +322,11 @@ class NameTable:
     """
 
     __slots__ = ("body", "joint", "geom", "site", "mesh", "sensor", "eq",
-                 "_body_inv", "_joint_inv", "_geom_inv", "_site_inv")
+                 "actuator", "_body_inv", "_joint_inv", "_geom_inv",
+                 "_site_inv", "_act_inv")
 
     def __init__(self, body=(), joint=(), geom=(), site=(), mesh=(),
-                 sensor=(), eq=()):
+                 sensor=(), eq=(), actuator=()):
         self.body = tuple(body)
         self.joint = tuple(joint)
         self.geom = tuple(geom)
@@ -304,6 +334,8 @@ class NameTable:
         self.mesh = tuple(mesh)
         self.sensor = tuple(sensor)
         self.eq = tuple(eq)
+        self.actuator = tuple(actuator)
+        self._act_inv = {n: i for i, n in enumerate(self.actuator)}
         self._body_inv = {n: i for i, n in enumerate(self.body)}
         self._joint_inv = {n: i for i, n in enumerate(self.joint)}
         self._geom_inv = {n: i for i, n in enumerate(self.geom)}
@@ -321,17 +353,20 @@ class NameTable:
     def site_id(self, name: str) -> int:
         return self._site_inv.get(name, -1)
 
+    def actuator_id(self, name: str) -> int:
+        return self._act_inv.get(name, -1)
+
     def __hash__(self):
         return hash((self.body, self.joint, self.geom, self.site, self.mesh,
-                     self.sensor, self.eq))
+                     self.sensor, self.eq, self.actuator))
 
     def __eq__(self, other):
         return isinstance(other, NameTable) and (
             self.body, self.joint, self.geom, self.site, self.mesh,
-            self.sensor, self.eq,
+            self.sensor, self.eq, self.actuator,
         ) == (
             other.body, other.joint, other.geom, other.site, other.mesh,
-            other.sensor, other.eq,
+            other.sensor, other.eq, other.actuator,
         )
 
 
@@ -367,7 +402,11 @@ class Data:
     qacc_warmstart: jax.Array  # (nv,)
     qfrc_applied: jax.Array    # (nv,)
     xfrc_applied: jax.Array    # (nbody, 6) [torque, force] world at body com
-    ctrl: jax.Array            # (nu,) future actuators
+    ctrl: jax.Array            # (nu,) actuator controls
+    act: jax.Array             # (nu,) activation state (0 for dyntype none)
+    act_dot: jax.Array         # (nu,) activation derivative
+    actuator_force: jax.Array  # (nu,) scalar transmission force
+    qfrc_actuator: jax.Array   # (nv,)
 
     # masked-slot scene state (spawn/destroy; SURVEY §3.3 contract)
     body_active: jax.Array     # (nbody,) bool

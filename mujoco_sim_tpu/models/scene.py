@@ -94,6 +94,11 @@ def _prefix_refs(spec: mjcf.SpecTree, prefix: str):
     for s in spec.sensors:
         if s.site:
             s.site = prefix + s.site
+    for a in spec.actuators:
+        if a.name:
+            a.name = prefix + a.name
+        if a.joint:
+            a.joint = prefix + a.joint
 
 
 def add_robot(world: mjcf.SpecTree, robot_name: str, cfg: RobotConfig,
@@ -160,6 +165,7 @@ def add_robot(world: mjcf.SpecTree, robot_name: str, cfg: RobotConfig,
     world.excludes.extend(rspec.excludes)
     world.sensors.extend(rspec.sensors)
     world.pairs.extend(rspec.pairs)
+    world.actuators.extend(rspec.actuators)
     return world
 
 

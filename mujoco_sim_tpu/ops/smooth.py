@@ -179,8 +179,9 @@ def com_pos(m: Model, kin: dict, mass=None, inertia=None):
     origin = subtree_com[lay.body_rootid]
 
     # spatial inertia of each body about its c-frame origin
-    inert_world = jnp.einsum("bij,bj,bkj->bik", ximat,
-                             body_inertia, ximat)
+    # R diag(I) R^T as mul+reduce (K=3 einsums conv-lower on TPU, r2 trace)
+    RI = ximat * body_inertia[..., None, :]
+    inert_world = (RI[..., :, None, :] * ximat[..., None, :, :]).sum(-1)
     cinert = mm.spatial_inertia(mass, inert_world, xipos - origin)
 
     # cdof

@@ -232,7 +232,12 @@ def solve(m: Model, d: Data) -> Data:
             return d1, d2
 
         d1_0, _ = phi_d(jnp.asarray(0.0, dtype))
-        gtol = 1e-8 * jnp.maximum(1.0, jnp.abs(d1_0))
+        # stop when the slope has dropped to ls_tolerance of its initial
+        # magnitude — the analogue of MuJoCo's ls_tolerance=0.01 (the r2
+        # 1e-8 relative stop over-iterated the lockstep batch ~2x without
+        # moving the accepted step)
+        gtol = jnp.asarray(m.opt.ls_tolerance, dtype) * jnp.maximum(
+            1e-8, jnp.abs(d1_0))
         curv_floor = 1e-8 * jnp.maximum(pMp, 1e-12)
 
         if not elliptic:

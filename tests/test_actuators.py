@@ -1,0 +1,142 @@
+"""Actuator pipeline vs the oracle (mj_fwdActuation + act integration).
+
+The reference drives robots through ros_control effort PIDs, but its
+libmujoco backend supports the full <actuator> MJCF surface for arbitrary
+user worlds (SURVEY §2.2 'implicit in mj_step1/mj_step2'); these tests pin
+our normalized gain/bias/dyn formulation to mj_step trajectories.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mujoco
+
+from mujoco_sim_tpu import engine
+from mujoco_sim_tpu.models.compile import compile_spec
+from mujoco_sim_tpu.models.mjcf import parse_mjcf_string
+
+ARM = """
+<mujoco>
+  <option timestep="0.002" integrator="{integrator}"/>
+  <compiler angle="radian"/>
+  <worldbody>
+    <body name="b1" pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.2"/>
+      <geom type="capsule" size="0.05" fromto="0 0 0 0.4 0 0" mass="1"/>
+      <body name="b2" pos="0.4 0 0">
+        <joint name="j2" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" size="0.04" fromto="0 0 0 0.3 0 0" mass="0.5"/>
+        <body name="b3" pos="0.3 0 0">
+          <joint name="j3" type="slide" axis="1 0 0" damping="0.3"/>
+          <geom type="sphere" size="0.04" mass="0.2"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+{actuators}
+  </actuator>
+</mujoco>
+"""
+
+FULL_SET = """
+    <motor name="a1" joint="j1" gear="2.5" ctrlrange="-1 1"/>
+    <position name="a2" joint="j2" kp="15" forcerange="-3 3"/>
+    <velocity name="a3" joint="j3" kv="4"/>
+    <general name="a4" joint="j1" dyntype="filter" dynprm="0.05"
+             gainprm="1.5"/>
+"""
+
+
+def _pair(xml):
+    mo = mujoco.MjModel.from_xml_string(xml)
+    do = mujoco.MjData(mo)
+    m = engine.set_const(compile_spec(parse_mjcf_string(xml)))
+    d = engine.make_data(m)
+    return mo, do, m, d
+
+
+def _rollout_err(xml, ctrl, nsteps=200):
+    mo, do, m, d = _pair(xml)
+    do.ctrl[:] = ctrl[: mo.nu]
+    d = d.replace(ctrl=jnp.asarray(ctrl[: mo.nu], d.qpos.dtype))
+    step = jax.jit(engine.step)
+    for _ in range(nsteps):
+        mujoco.mj_step(mo, do)
+        d = step(m, d)
+    return (np.abs(do.qpos - np.asarray(d.qpos)).max(),
+            np.abs(do.actuator_force - np.asarray(d.actuator_force)).max(),
+            do, d)
+
+
+def test_motor_position_velocity_filter_euler():
+    xml = ARM.format(integrator="Euler", actuators=FULL_SET)
+    qerr, ferr, do, d = _rollout_err(xml, np.array([0.7, 0.3, -0.5, 0.9]))
+    assert qerr < 1e-10
+    assert ferr < 1e-10
+    # the filter activation state integrates identically
+    assert abs(do.act[0] - float(d.act[3])) < 1e-12
+
+
+def test_full_set_rk4():
+    xml = ARM.format(integrator="RK4", actuators=FULL_SET)
+    qerr, ferr, do, d = _rollout_err(xml, np.array([0.5, -0.2, 0.3, 0.6]),
+                                     nsteps=100)
+    # ferr is NOT comparable under RK4: mjData keeps the last internal
+    # stage's actuator_force while ours holds the step-start evaluation;
+    # the integrated state is the contract
+    assert qerr < 1e-10
+    assert np.abs(do.qvel - np.asarray(d.qvel)).max() < 1e-10
+    assert abs(do.act[0] - float(d.act[3])) < 1e-12
+
+
+def test_ctrlrange_clamp_and_damper():
+    acts = """
+    <motor name="m" joint="j1" ctrlrange="-0.5 0.5"/>
+    <damper name="dmp" joint="j2" kv="2" ctrlrange="0 1"/>
+    <motor name="m3" joint="j3"/>
+    """
+    xml = ARM.format(integrator="Euler", actuators=acts)
+    # ctrl beyond range must clamp exactly like the oracle
+    qerr, ferr, do, d = _rollout_err(xml, np.array([2.0, 0.7, -0.1]))
+    assert qerr < 1e-10
+    assert ferr < 1e-10
+    # the clamp happened (force == 0.5, not 2.0)
+    assert abs(float(d.actuator_force[0]) - 0.5) < 1e-12
+
+
+def test_integrator_dyntype():
+    acts = """
+    <general name="gi" joint="j2" dyntype="integrator" gainprm="8"
+             biastype="affine" biasprm="0 -8 -1"/>
+    """
+    xml = ARM.format(integrator="Euler", actuators=acts)
+    qerr, ferr, do, d = _rollout_err(xml, np.array([0.25]), nsteps=150)
+    assert qerr < 1e-10
+    assert abs(do.act[0] - float(d.act[0])) < 1e-12
+
+
+def test_unsupported_transmission_raises():
+    acts = '<motor name="bad" site="nowhere"/>'
+    xml = ARM.format(integrator="Euler", actuators=acts)
+    with pytest.raises(ValueError, match="transmission"):
+        parse_mjcf_string(xml)
+
+
+def test_fromto_geom_frames_match_oracle():
+    xml = ARM.format(integrator="Euler", actuators=FULL_SET)
+    mo, do, m, d = _pair(xml)
+    np.testing.assert_allclose(np.asarray(m.geom_pos), mo.geom_pos,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.geom_size), mo.geom_size,
+                               atol=1e-12)
+
+
+def test_actuator_names():
+    xml = ARM.format(integrator="Euler", actuators=FULL_SET)
+    m = compile_spec(parse_mjcf_string(xml))
+    assert m.nu == 4
+    assert m.names.actuator == ("a1", "a2", "a3", "a4")
+    assert m.names.actuator_id("a3") == 2
