@@ -71,7 +71,7 @@ def bench_box(nenv=None, nsteps=1000):
             jax.random.uniform(key, (nenv,), minval=0.0, maxval=0.3)),
         qvel=dB.qvel.at[:, 3:6].set(
             jax.random.uniform(key, (nenv, 3), minval=-0.5, maxval=0.5)))
-    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps))
+    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps, full_final=False))
     rate, dt = _time_rollout(run, m, dB, nenv, nsteps)
     return {"scenario": "box", "nenv": nenv, "rate": rate}
 
@@ -120,6 +120,7 @@ def bench_mobile(nenv=1024, nsteps=500, reps=5):
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.control import controllers as C
     from mujoco_sim_tpu.models.model import Integrator
+    from mujoco_sim_tpu.parallel import mesh as pmesh
 
     m = _mobile_model()
     m = m.replace(opt=m.opt.replace(integrator=int(Integrator.EULER)))
@@ -145,11 +146,10 @@ def bench_mobile(nenv=1024, nsteps=500, reps=5):
 
     @jax.jit
     def run(m_, dB_):
-        def body(carry, _):
-            return jax.vmap(
-                lambda dd, ss: one_env_step(m_, (dd, ss)),
-                in_axes=(0, 0))(carry[0], carry[1]), ()
-        (dB_, stB_), _ = jax.lax.scan(body, (dB_, stB), None, length=nsteps)
+        step = jax.vmap(lambda dd, ss: one_env_step(m_, (dd, ss)),
+                        in_axes=(0, 0))
+        dB_, _ = pmesh.scan_reduced(lambda c: step(c[0], c[1]),
+                                    (dB_, stB), nsteps)
         return dB_
 
     rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
@@ -177,7 +177,7 @@ def bench_pr2(nenv=256, nsteps=100, reps=10):
     m32 = engine.put_model(m, jnp.float32)
     d = engine.make_data(m32, jnp.float32)
     dB = _batch(m32, d, nenv, jitter=False)
-    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps))
+    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps, full_final=False))
     rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
     return {"scenario": "pr2", "nenv": nenv, "rate": rate}
 
@@ -207,7 +207,7 @@ def bench_spawn(nenv=4096, nsteps=500, reps=5):
             ba[i] = False
     d = d.replace(body_active=jnp.asarray(ba))
     dB = _batch(m32, d, nenv)
-    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps))
+    run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps, full_final=False))
     rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
     return {"scenario": "spawn", "nenv": nenv, "rate": rate}
 

@@ -206,9 +206,15 @@ def spatial_inertia(mass: jax.Array, inertia_mat: jax.Array, com: jax.Array) -> 
     c = skew(com)
     m = mass[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=com.dtype), c.shape)
-    top_left = inertia_mat + m * (c @ jnp.swapaxes(c, -1, -2))
+    # c c^T for a skew matrix is (v.v)I - v v^T: pure elementwise VPU work.
+    # The literal batched (...,3,3)@(...,3,3) dot_general lowers as a
+    # "convolution fusion" that ran at ~5 GFLOP/s on the r2 PR2 trace
+    # (116us/step + a 40us layout copy at (256,45,3,3)).
+    vv = (com * com).sum(-1)[..., None, None]
+    outer = com[..., :, None] * com[..., None, :]
+    top_left = inertia_mat + m * (vv * eye - outer)
     top_right = m * c
-    bot_left = m * jnp.swapaxes(c, -1, -2)
+    bot_left = -top_right        # skew^T = -skew; avoids a transpose copy
     bot_right = m * eye
     top = jnp.concatenate([top_left, top_right], axis=-1)
     bot = jnp.concatenate([bot_left, bot_right], axis=-1)

@@ -48,13 +48,107 @@ def batched_step(m: Model, dB: Data) -> Data:
     return jax.vmap(engine.step, in_axes=(None, 0))(m, dB)
 
 
-def rollout(m: Model, dB: Data, nsteps: int) -> Data:
-    """On-device rollout: scan over time, env axis stays sharded."""
-    def body(d, _):
-        return batched_step(m, d), ()
+# which Data leaves does step() read before writing?  Everything else is
+# per-step derived output (efc_J is 20 MB at PR2x256!) that must NOT ride
+# the scan carry: carried-but-dead leaves cost layout copies at the while
+# boundary (~174us/step of (256,414,49) copies on the r2 PR2 trace) plus
+# HBM carry traffic.  Discovered automatically by DCE over the step jaxpr
+# so the set can never drift out of sync with the engine.
+_RECURRENT_CACHE: dict = {}
 
-    dB, _ = jax.lax.scan(body, dB, None, length=nsteps)
-    return dB
+
+def _recurrent_mask(m: Model, dB: Data):
+    leaves, treedef = jax.tree_util.tree_flatten(dB)
+    key = (jax.tree_util.tree_structure(m), treedef,
+           tuple((l.shape, str(l.dtype)) for l in leaves))
+    hit = _RECURRENT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        closed = jax.make_jaxpr(lambda d: batched_step(m, d))(dB)
+        from jax.interpreters import partial_eval as pe
+        _, used = pe.dce_jaxpr(closed.jaxpr,
+                               [True] * len(closed.jaxpr.outvars))
+        used = tuple(bool(u) for u in used)
+        assert len(used) == len(leaves)
+    except Exception:        # unknown primitive etc: carry everything
+        used = tuple(True for _ in leaves)
+    _RECURRENT_CACHE[key] = used
+    return used
+
+
+def scan_reduced(step_fn, init, nsteps: int):
+    """lax.scan of ``step_fn`` (pytree -> same pytree) with a DCE-reduced
+    carry: only the leaves step_fn actually reads ride the loop.  Returns
+    the final carry where non-recurrent leaves are STALE template values —
+    use for perf paths that read recurrent state (qpos-class) only."""
+    leaves, treedef = jax.tree_util.tree_flatten(init)
+    try:
+        closed = jax.make_jaxpr(step_fn)(init)
+        from jax.interpreters import partial_eval as pe
+        _, used = pe.dce_jaxpr(closed.jaxpr,
+                               [True] * len(closed.jaxpr.outvars))
+        used = tuple(bool(u) for u in used)
+    except Exception:
+        used = tuple(True for _ in leaves)
+
+    def shrink(x):
+        return [l for l, u in zip(jax.tree_util.tree_leaves(x), used) if u]
+
+    def merge(c):
+        it = iter(c)
+        return treedef.unflatten(
+            [next(it) if u else t for u, t in zip(used, leaves)])
+
+    def body(c, _):
+        return shrink(step_fn(merge(c))), ()
+
+    c, _ = jax.lax.scan(body, shrink(init), None, length=nsteps)
+    return merge(c)
+
+
+def _carry_split(m: Model, dB: Data):
+    """(merge, shrink): map between full Data and the reduced scan carry."""
+    template, treedef = jax.tree_util.tree_flatten(dB)
+    used = _recurrent_mask(m, dB)
+
+    def shrink(d):
+        fl = jax.tree_util.tree_leaves(d)
+        return [l for l, u in zip(fl, used) if u]
+
+    def merge(carry):
+        it = iter(carry)
+        return treedef.unflatten(
+            [next(it) if u else t for u, t in zip(used, template)])
+
+    return merge, shrink
+
+
+def rollout(m: Model, dB: Data, nsteps: int, full_final: bool = True) -> Data:
+    """On-device rollout: scan over time, env axis stays sharded.
+
+    The scan carries only the recurrent leaves (qpos/qvel/act/warmstart/
+    inputs); derived diagnostics are recomputed by a final full step so the
+    result is bit-identical to the naive full-Data scan.
+
+    full_final=False skips that trailing unrolled step: all nsteps run
+    inside the loop (half the compiled program, ~half the jit time) and the
+    returned Data's DERIVED leaves (xpos/contact/efc_*/qacc/...) are stale
+    template values — only the recurrent state is meaningful.  Use it for
+    perf paths that read qpos/qvel-class state only.
+    """
+    if nsteps <= 1:
+        return batched_step(m, dB) if nsteps == 1 else dB
+    merge, shrink = _carry_split(m, dB)
+
+    def body(carry, _):
+        return shrink(batched_step(m, merge(carry))), ()
+
+    n_in_loop = nsteps if not full_final else nsteps - 1
+    carry, _ = jax.lax.scan(body, shrink(dB), None, length=n_in_loop)
+    if not full_final:
+        return merge(carry)
+    return batched_step(m, merge(carry))
 
 
 def rollout_traj(m: Model, dB: Data, nsteps: int, extract=None):
@@ -66,12 +160,19 @@ def rollout_traj(m: Model, dB: Data, nsteps: int, extract=None):
     device-to-host transfer at the end instead of per-step reads.
     """
     extract = extract or (lambda d: d.qpos)
+    if nsteps <= 1:
+        dB = batched_step(m, dB)
+        return dB, jax.tree.map(lambda x: x[None], extract(dB))
+    merge, shrink = _carry_split(m, dB)
 
-    def body(d, _):
-        d = batched_step(m, d)
-        return d, extract(d)
+    def body(carry, _):
+        d = batched_step(m, merge(carry))
+        return shrink(d), extract(d)
 
-    dB, traj = jax.lax.scan(body, dB, None, length=nsteps)
+    carry, traj = jax.lax.scan(body, shrink(dB), None, length=nsteps - 1)
+    dB = batched_step(m, merge(carry))
+    traj = jax.tree.map(lambda t, last: jnp.concatenate([t, last[None]]),
+                        traj, extract(dB))
     return dB, traj
 
 
