@@ -81,7 +81,9 @@ def make_data(m: Model, dtype=None) -> Data:
         qvel=z(nv), qacc=z(nv), qacc_warmstart=z(nv),
         qfrc_applied=z(nv), xfrc_applied=z(nbody, 6),
         ctrl=z(m.nu), act=z(m.nu), act_dot=z(m.nu),
+        actuator_length=z(m.nu), actuator_velocity=z(m.nu),
         actuator_force=z(m.nu), qfrc_actuator=z(nv),
+        ten_length=z(m.ntendon), ten_velocity=z(m.ntendon),
         body_active=jnp.ones((nbody,), bool),
         geom_size=jnp.asarray(m.geom_size, dtype),
         geom_rbound=jnp.asarray(m.geom_rbound, dtype),
@@ -142,12 +144,18 @@ def set_const(m: Model) -> Model:
         At = jnp.einsum("biv,vw,biw->b", Jt, Minv, Jt) / 3.0
         Ar = jnp.einsum("biv,vw,biw->b", Jr, Minv, Jr) / 3.0
         body_invweight0 = jnp.stack([At, Ar], axis=-1)
-        return dof_invweight0, body_invweight0
+        if m.ntendon:
+            W = jnp.asarray(lay.ten_Wv, dtype)
+            ten_invweight0 = ((W @ Minv) * W).sum(-1)
+        else:
+            ten_invweight0 = jnp.zeros((0,), dtype)
+        return dof_invweight0, body_invweight0, ten_invweight0
 
     import numpy as np_
-    dof_invweight0, body_invweight0 = _compute(m)
+    dof_invweight0, body_invweight0, ten_invweight0 = _compute(m)
     return m.replace(dof_invweight0=np_.asarray(dof_invweight0),
-                     body_invweight0=np_.asarray(body_invweight0))
+                     body_invweight0=np_.asarray(body_invweight0),
+                     ten_invweight0=np_.asarray(ten_invweight0))
 
 
 def _com_dict(m: Model, d: Data) -> dict:
@@ -170,6 +178,11 @@ def fwd_position(m: Model, d: Data) -> Data:
         subtree_com=com["subtree_com"], cdof=com["cdof"],
         qM=qM, qLD=qLD,
     )
+    if m.ntendon:
+        # fixed tendons: two constant matmuls (mj_tendon equivalent)
+        Wq = jnp.asarray(m.layout.ten_Wq, d.qpos.dtype)
+        Wv = jnp.asarray(m.layout.ten_Wv, d.qpos.dtype)
+        d = d.replace(ten_length=Wq @ d.qpos, ten_velocity=Wv @ d.qvel)
     # collision + constraint assembly
     from mujoco_sim_tpu.ops import collision as collision_mod
     from mujoco_sim_tpu.ops import constraint as constraint_mod
@@ -221,12 +234,73 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     single (nu,) x (nu, nv) matmul."""
     if m.nu == 0:
         return d
-    from mujoco_sim_tpu.models.model import DynType, GainType, BiasType
+    from mujoco_sim_tpu.models.model import (DynType, GainType, BiasType,
+                                             TrnType)
     dtype = d.qpos.dtype
     lay = m.layout
     gear0 = m.actuator_gear.astype(dtype)[:, 0]
     length = d.qpos[lay.act_qposadr] * gear0
     velocity = d.qvel[lay.act_dofadr] * gear0
+
+    # site transmissions (mj_transmission mjTRN_SITE, oracle-probed): the
+    # moment row is the site jacobian (minus the refsite's, if any)
+    # expressed in the site/refsite frame and dotted with the 6D gear; the
+    # refsite length's rotation part composes each site's quat OFFSET-FIRST
+    # with its body xquat (site_quat o xquat — NOT the xmat chain order)
+    # and takes subQuat in the refsite frame, matching the oracle exactly
+    # (tests/test_actuators.py::test_site_transmission_oracle).
+    # tendon transmissions: length/velocity are static gathers of the
+    # tendon state; the moment row (gear0 * ten_Wv) is folded into the
+    # static moment01 matrix at compile
+    ten_rows = np.nonzero(lay.act_trntype == int(TrnType.TENDON))[0]
+    if len(ten_rows):
+        tid = lay.act_trnid[ten_rows]
+        length = length.at[ten_rows].set(gear0[ten_rows] * d.ten_length[tid])
+        velocity = velocity.at[ten_rows].set(
+            gear0[ten_rows] * d.ten_velocity[tid])
+
+    site_rows = np.nonzero(lay.act_trntype == int(TrnType.SITE))[0]
+    moment_site = None
+    if len(site_rows):
+        from mujoco_sim_tpu.ops.constraint import (_point_jacobian,
+                                                   _rot_jacobian)
+        from mujoco_sim_tpu.ops import math as mm
+        sid = lay.act_trnid[site_rows]
+        rid = lay.act_refid[site_rows]
+        has_ref = rid >= 0                       # static numpy mask
+        rid_s = np.where(has_ref, rid, 0)
+        bs = lay.site_bodyid[sid]
+        br = lay.site_bodyid[rid_s]
+        origin_s = d.subtree_com[lay.body_rootid[bs]]
+        origin_r = d.subtree_com[lay.body_rootid[br]]
+        ps, Rs = d.site_xpos[sid], d.site_xmat[sid]
+        pr, Rr = d.site_xpos[rid_s], d.site_xmat[rid_s]
+        gearS = m.actuator_gear.astype(dtype)[site_rows]        # (ns, 6)
+        jacp = _point_jacobian(m, d, ps, bs, origin_s)          # (ns, 3, nv)
+        jacr = _rot_jacobian(m, d, bs)
+        href = jnp.asarray(has_ref, dtype)[:, None, None]
+        jacp = jacp - href * _point_jacobian(m, d, pr, br, origin_r)
+        jacr = jacr - href * _rot_jacobian(m, d, br)
+        R_use = jnp.where(href > 0.5, Rr, Rs)                   # (ns, 3, 3)
+        # local jac rows: R^T J as mul+reduce (K=3 dots conv-lower on TPU)
+        jl_p = (R_use[:, :, :, None] * jacp[:, :, None, :]).sum(1)
+        jl_r = (R_use[:, :, :, None] * jacr[:, :, None, :]).sum(1)
+        moment_site = ((gearS[:, :3, None] * jl_p).sum(1)
+                       + (gearS[:, 3:, None] * jl_r).sum(1))    # (ns, nv)
+        # length (0 without refsite)
+        qoff_s = m.site_quat.astype(dtype)[sid]
+        qoff_r = m.site_quat.astype(dtype)[rid_s]
+        qts = mm.quat_mul(qoff_s, d.xquat[bs])
+        qtr = mm.quat_mul(qoff_r, d.xquat[br])
+        rotvec = mm.quat_sub(qts, qtr)                          # (ns, 3)
+        dp_ref = ((Rr * (ps - pr)[:, :, None]).sum(1))          # R_r^T dp
+        len_site = ((gearS[:, :3] * dp_ref).sum(-1)
+                    + (gearS[:, 3:] * rotvec).sum(-1))
+        len_site = jnp.where(jnp.asarray(has_ref), len_site, 0.0)
+        vel_site = (moment_site * d.qvel[None, :]).sum(-1)
+        length = length.at[site_rows].set(len_site)
+        velocity = velocity.at[site_rows].set(vel_site)
+
     ctrl = d.ctrl.astype(dtype)
     cr = m.actuator_ctrlrange.astype(dtype)
     ctrl = jnp.where(jnp.asarray(lay.act_ctrllimited),
@@ -260,8 +334,11 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     force = jnp.where(jnp.asarray(lay.act_forcelimited),
                       jnp.clip(force, fr[:, 0], fr[:, 1]), force)
     moment01 = jnp.asarray(lay.act_moment01, dtype)     # (nu, nv) static
-    qfrc = (force * gear0) @ moment01
-    return d.replace(act_dot=act_dot, actuator_force=force,
+    qfrc = (force * gear0) @ moment01      # joint rows (site rows are zero)
+    if moment_site is not None:
+        qfrc = qfrc + force[site_rows] @ moment_site
+    return d.replace(act_dot=act_dot, actuator_length=length,
+                     actuator_velocity=velocity, actuator_force=force,
                      qfrc_actuator=qfrc)
 
 

@@ -559,11 +559,17 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     nsensordata = sadr
 
     # ---- actuators: shortcut-normalized general form (mjcf.py), joint
-    # transmissions only; the moment matrix is STATIC (gear[0] on the
-    # joint's dof) so qfrc_actuator is one one-hot matmul at runtime
-    from mujoco_sim_tpu.models.model import DynType, GainType, BiasType
+    # transmissions: joint (STATIC moment: gear[0] on the joint's dof, one
+    # one-hot matmul at runtime) or site (dynamic moment from site
+    # jacobians; mj_transmission mjTRN_SITE semantics, oracle-probed —
+    # tests/test_actuators.py)
+    from mujoco_sim_tpu.models.model import (DynType, GainType, BiasType,
+                                             TrnType)
     jname2id = {j.name: k for k, j in enumerate(jnt_specs) if j.name}
     nu = len(spec.actuators)
+    act_trntype = np.zeros(nu, dtype=int)
+    act_trnid = np.zeros(nu, dtype=int)
+    act_refid = np.full(nu, -1, dtype=int)
     act_trnjnt = np.zeros(nu, dtype=int)
     act_qposadr = np.zeros(nu, dtype=int)
     act_dofadr = np.zeros(nu, dtype=int)
@@ -580,19 +586,45 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     act_forcerange = np.zeros((nu, 2))
     _dyn_map = {"none": DynType.NONE, "integrator": DynType.INTEGRATOR,
                 "filter": DynType.FILTER, "filterexact": DynType.FILTEREXACT}
+    tname2id = {t.name: i for i, t in enumerate(spec.tendons) if t.name}
     for k, a in enumerate(spec.actuators):
-        jid = jname2id.get(a.joint, -1)
-        if jid < 0:
-            raise ValueError(
-                f"actuator '{a.name}' targets unknown joint '{a.joint}'")
-        jt = JointType(jnt_type[jid])
-        if jt not in (JointType.HINGE, JointType.SLIDE):
-            raise ValueError(
-                f"actuator '{a.name}': only hinge/slide joint transmissions "
-                "are supported (free/ball wrenches are not)")
-        act_trnjnt[k] = jid
-        act_qposadr[k] = jnt_qposadr[jid]
-        act_dofadr[k] = jnt_dofadr[jid]
+        if a.tendon:
+            tid = tname2id.get(a.tendon, -1)
+            if tid < 0:
+                raise ValueError(
+                    f"actuator '{a.name}' targets unknown tendon "
+                    f"'{a.tendon}'")
+            act_trntype[k] = int(TrnType.TENDON)
+            act_trnid[k] = tid
+        elif a.site:
+            sid = name2site.get(a.site, -1)
+            if sid < 0:
+                raise ValueError(
+                    f"actuator '{a.name}' targets unknown site '{a.site}'")
+            rid = -1
+            if a.refsite:
+                rid = name2site.get(a.refsite, -1)
+                if rid < 0:
+                    raise ValueError(f"actuator '{a.name}': unknown refsite "
+                                     f"'{a.refsite}'")
+            act_trntype[k] = int(TrnType.SITE)
+            act_trnid[k] = sid
+            act_refid[k] = rid
+        else:
+            jid = jname2id.get(a.joint, -1)
+            if jid < 0:
+                raise ValueError(
+                    f"actuator '{a.name}' targets unknown joint '{a.joint}'")
+            jt = JointType(jnt_type[jid])
+            if jt not in (JointType.HINGE, JointType.SLIDE):
+                raise ValueError(
+                    f"actuator '{a.name}': only hinge/slide joint "
+                    "transmissions are supported (free/ball wrenches not)")
+            act_trntype[k] = int(TrnType.JOINT)
+            act_trnid[k] = jid
+            act_trnjnt[k] = jid
+            act_qposadr[k] = jnt_qposadr[jid]
+            act_dofadr[k] = jnt_dofadr[jid]
         act_dyntype[k] = int(_dyn_map[a.dyntype])
         act_gaintype[k] = int(GainType.FIXED if a.gaintype == "fixed"
                               else GainType.AFFINE)
@@ -607,8 +639,9 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         act_ctrlrange[k] = a.ctrlrange
         act_forcerange[k] = a.forcerange
     act_moment01 = np.zeros((nu, nv))
-    if nu:
-        act_moment01[np.arange(nu), act_dofadr] = 1.0
+    joint_rows = np.nonzero(act_trntype == int(TrnType.JOINT))[0]
+    if len(joint_rows):
+        act_moment01[joint_rows, act_dofadr[joint_rows]] = 1.0
 
     # ---- qpos0 / qpos_spring
     qpos0 = np.zeros(nq)
@@ -666,6 +699,49 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         pair_margin.append(max(ga.margin, gb.margin))
         pair_gap.append(max(ga.gap, gb.gap))
 
+    # ---- fixed tendons: length is the static linear form W_q qpos, so the
+    # whole tendon stage is two tiny constant matmuls at runtime (TPU-first
+    # replacement for mj_tendon's per-wrap loop)
+    ntendon = len(spec.tendons)
+    ten_Wq = np.zeros((ntendon, nq))
+    ten_Wv = np.zeros((ntendon, nv))
+    ten_limited = np.zeros(ntendon, dtype=bool)
+    ten_range = np.zeros((ntendon, 2))
+    ten_solref = np.zeros((ntendon, 2))
+    ten_solimp = np.zeros((ntendon, 5))
+    ten_stiffness = np.zeros(ntendon)
+    ten_damping = np.zeros(ntendon)
+    ten_springlength = np.zeros((ntendon, 2))
+    ten_margin = np.zeros(ntendon)
+    for ti, t in enumerate(spec.tendons):
+        for jn, coef in t.joints:
+            jid = jname2id.get(jn, -1)
+            if jid < 0:
+                raise ValueError(f"tendon '{t.name}': unknown joint '{jn}'")
+            if JointType(jnt_type[jid]) not in (JointType.HINGE,
+                                                JointType.SLIDE):
+                raise ValueError(f"tendon '{t.name}': fixed tendons need "
+                                 "scalar (hinge/slide) joints")
+            ten_Wq[ti, jnt_qposadr[jid]] += coef
+            ten_Wv[ti, jnt_dofadr[jid]] += coef
+        ten_limited[ti] = t.limited
+        ten_range[ti] = t.range
+        ten_solref[ti] = t.solref_limit
+        ten_solimp[ti] = t.solimp_limit
+        ten_stiffness[ti] = t.stiffness
+        ten_damping[ti] = t.damping
+        ten_margin[ti] = t.margin
+        if t.springlength is None:
+            length0 = float(ten_Wq[ti] @ qpos0)
+            ten_springlength[ti] = [length0, length0]
+        else:
+            ten_springlength[ti] = t.springlength
+    # tendon-transmission actuators: the moment row is gear[0] * W_v[tid];
+    # stored unscaled (runtime multiplies force*gear0 into moment01)
+    ten_act_rows = np.nonzero(act_trntype == int(TrnType.TENDON))[0]
+    for k in ten_act_rows:
+        act_moment01[k] = ten_Wv[act_trnid[k]]
+
     # ---- static efc row layout + contact candidate tables
     # row order matches MuJoCo: equality, dof friction, limits, contacts
     eq_efcadr, adr_cursor = [], 0
@@ -680,6 +756,9 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
                  if njnt else np.zeros(0, dtype=int))
     lim_efcadr = adr_cursor + np.arange(len(lim_jntid))
     adr_cursor += len(lim_jntid)
+    tlim_tenid = np.nonzero(ten_limited)[0]
+    tlim_efcadr = adr_cursor + np.arange(len(tlim_tenid))
+    adr_cursor += len(tlim_tenid)
 
     # contact candidates: all pairs narrowphased every step (vectorized per
     # type group), then top-K compacted into ncon_budget contact slots so efc
@@ -779,12 +858,20 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         fri_efcadr=np.asarray(fri_efcadr, dtype=int),
         lim_jntid=np.asarray(lim_jntid, dtype=int),
         lim_efcadr=np.asarray(lim_efcadr, dtype=int),
+        tlim_tenid=np.asarray(tlim_tenid, dtype=int),
+        tlim_efcadr=np.asarray(tlim_efcadr, dtype=int),
+        ten_Wq=ten_Wq,
+        ten_Wv=ten_Wv,
+        ten_limited=ten_limited,
         cand_pairid=np.asarray(cand_pairid, dtype=int),
         jnt_limited=np.asarray(jnt_limited, dtype=bool),
         sensor_type=np.asarray([s[0] for s in sens], dtype=int),
         sensor_objid=np.asarray([s[1] for s in sens], dtype=int),
         sensor_adr=np.asarray([s[2] for s in sens], dtype=int),
         act_trnjnt=act_trnjnt,
+        act_trntype=act_trntype,
+        act_trnid=act_trnid,
+        act_refid=act_refid,
         act_qposadr=act_qposadr,
         act_dofadr=act_dofadr,
         act_dyntype=act_dyntype,
@@ -805,6 +892,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         eq=[r[7] or f"eq{k}" for k, r in enumerate(eq_rows)],
         actuator=[a.name or f"actuator{k}"
                   for k, a in enumerate(spec.actuators)],
+        tendon=[t.name or f"tendon{k}"
+                for k, t in enumerate(spec.tendons)],
     )
 
     model = Model(
@@ -914,6 +1003,15 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         actuator_dynprm=np_f(act_dynprm),
         actuator_ctrlrange=np_f(act_ctrlrange),
         actuator_forcerange=np_f(act_forcerange),
+        ten_range=np_f(ten_range),
+        ten_solref=np_f(ten_solref),
+        ten_solimp=np_f(ten_solimp),
+        ten_stiffness=np_f(ten_stiffness),
+        ten_damping=np_f(ten_damping),
+        ten_springlength=np_f(ten_springlength),
+        ten_margin=np_f(ten_margin),
+        ten_invweight0=np_f(np.zeros(ntendon)),
+        ntendon=ntendon,
         nsensordata=nsensordata, nmocap=nmocap,
         ncon_max=ncon_max, nefc_max=nefc_max,
         ncand=ncand, max_condim=max_condim, contact_efcadr=contact_efcadr,

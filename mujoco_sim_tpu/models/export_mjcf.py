@@ -189,14 +189,37 @@ def export_mjcf(spec: mjcf.SpecTree, path: str, model=None, data=None,
         for s in spec.sensors:
             ET.SubElement(sens, s.type,
                           {"name": s.name, "site": s.site})
+    if spec.tendons:
+        ten_el = ET.SubElement(root, "tendon")
+        for t in spec.tendons:
+            attrs = {"name": t.name, "stiffness": _fmt(t.stiffness),
+                     "damping": _fmt(t.damping), "margin": _fmt(t.margin)}
+            if t.limited:
+                attrs["limited"] = "true"
+                attrs["range"] = _fmt(t.range)
+                attrs["solreflimit"] = _fmt(t.solref_limit)
+                attrs["solimplimit"] = _fmt(t.solimp_limit)
+            if t.springlength is not None:
+                attrs["springlength"] = _fmt(t.springlength)
+            fx = ET.SubElement(ten_el, "fixed", attrs)
+            for jn, coef in t.joints:
+                ET.SubElement(fx, "joint", {"joint": jn, "coef": _fmt(coef)})
     if spec.actuators:
         # written back in the normalized <general> form (parse re-reads it)
         act_el = ET.SubElement(root, "actuator")
         for a in spec.actuators:
-            attrs = {"name": a.name, "joint": a.joint, "gear": _fmt(a.gear),
+            attrs = {"name": a.name, "gear": _fmt(a.gear),
                      "dyntype": a.dyntype, "gaintype": a.gaintype,
                      "biastype": a.biastype, "dynprm": _fmt(a.dynprm),
                      "gainprm": _fmt(a.gainprm), "biasprm": _fmt(a.biasprm)}
+            if a.tendon:
+                attrs["tendon"] = a.tendon
+            elif a.site:
+                attrs["site"] = a.site
+                if a.refsite:
+                    attrs["refsite"] = a.refsite
+            else:
+                attrs["joint"] = a.joint
             if a.ctrllimited:
                 attrs["ctrllimited"] = "true"
                 attrs["ctrlrange"] = _fmt(a.ctrlrange)

@@ -144,6 +144,9 @@ class ActuatorSpec:
 
     name: str = ""
     joint: str = ""             # joint transmission target
+    site: str = ""              # site transmission target (exclusive w/ joint)
+    refsite: str = ""           # optional reference site (site transmission)
+    tendon: str = ""            # tendon transmission target
     gear: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([1.0, 0, 0, 0, 0, 0]))
     ctrllimited: bool = False
@@ -161,6 +164,27 @@ class ActuatorSpec:
         default_factory=lambda: np.array([1.0, 0, 0]))
     biasprm: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(3))
+
+
+@dataclasses.dataclass
+class TendonSpec:
+    """One <tendon><fixed> element: a static linear combination of scalar
+    joint positions (length = sum coef_i * qpos_i).  Spatial tendons (site
+    routing + wrap geoms) are out of scope and raise at parse."""
+
+    name: str = ""
+    joints: list = dataclasses.field(default_factory=list)  # [(jname, coef)]
+    limited: bool = False
+    range: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2))
+    solref_limit: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.02, 1.0]))
+    solimp_limit: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.9, 0.95, 0.001, 0.5, 2.0]))
+    stiffness: float = 0.0
+    damping: float = 0.0
+    springlength: np.ndarray | None = None  # None -> length at qpos0
+    margin: float = 0.0
 
 
 @dataclasses.dataclass
@@ -216,6 +240,7 @@ class SpecTree:
     pairs: list = dataclasses.field(default_factory=list)      # explicit geom pairs
     sensors: list = dataclasses.field(default_factory=list)
     actuators: list = dataclasses.field(default_factory=list)
+    tendons: list = dataclasses.field(default_factory=list)
     base_dir: str = ""
 
 
@@ -611,12 +636,15 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
     def parse_actuator(el) -> ActuatorSpec:
         tag = el.tag
         el = _with_defaults(el, defaults, "main", "")
-        a = ActuatorSpec(name=el.get("name", ""), joint=el.get("joint", ""))
-        for attr in ("tendon", "site", "cranksite", "jointinparent"):
+        a = ActuatorSpec(name=el.get("name", ""), joint=el.get("joint", ""),
+                         site=el.get("site", ""),
+                         refsite=el.get("refsite", ""),
+                         tendon=el.get("tendon", ""))
+        for attr in ("cranksite", "jointinparent"):
             if el.get(attr):
                 raise ValueError(
-                    f"<{tag}> transmission '{attr}' is not supported; only "
-                    "joint transmissions are implemented")
+                    f"<{tag}> transmission '{attr}' is not supported; "
+                    "joint/site/tendon transmissions are implemented")
         g = _get_v(el, "gear", None)
         if g is not None:
             a.gear = np.pad(g, (0, 6 - len(g)))[:6]
@@ -687,6 +715,47 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
     for a_root in root.findall("actuator"):
         for el in a_root:
             spec.actuators.append(parse_actuator(el))
+
+    # -- tendons (fixed only: length is a static linear form in qpos)
+    for t_root in root.findall("tendon"):
+        for el0 in t_root:
+            if el0.tag != "fixed":
+                raise ValueError(
+                    f"<tendon><{el0.tag}> is not supported (only fixed "
+                    "tendons; spatial routing/wrapping is out of scope)")
+            # defaults for tendons live under the <tendon> default tag
+            klass = el0.get("class", "main")
+            dcls = defaults.get(klass, defaults["main"])
+            merged = dict(dcls.attrs.get("tendon", {}))
+            merged.update(el0.attrib)
+            el = ET.Element("fixed", merged)
+            t = TendonSpec(name=el.get("name", ""))
+            if _get_f(el, "frictionloss", 0.0) != 0.0:
+                raise ValueError("tendon frictionloss is not supported")
+            rng = _get_v(el, "range", None)
+            if rng is not None:
+                t.range = rng
+            limited = _get_b(el, "limited", None)
+            t.limited = bool(
+                limited if limited is not None
+                else comp.autolimits and rng is not None and np.any(rng != 0))
+            sr = _get_v(el, "solreflimit", None)
+            if sr is not None:
+                t.solref_limit = sr
+            si = _get_v(el, "solimplimit", None)
+            if si is not None:
+                t.solimp_limit = si
+            t.stiffness = _get_f(el, "stiffness", 0.0)
+            t.damping = _get_f(el, "damping", 0.0)
+            t.margin = _get_f(el, "margin", 0.0)
+            sl = _get_v(el, "springlength", None)
+            if sl is not None and np.any(sl >= 0):
+                t.springlength = (np.array([sl[0], sl[0]]) if len(sl) == 1
+                                  else sl[:2])
+            for j in el0.findall("joint"):
+                t.joints.append((j.get("joint", ""),
+                                 float(j.get("coef", "0"))))
+            spec.tendons.append(t)
 
     # -- sensors
     for s_root in root.findall("sensor"):

@@ -71,6 +71,13 @@ class GainType(enum.IntEnum):
     AFFINE = 1
 
 
+class TrnType(enum.IntEnum):
+    # mjtTrn values (mujoco 2.3.7 mjmodel.h) for parity
+    JOINT = 0
+    TENDON = 3
+    SITE = 4
+
+
 class BiasType(enum.IntEnum):
     NONE = 0
     AFFINE = 1
@@ -226,6 +233,16 @@ class Model:
     actuator_ctrlrange: jax.Array  # (nu, 2)
     actuator_forcerange: jax.Array  # (nu, 2)
 
+    # ---- fixed tendons (length = Layout.ten_Wq @ qpos, a static matmul)
+    ten_range: jax.Array          # (ntendon, 2)
+    ten_solref: jax.Array         # (ntendon, 2)
+    ten_solimp: jax.Array         # (ntendon, 5)
+    ten_stiffness: jax.Array      # (ntendon,)
+    ten_damping: jax.Array        # (ntendon,)
+    ten_springlength: jax.Array   # (ntendon, 2) deadband [lo, hi]
+    ten_margin: jax.Array         # (ntendon,)
+    ten_invweight0: jax.Array     # (ntendon,) W M(q0)^-1 W^T (mj_setConst)
+
     # ---- equality constraints
     eq_type: jax.Array            # (neq,) i32
     eq_obj1id: jax.Array          # (neq,) i32
@@ -267,6 +284,7 @@ class Model:
     nsensordata: int = static(default=0)
     nmocap: int = static(default=0)
     nu: int = static(default=0)         # actuators (na act slots == nu)
+    ntendon: int = static(default=0)
     ncon_max: int = static(default=0)   # contact budget K (top-K compaction)
     nefc_max: int = static(default=0)   # padded constraint-row capacity
     ncand: int = static(default=0)      # total narrowphase candidates
@@ -322,11 +340,11 @@ class NameTable:
     """
 
     __slots__ = ("body", "joint", "geom", "site", "mesh", "sensor", "eq",
-                 "actuator", "_body_inv", "_joint_inv", "_geom_inv",
-                 "_site_inv", "_act_inv")
+                 "actuator", "tendon", "_body_inv", "_joint_inv",
+                 "_geom_inv", "_site_inv", "_act_inv", "_ten_inv")
 
     def __init__(self, body=(), joint=(), geom=(), site=(), mesh=(),
-                 sensor=(), eq=(), actuator=()):
+                 sensor=(), eq=(), actuator=(), tendon=()):
         self.body = tuple(body)
         self.joint = tuple(joint)
         self.geom = tuple(geom)
@@ -335,6 +353,8 @@ class NameTable:
         self.sensor = tuple(sensor)
         self.eq = tuple(eq)
         self.actuator = tuple(actuator)
+        self.tendon = tuple(tendon)
+        self._ten_inv = {n: i for i, n in enumerate(self.tendon)}
         self._act_inv = {n: i for i, n in enumerate(self.actuator)}
         self._body_inv = {n: i for i, n in enumerate(self.body)}
         self._joint_inv = {n: i for i, n in enumerate(self.joint)}
@@ -356,17 +376,20 @@ class NameTable:
     def actuator_id(self, name: str) -> int:
         return self._act_inv.get(name, -1)
 
+    def tendon_id(self, name: str) -> int:
+        return self._ten_inv.get(name, -1)
+
     def __hash__(self):
         return hash((self.body, self.joint, self.geom, self.site, self.mesh,
-                     self.sensor, self.eq, self.actuator))
+                     self.sensor, self.eq, self.actuator, self.tendon))
 
     def __eq__(self, other):
         return isinstance(other, NameTable) and (
             self.body, self.joint, self.geom, self.site, self.mesh,
-            self.sensor, self.eq, self.actuator,
+            self.sensor, self.eq, self.actuator, self.tendon,
         ) == (
             other.body, other.joint, other.geom, other.site, other.mesh,
-            other.sensor, other.eq, other.actuator,
+            other.sensor, other.eq, other.actuator, other.tendon,
         )
 
 
@@ -405,8 +428,12 @@ class Data:
     ctrl: jax.Array            # (nu,) actuator controls
     act: jax.Array             # (nu,) activation state (0 for dyntype none)
     act_dot: jax.Array         # (nu,) activation derivative
+    actuator_length: jax.Array    # (nu,)
+    actuator_velocity: jax.Array  # (nu,)
     actuator_force: jax.Array  # (nu,) scalar transmission force
     qfrc_actuator: jax.Array   # (nv,)
+    ten_length: jax.Array      # (ntendon,)
+    ten_velocity: jax.Array    # (ntendon,)
 
     # masked-slot scene state (spawn/destroy; SURVEY §3.3 contract)
     body_active: jax.Array     # (nbody,) bool

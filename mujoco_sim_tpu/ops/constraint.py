@@ -336,6 +336,31 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
              jnp.asarray(m.jnt_solimp, dtype)[jids],
              dinv[dadr], active, 2, margin=margin)
 
+    # ---------------- tendon limits (fixed tendons) ----------------
+    # same nearer-side single-row scheme as joint limits, with the static
+    # tendon moment W_v as the row (MuJoCo mjCNSTR_LIMIT_TENDON)
+    if len(lay.tlim_tenid):
+        tids = lay.tlim_tenid
+        Wv = jnp.asarray(lay.ten_Wv, dtype)[tids]          # (n, nv)
+        length = (jnp.asarray(lay.ten_Wq, dtype)[tids] * d.qpos[None, :]
+                  ).sum(-1)
+        rng = jnp.asarray(m.ten_range, dtype)[tids]
+        margin = jnp.asarray(m.ten_margin, dtype)[tids]
+        dist_lo = length - rng[:, 0]
+        dist_hi = rng[:, 1] - length
+        lower = dist_lo < dist_hi
+        dist = jnp.where(lower, dist_lo, dist_hi)
+        sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
+        rows = sign[:, None] * Wv
+        active = dist < margin
+        if disable & int(DisableBit.LIMIT):
+            active = jnp.zeros_like(active)
+        emit(rows, dist - margin,
+             jnp.asarray(m.ten_solref, dtype)[tids],
+             jnp.asarray(m.ten_solimp, dtype)[tids],
+             jnp.asarray(m.ten_invweight0, dtype)[tids], active, 2,
+             margin=margin)
+
     # ---------------- contacts (vectorized over the K budget) ----
     if m.ncon_max:
         from mujoco_sim_tpu.models.model import ConeType, contact_rows_per

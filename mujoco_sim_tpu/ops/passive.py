@@ -53,6 +53,23 @@ def spring_damper(m: Model, qpos: jax.Array, qvel: jax.Array):
                     -stiff * rot[:, i])
 
     qfrc_damper = -jnp.asarray(m.dof_damping, dtype) * qvel
+
+    if m.ntendon:
+        # fixed-tendon spring (with 3.x deadband springlength) + damper,
+        # projected through the static moment W_v (mj_passive tendon terms)
+        Wq = jnp.asarray(lay.ten_Wq, dtype)
+        Wv = jnp.asarray(lay.ten_Wv, dtype)
+        length = Wq @ qpos
+        vel = Wv @ qvel
+        sl = m.ten_springlength.astype(dtype)
+        excess = jnp.where(length > sl[:, 1], length - sl[:, 1],
+                           jnp.where(length < sl[:, 0], length - sl[:, 0],
+                                     0.0))
+        frc_s = -m.ten_stiffness.astype(dtype) * excess
+        frc_d = -m.ten_damping.astype(dtype) * vel
+        qfrc_spring = qfrc_spring + frc_s @ Wv
+        qfrc_damper = qfrc_damper + frc_d @ Wv
+
     return qfrc_spring, qfrc_damper
 
 

@@ -119,10 +119,67 @@ def test_integrator_dyntype():
 
 
 def test_unsupported_transmission_raises():
-    acts = '<motor name="bad" site="nowhere"/>'
+    acts = '<general name="bad" cranksite="nowhere"/>'
     xml = ARM.format(integrator="Euler", actuators=acts)
     with pytest.raises(ValueError, match="transmission"):
         parse_mjcf_string(xml)
+    acts = '<motor name="bad" site="nowhere"/>'
+    xml = ARM.format(integrator="Euler", actuators=acts)
+    with pytest.raises(ValueError, match="unknown site"):
+        compile_spec(parse_mjcf_string(xml))
+
+
+SITE_ARM = """
+<mujoco>
+  <compiler angle="radian"/>
+  <option timestep="0.002"/>
+  <worldbody>
+    <site name="ref" pos="0.1 0.2 0.3" euler="0.3 0.2 0.1"/>
+    <body pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.3 0 0" mass="1"/>
+      <body pos="0.3 0 0">
+        <joint name="j2" type="slide" axis="1 0 0" damping="0.2"/>
+        <geom type="sphere" size="0.03" mass="0.2"/>
+        <site name="tip" pos="0.05 0.02 -0.01" euler="0.1 0.4 0.2"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <general name="a_site" site="tip" gear="1 2 3 0.5 0.4 0.3"/>
+    <general name="a_ref"  site="tip" refsite="ref" gear="1 2 3 0.5 0.4 0.3"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_site_transmission_oracle():
+    """mjTRN_SITE length/velocity/moment parity, incl. the refsite length's
+    offset-first quat composition (site_quat o body xquat), reverse-
+    engineered with mj_forward probes like the elliptic-cone work."""
+    mo, do, m, d = _pair(SITE_ARM)
+    qs, vs, cs = [0.4, 0.13], [0.3, -0.2], [0.5, -1.0]
+    do.qpos[:] = qs
+    do.qvel[:] = vs
+    do.ctrl[:] = cs
+    mujoco.mj_forward(mo, do)
+    d = d.replace(qpos=jnp.asarray(qs, d.qpos.dtype),
+                  qvel=jnp.asarray(vs, d.qpos.dtype),
+                  ctrl=jnp.asarray(cs, d.qpos.dtype))
+    d = engine.forward(m, d)
+    np.testing.assert_allclose(np.asarray(d.actuator_length),
+                               do.actuator_length, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.actuator_velocity),
+                               do.actuator_velocity, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.qfrc_actuator),
+                               do.qfrc_actuator, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.qacc), do.qacc, atol=1e-10)
+
+
+def test_site_transmission_trajectory():
+    qerr, _, do, d = _rollout_err(SITE_ARM, np.array([0.3, -0.6]),
+                                  nsteps=200)
+    assert qerr < 1e-9
 
 
 def test_fromto_geom_frames_match_oracle():
