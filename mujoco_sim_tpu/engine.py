@@ -149,13 +149,23 @@ def set_const(m: Model) -> Model:
             ten_invweight0 = ((W @ Minv) * W).sum(-1)
         else:
             ten_invweight0 = jnp.zeros((0,), dtype)
-        return dof_invweight0, body_invweight0, ten_invweight0
+        if m.nu:
+            # actuator_acc0 = |M^-1 moment| at qpos0 (joint/tendon
+            # transmissions have a static moment; site rows stay 0 —
+            # muscle-on-site raises at compile)
+            gear0 = m.actuator_gear[:, 0]
+            mom = jnp.asarray(lay.act_moment01, dtype) * gear0[:, None]
+            acc0 = jnp.linalg.norm(mom @ Minv, axis=-1)
+        else:
+            acc0 = jnp.zeros((0,), dtype)
+        return dof_invweight0, body_invweight0, ten_invweight0, acc0
 
     import numpy as np_
-    dof_invweight0, body_invweight0, ten_invweight0 = _compute(m)
+    dof_invweight0, body_invweight0, ten_invweight0, acc0 = _compute(m)
     return m.replace(dof_invweight0=np_.asarray(dof_invweight0),
                      body_invweight0=np_.asarray(body_invweight0),
-                     ten_invweight0=np_.asarray(ten_invweight0))
+                     ten_invweight0=np_.asarray(ten_invweight0),
+                     actuator_acc0=np_.asarray(acc0))
 
 
 def _com_dict(m: Model, d: Data) -> dict:
@@ -316,9 +326,21 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     is_fex = jnp.asarray(dyn == int(DynType.FILTEREXACT))
     filt_dot = (ctrl - act) / tau
     fex_dot = (ctrl - act) * (1.0 - jnp.exp(-h / tau)) / jnp.maximum(h, 1e-12)
+    # muscle activation (mju_muscleDynamics, zero smoothing width): tau
+    # scales with activation, asymmetric for act/deact — oracle-probed
+    is_mus = jnp.asarray(dyn == int(DynType.MUSCLE))
+    dprm = m.actuator_dynprm.astype(dtype)
+    cclamp = jnp.clip(ctrl, 0.0, 1.0)
+    tau_m = jnp.where(cclamp > act,
+                      jnp.maximum(dprm[:, 0], 1e-12) * (0.5 + 1.5 * act),
+                      jnp.maximum(dprm[:, 1], 1e-12)
+                      / jnp.maximum(0.5 + 1.5 * act, 1e-12))
+    mus_dot = (cclamp - act) / tau_m
     act_dot = jnp.where(is_int, ctrl,
                         jnp.where(is_filt, filt_dot,
-                                  jnp.where(is_fex, fex_dot, 0.0)))
+                                  jnp.where(is_fex, fex_dot,
+                                            jnp.where(is_mus, mus_dot,
+                                                      0.0))))
     has_act = jnp.asarray(dyn != int(DynType.NONE))
     inp = jnp.where(has_act, act, ctrl)
     gp = m.actuator_gainprm.astype(dtype)
@@ -329,6 +351,52 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     bias_aff = jnp.asarray(lay.act_biastype == int(BiasType.AFFINE))
     bias = jnp.where(
         bias_aff, bp[:, 0] + bp[:, 1] * length + bp[:, 2] * velocity, 0.0)
+
+    gain_mus_np = lay.act_gaintype == int(GainType.MUSCLE)   # static numpy
+    bias_mus_np = lay.act_biastype == int(BiasType.MUSCLE)
+    gain_mus = jnp.asarray(gain_mus_np)
+    bias_mus = jnp.asarray(bias_mus_np)
+    if gain_mus_np.any() or bias_mus_np.any():
+        # mju_muscleGain/Bias FLV curves, oracle-probed to machine
+        # precision (tests/test_muscles.py): normalized length L in L0
+        # units, FL bump(lmin,1,lmax), FV piecewise quadratic saturating
+        # at fvmax, FP half-quadratic-then-linear scaled by fpmax
+        lr = m.actuator_lengthrange.astype(dtype)
+        acc0 = jnp.maximum(m.actuator_acc0.astype(dtype), 1e-12)
+        r0, r1 = gp[:, 0], gp[:, 1]
+        L0 = (lr[:, 1] - lr[:, 0]) / jnp.maximum(r1 - r0, 1e-12)
+        L0s = jnp.maximum(L0, 1e-12)
+        L = r0 + (length - lr[:, 0]) / L0s
+        V = velocity / (L0s * jnp.maximum(gp[:, 6], 1e-12))
+        F0 = jnp.where(gp[:, 2] < 0, gp[:, 3] / acc0, gp[:, 2])
+        lmin, lmax, fpmax, fvmax = gp[:, 4], gp[:, 5], gp[:, 7], gp[:, 8]
+        mid = 1.0
+        left = 0.5 * (lmin + mid)
+        right = 0.5 * (mid + lmax)
+        x_a = (L - lmin) / jnp.maximum(left - lmin, 1e-12)
+        x_b = (mid - L) / jnp.maximum(mid - left, 1e-12)
+        x_c = (L - mid) / jnp.maximum(right - mid, 1e-12)
+        x_d = (lmax - L) / jnp.maximum(lmax - right, 1e-12)
+        FL = jnp.where((L <= lmin) | (L >= lmax), 0.0,
+             jnp.where(L < left, 0.5 * x_a * x_a,
+             jnp.where(L < mid, 1.0 - 0.5 * x_b * x_b,
+             jnp.where(L < right, 1.0 - 0.5 * x_c * x_c,
+                       0.5 * x_d * x_d))))
+        y = fvmax - 1.0
+        FV = jnp.where(V <= -1.0, 0.0,
+             jnp.where(V <= 0.0, (V + 1.0) * (V + 1.0),
+             jnp.where(V <= y,
+                       fvmax - (y - V) * (y - V) / jnp.maximum(y, 1e-12),
+                       fvmax)))
+        bmid = 0.5 * (1.0 + lmax)
+        x_p = (L - 1.0) / jnp.maximum(bmid - 1.0, 1e-12)
+        FP = jnp.where(L <= 1.0, 0.0,
+             jnp.where(L <= bmid, 0.5 * fpmax * x_p * x_p,
+                       fpmax * (0.5 + (L - bmid)
+                                / jnp.maximum(bmid - 1.0, 1e-12))))
+        gain = jnp.where(gain_mus, -F0 * FL * FV, gain)
+        bias = jnp.where(bias_mus, -F0 * FP, bias)
+
     force = gain * inp + bias
     fr = m.actuator_forcerange.astype(dtype)
     force = jnp.where(jnp.asarray(lay.act_forcelimited),

@@ -91,7 +91,7 @@ def _geom_mass_inertia(g: mjcf.GeomSpec, mesh_props=None):
 
 def _accumulate_inertia(geoms, mesh_lookup):
     """Combine per-geom mass properties into body (mass, ipos, iquat, diag)."""
-    masses, coms, inertias = [], [], []
+    masses, coms, inertias, contrib = [], [], [], []
     for g in geoms:
         mesh_props = mesh_lookup(g) if g.type == "mesh" else None
         m, com_g, diag = _geom_mass_inertia(g, mesh_props)
@@ -104,8 +104,17 @@ def _accumulate_inertia(geoms, mesh_lookup):
         masses.append(m)
         coms.append(com_b)
         inertias.append(imat)
+        contrib.append((g, com_g, diag))
     if not masses:
         return 0.0, np.zeros(3), np.array([1.0, 0, 0, 0]), np.zeros(3)
+    if len(masses) == 1 and np.ndim(contrib[0][2]) == 1:
+        # single primitive geom: the oracle keeps the geom's own frame and
+        # its (unsorted) diagonal — eigendecomposition would pick an
+        # arbitrary gauge for degenerate pairs (probed vs body_iquat)
+        g, com_g, diag = contrib[0]
+        rot = R.quat_to_mat_np(g.quat)
+        return float(masses[0]), g.pos + rot @ com_g, \
+            np.asarray(g.quat, float), np.asarray(diag, float)
     mass = float(np.sum(masses))
     com = np.sum([m * c for m, c in zip(masses, coms)], axis=0) / mass
     total = np.zeros((3, 3))
@@ -548,13 +557,79 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     npair = len(pair_g1)
 
     # ---- per-geom solver params already parsed; sensors
+    # rows: (type, objid, objtype, adr, dim, cutoff, name)
+    from mujoco_sim_tpu.models.model import ObjType
     sens = []
     name2site = {s.name: k for k, s in enumerate(site_specs) if s.name}
+    name2jnt = {j.name: k for k, j in enumerate(jnt_specs) if j.name}
+    name2act = {a.name: k for k, a in enumerate(spec.actuators) if a.name}
+    name2ten = {t.name: k for k, t in enumerate(spec.tendons) if t.name}
+    name2geom = {g.name: k for k, g in enumerate(geom_specs) if g.name}
+    name2body_l = {n: k for k, n in enumerate(body_name)}
+    _SDIM = {"touch": 1, "accelerometer": 3, "velocimeter": 3, "gyro": 3,
+             "force": 3, "torque": 3, "magnetometer": 3,
+             "jointpos": 1, "jointvel": 1, "ballquat": 4, "ballangvel": 3,
+             "tendonpos": 1, "tendonvel": 1,
+             "actuatorpos": 1, "actuatorvel": 1, "actuatorfrc": 1,
+             "framepos": 3, "framequat": 4, "framexaxis": 3,
+             "frameyaxis": 3, "framezaxis": 3, "framelinvel": 3,
+             "frameangvel": 3,
+             "subtreecom": 3, "subtreelinvel": 3, "subtreeangmom": 3,
+             "clock": 1}
+    _FRAME_OBJ = {"site": (ObjType.SITE, name2site),
+                  "body": (ObjType.BODY, name2body_l),
+                  "xbody": (ObjType.XBODY, name2body_l),
+                  "geom": (ObjType.GEOM, name2geom)}
     sadr = 0
     for s in spec.sensors:
-        st = SensorType.FORCE if s.type == "force" else SensorType.TORQUE
-        sens.append((int(st), name2site.get(s.site, -1), sadr, s.name))
-        sadr += 3
+        st = SensorType[s.type.upper()]
+        objtype = 0
+        if s.type in ("touch", "accelerometer", "velocimeter", "gyro",
+                      "force", "torque", "magnetometer"):
+            objid = name2site.get(s.site, -1)
+            if objid < 0:
+                raise ValueError(f"sensor '{s.name}': unknown site "
+                                 f"'{s.site}'")
+        elif s.type in ("jointpos", "jointvel", "ballquat", "ballangvel"):
+            objid = name2jnt.get(s.objname, -1)
+            if objid < 0:
+                raise ValueError(f"sensor '{s.name}': unknown joint "
+                                 f"'{s.objname}'")
+            jt = JointType(jnt_type[objid])
+            scalar = s.type in ("jointpos", "jointvel")
+            if scalar != (jt in (JointType.HINGE, JointType.SLIDE)):
+                raise ValueError(f"sensor '{s.name}': joint type mismatch "
+                                 f"({s.type} on {jt.name})")
+        elif s.type in ("tendonpos", "tendonvel"):
+            objid = name2ten.get(s.objname, -1)
+            if objid < 0:
+                raise ValueError(f"sensor '{s.name}': unknown tendon "
+                                 f"'{s.objname}'")
+        elif s.type in ("actuatorpos", "actuatorvel", "actuatorfrc"):
+            objid = name2act.get(s.objname, -1)
+            if objid < 0:
+                raise ValueError(f"sensor '{s.name}': unknown actuator "
+                                 f"'{s.objname}'")
+        elif s.type.startswith("frame"):
+            if s.objtype not in _FRAME_OBJ:
+                raise ValueError(f"sensor '{s.name}': objtype "
+                                 f"'{s.objtype}' not supported")
+            ot, table = _FRAME_OBJ[s.objtype]
+            objtype = int(ot)
+            objid = table.get(s.objname, -1)
+            if objid < 0:
+                raise ValueError(f"sensor '{s.name}': unknown {s.objtype} "
+                                 f"'{s.objname}'")
+        elif s.type.startswith("subtree"):
+            objid = name2body_l.get(s.objname, -1)
+            if objid < 0:
+                raise ValueError(f"sensor '{s.name}': unknown body "
+                                 f"'{s.objname}'")
+        else:                   # clock
+            objid = -1
+        dim = _SDIM[s.type]
+        sens.append((int(st), objid, objtype, sadr, dim, s.cutoff, s.name))
+        sadr += dim
     nsensor = len(sens)
     nsensordata = sadr
 
@@ -579,13 +654,15 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     act_ctrllimited = np.zeros(nu, dtype=bool)
     act_forcelimited = np.zeros(nu, dtype=bool)
     act_gear = np.zeros((nu, 6))
-    act_gainprm = np.zeros((nu, 3))
-    act_biasprm = np.zeros((nu, 3))
-    act_dynprm = np.zeros((nu, 3))
+    act_gainprm = np.zeros((nu, 10))
+    act_biasprm = np.zeros((nu, 10))
+    act_dynprm = np.zeros((nu, 10))
     act_ctrlrange = np.zeros((nu, 2))
     act_forcerange = np.zeros((nu, 2))
+    act_lengthrange = np.zeros((nu, 2))
     _dyn_map = {"none": DynType.NONE, "integrator": DynType.INTEGRATOR,
-                "filter": DynType.FILTER, "filterexact": DynType.FILTEREXACT}
+                "filter": DynType.FILTER, "filterexact": DynType.FILTEREXACT,
+                "muscle": DynType.MUSCLE}
     tname2id = {t.name: i for i, t in enumerate(spec.tendons) if t.name}
     for k, a in enumerate(spec.actuators):
         if a.tendon:
@@ -626,18 +703,53 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
             act_qposadr[k] = jnt_qposadr[jid]
             act_dofadr[k] = jnt_dofadr[jid]
         act_dyntype[k] = int(_dyn_map[a.dyntype])
-        act_gaintype[k] = int(GainType.FIXED if a.gaintype == "fixed"
-                              else GainType.AFFINE)
-        act_biastype[k] = int(BiasType.NONE if a.biastype == "none"
-                              else BiasType.AFFINE)
+        _gain_map = {"fixed": GainType.FIXED, "affine": GainType.AFFINE,
+                     "muscle": GainType.MUSCLE}
+        _bias_map = {"none": BiasType.NONE, "affine": BiasType.AFFINE,
+                     "muscle": BiasType.MUSCLE}
+        act_gaintype[k] = int(_gain_map[a.gaintype])
+        act_biastype[k] = int(_bias_map[a.biastype])
         act_ctrllimited[k] = a.ctrllimited
         act_forcelimited[k] = a.forcelimited
         act_gear[k] = a.gear
-        act_gainprm[k] = a.gainprm[:3]
-        act_biasprm[k] = a.biasprm[:3]
-        act_dynprm[k] = a.dynprm[:3]
+        act_gainprm[k] = a.gainprm[:10]
+        act_biasprm[k] = a.biasprm[:10]
+        act_dynprm[k] = a.dynprm[:10]
         act_ctrlrange[k] = a.ctrlrange
         act_forcerange[k] = a.forcerange
+        # muscle lengthrange: explicit attr, else exact analytic range of
+        # the (linear) joint/tendon transmission over the joint limits
+        # (MuJoCo's mj_setLengthRange copies limits for these modes)
+        is_muscle = "muscle" in (a.gaintype, a.biastype, a.dyntype)
+        if a.lengthrange is not None:
+            act_lengthrange[k] = np.sort(a.lengthrange)
+        elif is_muscle:
+            if act_trntype[k] == int(TrnType.JOINT):
+                jid = act_trnid[k]
+                if not jnt_limited[jid]:
+                    raise ValueError(
+                        f"muscle actuator '{a.name}': joint must have "
+                        "limits (or give an explicit lengthrange)")
+                g0 = a.gear[0]
+                act_lengthrange[k] = np.sort(
+                    np.asarray(jnt_range[jid]) * g0)
+            elif act_trntype[k] == int(TrnType.TENDON):
+                lo = hi = 0.0
+                for jn, coef in spec.tendons[act_trnid[k]].joints:
+                    jid2 = jname2id[jn]
+                    if not jnt_limited[jid2]:
+                        raise ValueError(
+                            f"muscle actuator '{a.name}': all tendon "
+                            "joints must have limits")
+                    vals = coef * np.asarray(jnt_range[jid2])
+                    lo += vals.min()
+                    hi += vals.max()
+                g0 = a.gear[0]
+                act_lengthrange[k] = np.sort(np.array([lo, hi]) * g0)
+            else:
+                raise ValueError(
+                    f"muscle actuator '{a.name}': site transmissions need "
+                    "an explicit lengthrange")
     act_moment01 = np.zeros((nu, nv))
     joint_rows = np.nonzero(act_trntype == int(TrnType.JOINT))[0]
     if len(joint_rows):
@@ -806,6 +918,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         timestep=np_f(ospec.timestep),
         gravity=np_f(ospec.gravity),
         wind=np_f(ospec.wind),
+        magnetic=np_f(ospec.magnetic),
         density=np_f(ospec.density),
         viscosity=np_f(ospec.viscosity),
         impratio=np_f(ospec.impratio),
@@ -845,6 +958,10 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         geom_dataid=geom_dataid,
         geom_hullid=geom_hullid,
         site_bodyid=np.asarray(site_bodyid, dtype=int),
+        site_type=np.asarray(
+            [int(GeomType[s.type.upper()]) for s in site_specs], dtype=int),
+        site_size=(np.stack([s.size for s in site_specs])
+                   if site_specs else np.zeros((0, 3))),
         mesh_vertadr=np.asarray(mesh_vertadr, dtype=int),
         mesh_vertnum=np.asarray(mesh_vertnum, dtype=int),
         eq_type=np.asarray([r[0] for r in eq_rows], dtype=int),
@@ -867,7 +984,10 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         jnt_limited=np.asarray(jnt_limited, dtype=bool),
         sensor_type=np.asarray([s[0] for s in sens], dtype=int),
         sensor_objid=np.asarray([s[1] for s in sens], dtype=int),
-        sensor_adr=np.asarray([s[2] for s in sens], dtype=int),
+        sensor_objtype=np.asarray([s[2] for s in sens], dtype=int),
+        sensor_adr=np.asarray([s[3] for s in sens], dtype=int),
+        sensor_dim=np.asarray([s[4] for s in sens], dtype=int),
+        sensor_cutoff=np.asarray([s[5] for s in sens], dtype=float),
         act_trnjnt=act_trnjnt,
         act_trntype=act_trntype,
         act_trnid=act_trnid,
@@ -888,7 +1008,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         geom=[g.name or f"geom{k}" for k, g in enumerate(geom_specs)],
         site=[s.name or f"site{k}" for k, s in enumerate(site_specs)],
         mesh=mesh_names,
-        sensor=[s[3] or f"sensor{k}" for k, s in enumerate(sens)],
+        sensor=[s[6] or f"sensor{k}" for k, s in enumerate(sens)],
         eq=[r[7] or f"eq{k}" for k, r in enumerate(eq_rows)],
         actuator=[a.name or f"actuator{k}"
                   for k, a in enumerate(spec.actuators)],
@@ -991,7 +1111,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         pair_gap=np_f(pair_gap),
         sensor_type=np_i([s[0] for s in sens]),
         sensor_objid=np_i([s[1] for s in sens]),
-        sensor_adr=np_i([s[2] for s in sens]),
+        sensor_adr=np_i([s[3] for s in sens]),
+        sensor_cutoff=np_f([s[5] for s in sens]),
         qpos0=np_f(qpos0),
         qpos_spring=np_f(qpos_spring),
         nq=nq, nv=nv, nbody=nbody, njnt=njnt, ngeom=ngeom, nsite=nsite,
@@ -1003,6 +1124,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         actuator_dynprm=np_f(act_dynprm),
         actuator_ctrlrange=np_f(act_ctrlrange),
         actuator_forcerange=np_f(act_forcerange),
+        actuator_lengthrange=np_f(act_lengthrange),
+        actuator_acc0=np_f(np.zeros(nu)),
         ten_range=np_f(ten_range),
         ten_solref=np_f(ten_solref),
         ten_solimp=np_f(ten_solimp),

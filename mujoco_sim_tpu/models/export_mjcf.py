@@ -185,10 +185,20 @@ def export_mjcf(spec: mjcf.SpecTree, path: str, model=None, data=None,
         for b1, b2 in spec.excludes:
             ET.SubElement(contact, "exclude", {"body1": b1, "body2": b2})
     if spec.sensors:
+        from mujoco_sim_tpu.models.mjcf import _SENSOR_OBJ_ATTR
         sens = ET.SubElement(root, "sensor")
         for s in spec.sensors:
-            ET.SubElement(sens, s.type,
-                          {"name": s.name, "site": s.site})
+            attrs = {"name": s.name}
+            if s.site:
+                attrs["site"] = s.site
+            elif s.objtype:
+                attrs["objtype"] = s.objtype
+                attrs["objname"] = s.objname
+            elif s.objname:
+                attrs[_SENSOR_OBJ_ATTR[s.type]] = s.objname
+            if s.cutoff:
+                attrs["cutoff"] = _fmt(s.cutoff)
+            ET.SubElement(sens, s.type, attrs)
     if spec.tendons:
         ten_el = ET.SubElement(root, "tendon")
         for t in spec.tendons:

@@ -79,6 +79,9 @@ class SiteSpec:
     name: str = ""
     pos: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     quat: np.ndarray = dataclasses.field(default_factory=lambda: np.array([1.0, 0, 0, 0]))
+    type: str = "sphere"        # touch-sensor zone shape
+    size: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.005, 0.005, 0.005]))
 
 
 @dataclasses.dataclass
@@ -126,11 +129,29 @@ class EqSpec:
     torquescale: float = 1.0
 
 
+# sensor tag -> the attribute naming its target object (shared by the
+# parser and the MJCF exporter)
+_SITE_SENSORS = ("touch", "accelerometer", "velocimeter", "gyro",
+                 "force", "torque", "magnetometer")
+_SENSOR_OBJ_ATTR = {"jointpos": "joint", "jointvel": "joint",
+                    "ballquat": "joint", "ballangvel": "joint",
+                    "tendonpos": "tendon", "tendonvel": "tendon",
+                    "actuatorpos": "actuator", "actuatorvel": "actuator",
+                    "actuatorfrc": "actuator",
+                    "subtreecom": "body", "subtreelinvel": "body",
+                    "subtreeangmom": "body"}
+_FRAME_SENSORS = ("framepos", "framequat", "framexaxis", "frameyaxis",
+                  "framezaxis", "framelinvel", "frameangvel")
+
+
 @dataclasses.dataclass
 class SensorSpec:
     type: str = "force"
     name: str = ""
     site: str = ""
+    objtype: str = ""           # frame sensors: site|body|xbody|geom
+    objname: str = ""           # joint/tendon/actuator/body/frame target
+    cutoff: float = 0.0
 
 
 @dataclasses.dataclass
@@ -155,15 +176,16 @@ class ActuatorSpec:
     forcelimited: bool = False
     forcerange: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(2))
-    dyntype: str = "none"       # none | integrator | filter
-    gaintype: str = "fixed"     # fixed | affine
-    biastype: str = "none"      # none | affine
+    dyntype: str = "none"       # none | integrator | filter(exact) | muscle
+    gaintype: str = "fixed"     # fixed | affine | muscle
+    biastype: str = "none"      # none | affine | muscle
     dynprm: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.array([1.0, 0, 0]))
+        default_factory=lambda: np.pad(np.array([1.0]), (0, 9)))
     gainprm: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.array([1.0, 0, 0]))
+        default_factory=lambda: np.pad(np.array([1.0]), (0, 9)))
     biasprm: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.zeros(3))
+        default_factory=lambda: np.zeros(10))
+    lengthrange: np.ndarray | None = None   # muscle operating length range
 
 
 @dataclasses.dataclass
@@ -193,6 +215,8 @@ class OptionSpec:
     gravity: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.0, 0.0, -9.81]))
     wind: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    magnetic: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, -0.5, 0.0]))
     density: float = 0.0
     viscosity: float = 0.0
     impratio: float = 1.0
@@ -404,6 +428,9 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         w = _get_v(el, "wind")
         if w is not None:
             opt.wind = w
+        mg = _get_v(el, "magnetic")
+        if mg is not None:
+            opt.magnetic = mg
         opt.density = _get_f(el, "density", opt.density)
         opt.viscosity = _get_f(el, "viscosity", opt.viscosity)
         opt.impratio = _get_f(el, "impratio", opt.impratio)
@@ -508,7 +535,10 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
             p1, p2 = ft[:3], ft[3:6]
             g.pos = 0.5 * (p1 + p2)
             seg = p2 - p1
-            g.quat = _R.zaxis_to_quat(seg / max(np.linalg.norm(seg), 1e-30))
+            # the oracle's compiled frame maps +z to the NEGATIVE segment
+            # direction (probed vs mjModel.geom_quat; harmless for the
+            # symmetric fromto shapes but required for frame-sensor parity)
+            g.quat = _R.zaxis_to_quat(-seg / max(np.linalg.norm(seg), 1e-30))
             g.size = g.size.copy()
             if g.type in ("box", "ellipsoid"):
                 g.size[2] = 0.5 * np.linalg.norm(seg)   # z half-size
@@ -564,10 +594,15 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
                 b.geoms.append(parse_geom(child, cc))
             elif child.tag == "site":
                 s = _with_defaults(child, defaults, "main", cc)
+                ssize = _get_v(s, "size", np.array([0.005]))
+                ssize = np.pad(ssize, (0, 3 - len(ssize)),
+                               mode="edge")[:3]
                 b.sites.append(SiteSpec(
                     name=s.get("name", ""),
                     pos=_get_v(s, "pos", np.zeros(3)),
-                    quat=_quat_from_attrs(s, deg, comp.eulerseq)))
+                    quat=_quat_from_attrs(s, deg, comp.eulerseq),
+                    type=s.get("type", "sphere"),
+                    size=ssize))
             elif child.tag == "inertial":
                 ine = InertialSpec()
                 ine.pos = _get_v(child, "pos", np.zeros(3))
@@ -690,6 +725,28 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
             a.biastype = "affine"
             a.biasprm = np.array([0.0, -kp, -_get_f(el, "kv", 0.0)])
             # actrange (the integrated-position clamp) is the ctrl clamp here
+        elif tag == "muscle":
+            # mjcf muscle shortcut -> muscle dyn/gain/bias with the
+            # documented default parameter vector
+            a.dyntype = "muscle"
+            a.gaintype = "muscle"
+            a.biastype = "muscle"
+            tc = _get_v(el, "timeconst", np.array([0.01, 0.04]))
+            a.dynprm = np.pad(np.asarray(tc, float)[:2], (0, 8))
+            rng_ = _get_v(el, "range", np.array([0.75, 1.05]))
+            gp = np.array([rng_[0], rng_[1],
+                           _get_f(el, "force", -1.0),
+                           _get_f(el, "scale", 200.0),
+                           _get_f(el, "lmin", 0.5),
+                           _get_f(el, "lmax", 1.6),
+                           _get_f(el, "vmax", 1.5),
+                           _get_f(el, "fpmax", 1.3),
+                           _get_f(el, "fvmax", 1.2), 0.0])
+            a.gainprm = gp
+            a.biasprm = gp.copy()
+            if not a.ctrllimited and cr is None:
+                a.ctrllimited = True
+                a.ctrlrange = np.array([0.0, 1.0])
         elif tag == "general":
             a.dyntype = el.get("dyntype", "none")
             a.gaintype = el.get("gaintype", "fixed")
@@ -698,18 +755,25 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
                 v = _get_v(el, nm, None)
                 if v is not None:
                     cur = getattr(a, nm).copy()
-                    cur[: min(3, len(v))] = v[:3]
+                    n = min(10, len(v))
+                    cur[:n] = v[:n]
                     setattr(a, nm, cur)
             if a.dyntype not in ("none", "integrator", "filter",
-                                 "filterexact"):
+                                 "filterexact", "muscle"):
                 raise ValueError(f"actuator dyntype '{a.dyntype}' "
-                                 "not supported (muscle is out of scope)")
-            if a.gaintype not in ("fixed", "affine") or a.biastype not in (
-                    "none", "affine"):
-                raise ValueError("only fixed/affine gain and none/affine "
-                                 "bias actuators are supported")
+                                 "is not supported")
+            if a.gaintype not in ("fixed", "affine", "muscle") or \
+                    a.biastype not in ("none", "affine", "muscle"):
+                raise ValueError("only fixed/affine/muscle gain and "
+                                 "none/affine/muscle bias are supported")
         else:
             raise ValueError(f"actuator <{tag}> is not supported")
+        lrx = _get_v(el, "lengthrange", None)
+        if lrx is not None and np.any(lrx != 0):
+            a.lengthrange = lrx[:2]
+        for nm in ("dynprm", "gainprm", "biasprm"):
+            cur = np.asarray(getattr(a, nm), float)
+            setattr(a, nm, np.pad(cur, (0, max(0, 10 - len(cur))))[:10])
         return a
 
     for a_root in root.findall("actuator"):
@@ -757,12 +821,26 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
                                  float(j.get("coef", "0"))))
             spec.tendons.append(t)
 
-    # -- sensors
+    # -- sensors (mjtSensor surface minus rangefinder/limit/user sensors)
     for s_root in root.findall("sensor"):
         for el in s_root:
-            if el.tag in ("force", "torque"):
-                spec.sensors.append(SensorSpec(
-                    type=el.tag, name=el.get("name", ""),
-                    site=el.get("site", "")))
+            s = SensorSpec(type=el.tag, name=el.get("name", ""),
+                           cutoff=_get_f(el, "cutoff", 0.0))
+            if el.tag in _SITE_SENSORS:
+                s.site = el.get("site", "")
+            elif el.tag in _SENSOR_OBJ_ATTR:
+                s.objname = el.get(_SENSOR_OBJ_ATTR[el.tag], "")
+            elif el.tag in _FRAME_SENSORS:
+                if el.get("refname") or el.get("reftype"):
+                    raise ValueError(
+                        f"<{el.tag}> relative-frame (refname) sensors are "
+                        "not supported")
+                s.objtype = el.get("objtype", "")
+                s.objname = el.get("objname", "")
+            elif el.tag == "clock":
+                pass
+            else:
+                raise ValueError(f"sensor <{el.tag}> is not supported")
+            spec.sensors.append(s)
 
     return spec

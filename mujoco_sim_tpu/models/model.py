@@ -64,11 +64,13 @@ class DynType(enum.IntEnum):
     INTEGRATOR = 1
     FILTER = 2
     FILTEREXACT = 3
+    MUSCLE = 4
 
 
 class GainType(enum.IntEnum):
     FIXED = 0
     AFFINE = 1
+    MUSCLE = 2
 
 
 class TrnType(enum.IntEnum):
@@ -81,21 +83,48 @@ class TrnType(enum.IntEnum):
 class BiasType(enum.IntEnum):
     NONE = 0
     AFFINE = 1
+    MUSCLE = 2
 
 
 class SensorType(enum.IntEnum):
-    # subset surfaced by the reference (mj_sim.cpp:973-1014 registers
-    # FORCE/TORQUE only); more added as needed
+    # mjtSensor values (mujoco 2.3.7 mjmodel.h) for parity; the reference
+    # itself registers FORCE/TORQUE only (mj_sim.cpp:973-1014) but its
+    # libmujoco backend evaluates the full set for arbitrary user worlds
     TOUCH = 0
     ACCELEROMETER = 1
     VELOCIMETER = 2
     GYRO = 3
     FORCE = 4
     TORQUE = 5
-    JOINTPOS = 6
-    JOINTVEL = 7
-    FRAMEPOS = 8
-    FRAMEQUAT = 9
+    MAGNETOMETER = 6
+    JOINTPOS = 8
+    JOINTVEL = 9
+    TENDONPOS = 10
+    TENDONVEL = 11
+    ACTUATORPOS = 12
+    ACTUATORVEL = 13
+    ACTUATORFRC = 14
+    BALLQUAT = 15
+    BALLANGVEL = 16
+    FRAMEPOS = 23
+    FRAMEQUAT = 24
+    FRAMEXAXIS = 25
+    FRAMEYAXIS = 26
+    FRAMEZAXIS = 27
+    FRAMELINVEL = 28
+    FRAMEANGVEL = 29
+    SUBTREECOM = 32
+    SUBTREELINVEL = 33
+    SUBTREEANGMOM = 34
+    CLOCK = 35
+
+
+class ObjType(enum.IntEnum):
+    # mjtObj subset used by frame sensors
+    BODY = 1
+    XBODY = 2
+    GEOM = 5
+    SITE = 6
 
 
 class DisableBit(enum.IntFlag):
@@ -116,6 +145,7 @@ class Option:
     timestep: jax.Array
     gravity: jax.Array          # (3,)
     wind: jax.Array             # (3,)
+    magnetic: jax.Array         # (3,) global magnetic flux (magnetometer)
     density: jax.Array          # fluid density
     viscosity: jax.Array
     impratio: jax.Array
@@ -227,11 +257,13 @@ class Model:
     # type/limited flags live in Layout so kernels branch statically;
     # parameters are leaves so they stay runtime-tunable without retrace)
     actuator_gear: jax.Array      # (nu, 6)
-    actuator_gainprm: jax.Array   # (nu, 3)
-    actuator_biasprm: jax.Array   # (nu, 3)
-    actuator_dynprm: jax.Array    # (nu, 3)
+    actuator_gainprm: jax.Array   # (nu, 10) (mjNGAIN)
+    actuator_biasprm: jax.Array   # (nu, 10)
+    actuator_dynprm: jax.Array    # (nu, 10)
     actuator_ctrlrange: jax.Array  # (nu, 2)
     actuator_forcerange: jax.Array  # (nu, 2)
+    actuator_lengthrange: jax.Array  # (nu, 2) muscle operating range
+    actuator_acc0: jax.Array      # (nu,) |M^-1 moment| at qpos0 (set_const)
 
     # ---- fixed tendons (length = Layout.ten_Wq @ qpos, a static matmul)
     ten_range: jax.Array          # (ntendon, 2)
@@ -265,6 +297,7 @@ class Model:
     sensor_type: jax.Array        # (nsensor,) i32
     sensor_objid: jax.Array       # (nsensor,) i32
     sensor_adr: jax.Array         # (nsensor,) i32
+    sensor_cutoff: jax.Array      # (nsensor,) 0 = no cutoff clamp
 
     # ---- reference configuration
     qpos0: jax.Array              # (nq,)

@@ -89,44 +89,223 @@ def _contact_body_wrench(m: Model, d: Data, origin: jax.Array):
     return out
 
 
+def _point_in_site(m: Model, site: int, p_local):
+    """Is the contact point inside the site's zone volume (touch sensor)?"""
+    lay = m.layout
+    from mujoco_sim_tpu.models.model import GeomType
+    t = int(lay.site_type[site])
+    s = lay.site_size[site]
+    x, y, z = p_local[..., 0], p_local[..., 1], p_local[..., 2]
+    if t == int(GeomType.BOX):
+        return ((jnp.abs(x) <= s[0]) & (jnp.abs(y) <= s[1])
+                & (jnp.abs(z) <= s[2]))
+    if t == int(GeomType.CAPSULE):
+        zz = jnp.clip(z, -s[1], s[1])
+        return x * x + y * y + (z - zz) ** 2 <= s[0] * s[0]
+    if t == int(GeomType.CYLINDER):
+        return (x * x + y * y <= s[0] * s[0]) & (jnp.abs(z) <= s[1])
+    if t == int(GeomType.ELLIPSOID):
+        return ((x / s[0]) ** 2 + (y / s[1]) ** 2 + (z / s[2]) ** 2) <= 1.0
+    return (p_local * p_local).sum(-1) <= s[0] * s[0]   # sphere default
+
+
+def _contact_normal_forces(m: Model, d: Data):
+    """(K,) normal-force magnitude per contact slot (touch sensor)."""
+    dtype = d.qpos.dtype
+    from mujoco_sim_tpu.models.model import ConeType, contact_rows_per
+    K = m.ncon_max
+    mc = m.max_condim
+    nrows = contact_rows_per(mc, m.opt.cone)
+    adr = np.arange(K)[:, None] * nrows + m.contact_efcadr \
+        + np.arange(nrows)[None, :]
+    f_rows = d.efc_force[adr.reshape(-1)].reshape(K, nrows)
+    if mc == 1 or m.opt.cone == int(ConeType.ELLIPTIC):
+        fn = f_rows[:, 0]
+    else:
+        naxes = mc - 1
+        fn = (f_rows[:, 0::2][:, :naxes] + f_rows[:, 1::2][:, :naxes]).sum(1)
+    return fn * d.contact.active.astype(dtype)
+
+
 def sensors(m: Model, d: Data) -> Data:
+    """mj_sensorPos/Vel/Acc equivalent over the full supported mjtSensor
+    surface (all stages evaluated post-forward, so every quantity is
+    available).  Sensor ids/addresses are Layout constants, so the loop
+    unrolls into static slices."""
     if m.nsensor == 0:
         return d
     lay = m.layout
     dtype = d.qpos.dtype
     out = jnp.zeros(m.nsensordata, dtype)
     from mujoco_sim_tpu.engine import _cinert, _com_dict
+    from mujoco_sim_tpu.models.model import ObjType
 
-    cinert = _cinert(m, d)
     com = _com_dict(m, d)
     origin = com["origin"]
-    cacc = _body_cacc(m, d, com)
-    Iv = jnp.einsum("buv,bv->bu", cinert, d.cvel)
-    f_body = jnp.einsum("buv,bv->bu", cinert, cacc) + mm.force_cross(d.cvel, Iv)
-    # external forces on each body: contacts + xfrc_applied
-    f_ext = _contact_body_wrench(m, d, origin)
-    xfrc = d.xfrc_applied
-    r = d.xipos - origin
-    tau_x = xfrc[:, :3] + jnp.cross(r, xfrc[:, 3:])
-    f_ext = f_ext + jnp.concatenate([tau_x, xfrc[:, 3:]], axis=-1)
-    f_net = f_body - f_ext
+    types = set(int(t) for t in lay.sensor_type)
+
+    # subtree momentum balance: only for force/torque sensors
+    ft_types = {int(SensorType.FORCE), int(SensorType.TORQUE)}
+    if types & ft_types:
+        cinert = _cinert(m, d)
+        cacc = _body_cacc(m, d, com)
+        Iv = jnp.einsum("buv,bv->bu", cinert, d.cvel)
+        f_body = (jnp.einsum("buv,bv->bu", cinert, cacc)
+                  + mm.force_cross(d.cvel, Iv))
+        f_ext = _contact_body_wrench(m, d, origin)
+        xfrc = d.xfrc_applied
+        r = d.xipos - origin
+        tau_x = xfrc[:, :3] + jnp.cross(r, xfrc[:, 3:])
+        f_ext = f_ext + jnp.concatenate([tau_x, xfrc[:, 3:]], axis=-1)
+        f_net = f_body - f_ext
+    if int(SensorType.ACCELEROMETER) in types:
+        cacc_a = _body_cacc(m, d, com)
+    if int(SensorType.TOUCH) in types:
+        fn_con = _contact_normal_forces(m, d)
+        gb = jnp.asarray(lay.geom_bodyid)
+        con_b1 = gb[d.contact.geom1]
+        con_b2 = gb[d.contact.geom2]
+
+    def body_vel_at(bodyid, point):
+        """world-frame (angvel, linvel) of a body-fixed point (cvel frame
+        is the body's c-frame origin)."""
+        cv = d.cvel[bodyid]
+        ang, lin = cv[:3], cv[3:]
+        return ang, lin + jnp.cross(ang, point - origin[bodyid])
+
+    def frame_of(objtype, objid):
+        """(pos, R, quat_fn, bodyid) of a frame-sensor object."""
+        if objtype == int(ObjType.SITE):
+            b = int(lay.site_bodyid[objid])
+            q = lambda: mm.quat_mul(d.xquat[b],
+                                    m.site_quat.astype(dtype)[objid])
+            return d.site_xpos[objid], d.site_xmat[objid], q, b
+        if objtype == int(ObjType.GEOM):
+            b = int(lay.geom_bodyid[objid])
+            q = lambda: mm.quat_mul(d.xquat[b],
+                                    m.geom_quat.astype(dtype)[objid])
+            return d.geom_xpos[objid], d.geom_xmat[objid], q, b
+        if objtype == int(ObjType.XBODY):
+            return (d.xpos[objid], mm.quat_to_mat(d.xquat[objid]),
+                    lambda: d.xquat[objid], objid)
+        # BODY: inertial frame
+        q = lambda: mm.quat_mul(d.xquat[objid],
+                                m.body_iquat.astype(dtype)[objid])
+        return d.xipos[objid], d.ximat[objid], q, objid
 
     for k in range(m.nsensor):
         st = int(lay.sensor_type[k])
-        site = int(lay.sensor_objid[k])
+        obj = int(lay.sensor_objid[k])
         adr = int(lay.sensor_adr[k])
-        bodyid = int(lay.site_bodyid[site])
-        sub = _subtree_mask(m, bodyid)
-        F = jnp.einsum("b,bu->u", jnp.asarray(sub, dtype), f_net)
-        O = origin[bodyid]
-        rr = d.site_xpos[site] - O
-        torque_site = F[:3] - jnp.cross(rr, F[3:])
-        force_site = F[3:]
-        Rt = d.site_xmat[site].T
-        if st == int(SensorType.FORCE):
-            out = out.at[adr:adr + 3].set(Rt @ force_site)
-        elif st == int(SensorType.TORQUE):
-            out = out.at[adr:adr + 3].set(Rt @ torque_site)
+        dim = int(lay.sensor_dim[k])
+        cutoff = float(lay.sensor_cutoff[k])
+        S = SensorType
+
+        if st in (int(S.FORCE), int(S.TORQUE)):
+            bodyid = int(lay.site_bodyid[obj])
+            sub = _subtree_mask(m, bodyid)
+            F = jnp.einsum("b,bu->u", jnp.asarray(sub, dtype), f_net)
+            rr = d.site_xpos[obj] - origin[bodyid]
+            Rt = d.site_xmat[obj].T
+            val = (Rt @ F[3:] if st == int(S.FORCE)
+                   else Rt @ (F[:3] - jnp.cross(rr, F[3:])))
+        elif st == int(S.CLOCK):
+            val = d.time[None] if d.time.ndim == 0 else d.time
+        elif st == int(S.JOINTPOS):
+            val = d.qpos[int(lay.jnt_qposadr[obj])][None]
+        elif st == int(S.JOINTVEL):
+            val = d.qvel[int(lay.jnt_dofadr[obj])][None]
+        elif st == int(S.BALLQUAT):
+            q = d.qpos[int(lay.jnt_qposadr[obj]) + np.arange(4)]
+            val = mm.quat_normalize(q)
+        elif st == int(S.BALLANGVEL):
+            val = d.qvel[int(lay.jnt_dofadr[obj]) + np.arange(3)]
+        elif st == int(S.TENDONPOS):
+            val = d.ten_length[obj][None]
+        elif st == int(S.TENDONVEL):
+            val = d.ten_velocity[obj][None]
+        elif st == int(S.ACTUATORPOS):
+            val = d.actuator_length[obj][None]
+        elif st == int(S.ACTUATORVEL):
+            val = d.actuator_velocity[obj][None]
+        elif st == int(S.ACTUATORFRC):
+            val = d.actuator_force[obj][None]
+        elif st == int(S.MAGNETOMETER):
+            val = d.site_xmat[obj].T @ m.opt.magnetic.astype(dtype)
+        elif st == int(S.GYRO):
+            b = int(lay.site_bodyid[obj])
+            ang, _ = body_vel_at(b, d.site_xpos[obj])
+            val = d.site_xmat[obj].T @ ang
+        elif st == int(S.VELOCIMETER):
+            b = int(lay.site_bodyid[obj])
+            _, lin = body_vel_at(b, d.site_xpos[obj])
+            val = d.site_xmat[obj].T @ lin
+        elif st == int(S.ACCELEROMETER):
+            # mj_objectAcceleration: spatial acc at the site point + the
+            # rotating-frame correction ang x lin, in the site frame
+            b = int(lay.site_bodyid[obj])
+            ca = cacc_a[b]
+            rr = d.site_xpos[obj] - origin[b]
+            a_lin = ca[3:] + jnp.cross(ca[:3], rr)
+            ang, lin = body_vel_at(b, d.site_xpos[obj])
+            val = d.site_xmat[obj].T @ (a_lin + jnp.cross(ang, lin))
+        elif st == int(S.TOUCH):
+            b = int(lay.site_bodyid[obj])
+            onb = (con_b1 == b) | (con_b2 == b)
+            p_loc = (d.site_xmat[obj].T
+                     @ (d.contact.pos - d.site_xpos[obj])[..., None])[..., 0]
+            inz = _point_in_site(m, obj, p_loc)
+            val = jnp.maximum(
+                (fn_con * (onb & inz).astype(dtype)).sum(), 0.0)[None]
+        elif st in (int(S.FRAMEPOS), int(S.FRAMEQUAT), int(S.FRAMEXAXIS),
+                    int(S.FRAMEYAXIS), int(S.FRAMEZAXIS),
+                    int(S.FRAMELINVEL), int(S.FRAMEANGVEL)):
+            ot = int(lay.sensor_objtype[k])
+            pos, R, quat_fn, b = frame_of(ot, obj)
+            if st == int(S.FRAMEPOS):
+                val = pos
+            elif st == int(S.FRAMEQUAT):
+                val = mm.quat_normalize(quat_fn())
+            elif st in (int(S.FRAMEXAXIS), int(S.FRAMEYAXIS),
+                        int(S.FRAMEZAXIS)):
+                val = R[:, st - int(S.FRAMEXAXIS)]
+            elif st == int(S.FRAMEANGVEL):
+                ang, _ = body_vel_at(b, pos)
+                val = ang
+            else:
+                _, lin = body_vel_at(b, pos)
+                val = lin
+        elif st in (int(S.SUBTREECOM), int(S.SUBTREELINVEL),
+                    int(S.SUBTREEANGMOM)):
+            sub = jnp.asarray(_subtree_mask(m, obj), dtype)
+            mass = d.body_mass.astype(dtype) * sub
+            M = jnp.maximum(mass.sum(), 1e-12)
+            com_s = (mass[:, None] * d.xipos).sum(0) / M
+            ang_b = d.cvel[:, :3]
+            v_b = (d.cvel[:, 3:]
+                   + jnp.cross(ang_b, d.xipos - origin))  # v at body com
+            v_com = (mass[:, None] * v_b).sum(0) / M
+            if st == int(S.SUBTREECOM):
+                val = com_s
+            elif st == int(S.SUBTREELINVEL):
+                val = v_com
+            else:
+                # L about the subtree com: sum I_i w_i + m r x v (relative)
+                RI = d.ximat * d.body_inertia.astype(dtype)[..., None, :]
+                Iw = ((RI[..., :, None, :] * d.ximat[..., None, :, :]
+                       ).sum(-1) @ ang_b[..., None])[..., 0]
+                rel_r = d.xipos - com_s
+                rel_v = v_b - v_com
+                val = (sub[:, None] * (Iw + mass[:, None]
+                                       * jnp.cross(rel_r, rel_v))).sum(0)
+        else:
+            continue            # unsupported type defensively left zero
+
+        val = val.reshape(dim).astype(dtype)
+        if cutoff > 0 and st not in (int(S.BALLQUAT), int(S.FRAMEQUAT)):
+            lo = 0.0 if st == int(S.TOUCH) else -cutoff
+            val = jnp.clip(val, lo, cutoff)
+        out = out.at[adr:adr + dim].set(val)
     return d.replace(sensordata=out)
 
 
