@@ -84,6 +84,7 @@ def make_data(m: Model, dtype=None) -> Data:
         actuator_length=z(m.nu), actuator_velocity=z(m.nu),
         actuator_force=z(m.nu), qfrc_actuator=z(nv),
         ten_length=z(m.ntendon), ten_velocity=z(m.ntendon),
+        ten_J=z(m.ntendon, nv),
         body_active=jnp.ones((nbody,), bool),
         geom_size=jnp.asarray(m.geom_size, dtype),
         geom_rbound=jnp.asarray(m.geom_rbound, dtype),
@@ -145,16 +146,24 @@ def set_const(m: Model) -> Model:
         Ar = jnp.einsum("biv,vw,biw->b", Jr, Minv, Jr) / 3.0
         body_invweight0 = jnp.stack([At, Ar], axis=-1)
         if m.ntendon:
-            W = jnp.asarray(lay.ten_Wv, dtype)
+            from mujoco_sim_tpu.ops import tendon as tendon_mod
+            origin_body = com["subtree_com"][lay.body_rootid]
+            _, W = tendon_mod.tendon_quantities(
+                m, qpos0, kin["site_xpos"], com["cdof"], origin_body)
             ten_invweight0 = ((W @ Minv) * W).sum(-1)
         else:
+            W = None
             ten_invweight0 = jnp.zeros((0,), dtype)
         if m.nu:
-            # actuator_acc0 = |M^-1 moment| at qpos0 (joint/tendon
-            # transmissions have a static moment; site rows stay 0 —
+            # actuator_acc0 = |M^-1 moment| at qpos0 (site rows stay 0 —
             # muscle-on-site raises at compile)
             gear0 = m.actuator_gear[:, 0]
             mom = jnp.asarray(lay.act_moment01, dtype) * gear0[:, None]
+            from mujoco_sim_tpu.models.model import TrnType as _TT
+            ten_rows = np.nonzero(lay.act_trntype == int(_TT.TENDON))[0]
+            if len(ten_rows) and W is not None:
+                mom = mom.at[ten_rows].set(
+                    gear0[ten_rows, None] * W[lay.act_trnid[ten_rows]])
             acc0 = jnp.linalg.norm(mom @ Minv, axis=-1)
         else:
             acc0 = jnp.zeros((0,), dtype)
@@ -189,10 +198,11 @@ def fwd_position(m: Model, d: Data) -> Data:
         qM=qM, qLD=qLD,
     )
     if m.ntendon:
-        # fixed tendons: two constant matmuls (mj_tendon equivalent)
-        Wq = jnp.asarray(m.layout.ten_Wq, d.qpos.dtype)
-        Wv = jnp.asarray(m.layout.ten_Wv, d.qpos.dtype)
-        d = d.replace(ten_length=Wq @ d.qpos, ten_velocity=Wv @ d.qvel)
+        from mujoco_sim_tpu.ops import tendon as tendon_mod
+        origin_body = d.subtree_com[m.layout.body_rootid]
+        tlen, tJ = tendon_mod.tendon_quantities(
+            m, d.qpos, d.site_xpos, d.cdof, origin_body)
+        d = d.replace(ten_length=tlen, ten_J=tJ, ten_velocity=tJ @ d.qvel)
     # collision + constraint assembly
     from mujoco_sim_tpu.ops import collision as collision_mod
     from mujoco_sim_tpu.ops import constraint as constraint_mod
@@ -206,8 +216,9 @@ def fwd_velocity(m: Model, d: Data) -> Data:
     com_full = dict(com, cinert=_cinert(m, d))
     vel = smooth.com_vel(m, com_full, d.qvel)
     qfrc_bias = smooth.rne(m, com_full, vel, d.qvel)
+    ten = ((d.ten_length, d.ten_velocity, d.ten_J) if m.ntendon else None)
     qfrc_passive, qsp, qdm, qgc = passive_mod.passive(
-        m, com, d.qpos, d.qvel, d.xipos, d.body_mass)
+        m, com, d.qpos, d.qvel, d.xipos, d.body_mass, ten=ten)
     return d.replace(cvel=vel["cvel"], cdof_dot=vel["cdof_dot"],
                      qfrc_bias=qfrc_bias, qfrc_passive=qfrc_passive,
                      qfrc_spring=qsp, qfrc_damper=qdm, qfrc_gravcomp=qgc)
@@ -263,11 +274,13 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     # tendon state; the moment row (gear0 * ten_Wv) is folded into the
     # static moment01 matrix at compile
     ten_rows = np.nonzero(lay.act_trntype == int(TrnType.TENDON))[0]
+    moment_ten = None
     if len(ten_rows):
         tid = lay.act_trnid[ten_rows]
         length = length.at[ten_rows].set(gear0[ten_rows] * d.ten_length[tid])
         velocity = velocity.at[ten_rows].set(
             gear0[ten_rows] * d.ten_velocity[tid])
+        moment_ten = gear0[ten_rows, None] * d.ten_J[tid]   # (nta, nv)
 
     site_rows = np.nonzero(lay.act_trntype == int(TrnType.SITE))[0]
     moment_site = None
@@ -402,9 +415,11 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     force = jnp.where(jnp.asarray(lay.act_forcelimited),
                       jnp.clip(force, fr[:, 0], fr[:, 1]), force)
     moment01 = jnp.asarray(lay.act_moment01, dtype)     # (nu, nv) static
-    qfrc = (force * gear0) @ moment01      # joint rows (site rows are zero)
+    qfrc = (force * gear0) @ moment01   # joint rows (site/tendon rows zero)
     if moment_site is not None:
         qfrc = qfrc + force[site_rows] @ moment_site
+    if moment_ten is not None:
+        qfrc = qfrc + force[ten_rows] @ moment_ten
     return d.replace(act_dot=act_dot, actuator_length=length,
                      actuator_velocity=velocity, actuator_force=force,
                      qfrc_actuator=qfrc)
@@ -507,7 +522,13 @@ def _euler(m: Model, d: Data) -> Data:
 def _advance_act(m: Model, d: Data, h) -> jax.Array:
     if m.nu == 0:
         return d.act
-    return d.act + h * d.act_dot
+    act = d.act + h * d.act_dot
+    lim = m.layout.act_actlimited
+    if lim.any():
+        ar = m.actuator_actrange.astype(act.dtype)
+        act = jnp.where(jnp.asarray(lim),
+                        jnp.clip(act, ar[:, 0], ar[:, 1]), act)
+    return act
 
 
 def _implicit(m: Model, d: Data, fast: bool) -> Data:
@@ -574,8 +595,13 @@ def _rk4(m: Model, d: Data) -> Data:
     act = _dof_active(m, d)
     qpos = integrate_mod.integrate_pos(m, qpos0, jnp.where(act, dq, 0.0), h)
     qvel = jnp.where(act, qvel0 + h * dv, 0.0)
-    act_new = (act0 + h * sum(b * f[2] for b, f in zip(_RK4_B, F))
-               if m.nu else d.act)
+    if m.nu:
+        act_new = _advance_act(
+            m, d.replace(act=act0,
+                         act_dot=sum(b * f[2] for b, f in zip(_RK4_B, F))),
+            h)
+    else:
+        act_new = d.act
     return d.replace(qpos=qpos, qvel=qvel, act=act_new, time=d.time + h)
 
 

@@ -84,7 +84,7 @@ def _geom_mass_inertia(g: mjcf.GeomSpec, mesh_props=None):
         vol, com, imat = mesh_props  # unit-density inertia about com
         m = g.mass if g.mass is not None else g.density * vol
         return m, com, imat * (m / max(vol, 1e-30))
-    if t == GeomType.PLANE:
+    if t in (GeomType.PLANE, GeomType.HFIELD):
         return 0.0, np.zeros(3), np.zeros(3)
     raise NotImplementedError(f"geom type {g.type}")
 
@@ -150,6 +150,15 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     mesh_verts, mesh_props = [], []
     meshdir = os.path.join(spec.base_dir, spec.compiler.meshdir)
     for msp in spec.meshes:
+        if msp.vertex is not None:
+            # inline vertex mesh: hull of the given points (MuJoCo
+            # qhulls inline meshes the same way)
+            hull, props = mesh_io.process_mesh(
+                msp.vertex * np.asarray(msp.scale),
+                max_hull_verts=max_hull_verts)
+            mesh_verts.append(hull)
+            mesh_props.append(props)
+            continue
         path = os.path.join(meshdir, msp.file)
         verts = mesh_io.load_mesh_vertices(path, msp.scale)
         tris = None
@@ -466,12 +475,37 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
             v = mesh_vert_list[geom_dataid[gi]]
             geom_size[gi] = (v.max(axis=0) - v.min(axis=0)) / 2.0
 
+    # ---- hfield assets: padded grids + per-geom hfield ids
+    nhf = len(spec.hfields)
+    hf_name2id = {h.name: i for i, h in enumerate(spec.hfields) if h.name}
+    if nhf:
+        maxr = max(h.nrow for h in spec.hfields)
+        maxc = max(h.ncol for h in spec.hfields)
+        hfield_data = np.zeros((nhf, maxr, maxc))
+        for i, h in enumerate(spec.hfields):
+            hfield_data[i, :h.nrow, :h.ncol] = h.data
+        hfield_size = np.stack([h.size for h in spec.hfields])
+    else:
+        hfield_data = np.zeros((0, 1, 1))
+        hfield_size = np.zeros((0, 4))
+    hf_nrow = np.array([h.nrow for h in spec.hfields], dtype=int)
+    hf_ncol = np.array([h.ncol for h in spec.hfields], dtype=int)
+    geom_hfieldid = np.full(ngeom, -1, dtype=int)
+    for gi, g in enumerate(geom_specs):
+        if GeomType(geom_type[gi]) == GeomType.HFIELD:
+            hid = hf_name2id.get(g.hfield, -1)
+            if hid < 0:
+                raise ValueError(f"geom '{g.name}': unknown hfield "
+                                 f"'{g.hfield}'")
+            geom_hfieldid[gi] = hid
+            geom_size[gi] = spec.hfields[hid].size[:3]
+
     # bounding radius
     geom_rbound = np.zeros(ngeom)
     for gi, g in enumerate(geom_specs):
         t = GeomType(geom_type[gi])
         s = geom_size[gi]
-        if t == GeomType.PLANE:
+        if t in (GeomType.PLANE, GeomType.HFIELD):
             geom_rbound[gi] = 0.0
         elif t == GeomType.SPHERE:
             geom_rbound[gi] = s[0]
@@ -567,8 +601,10 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     name2geom = {g.name: k for k, g in enumerate(geom_specs) if g.name}
     name2body_l = {n: k for k, n in enumerate(body_name)}
     _SDIM = {"touch": 1, "accelerometer": 3, "velocimeter": 3, "gyro": 3,
-             "force": 3, "torque": 3, "magnetometer": 3,
+             "force": 3, "torque": 3, "magnetometer": 3, "rangefinder": 1,
              "jointpos": 1, "jointvel": 1, "ballquat": 4, "ballangvel": 3,
+             "jointlimitpos": 1, "jointlimitvel": 1, "jointlimitfrc": 1,
+             "tendonlimitpos": 1, "tendonlimitvel": 1, "tendonlimitfrc": 1,
              "tendonpos": 1, "tendonvel": 1,
              "actuatorpos": 1, "actuatorvel": 1, "actuatorfrc": 1,
              "framepos": 3, "framequat": 4, "framexaxis": 3,
@@ -585,22 +621,24 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         st = SensorType[s.type.upper()]
         objtype = 0
         if s.type in ("touch", "accelerometer", "velocimeter", "gyro",
-                      "force", "torque", "magnetometer"):
+                      "force", "torque", "magnetometer", "rangefinder"):
             objid = name2site.get(s.site, -1)
             if objid < 0:
                 raise ValueError(f"sensor '{s.name}': unknown site "
                                  f"'{s.site}'")
-        elif s.type in ("jointpos", "jointvel", "ballquat", "ballangvel"):
+        elif s.type in ("jointpos", "jointvel", "ballquat", "ballangvel",
+                        "jointlimitpos", "jointlimitvel", "jointlimitfrc"):
             objid = name2jnt.get(s.objname, -1)
             if objid < 0:
                 raise ValueError(f"sensor '{s.name}': unknown joint "
                                  f"'{s.objname}'")
             jt = JointType(jnt_type[objid])
-            scalar = s.type in ("jointpos", "jointvel")
+            scalar = s.type not in ("ballquat", "ballangvel")
             if scalar != (jt in (JointType.HINGE, JointType.SLIDE)):
                 raise ValueError(f"sensor '{s.name}': joint type mismatch "
                                  f"({s.type} on {jt.name})")
-        elif s.type in ("tendonpos", "tendonvel"):
+        elif s.type in ("tendonpos", "tendonvel", "tendonlimitpos",
+                        "tendonlimitvel", "tendonlimitfrc"):
             objid = name2ten.get(s.objname, -1)
             if objid < 0:
                 raise ValueError(f"sensor '{s.name}': unknown tendon "
@@ -653,6 +691,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     act_biastype = np.zeros(nu, dtype=int)
     act_ctrllimited = np.zeros(nu, dtype=bool)
     act_forcelimited = np.zeros(nu, dtype=bool)
+    act_actlimited = np.zeros(nu, dtype=bool)
+    act_actrange = np.zeros((nu, 2))
     act_gear = np.zeros((nu, 6))
     act_gainprm = np.zeros((nu, 10))
     act_biasprm = np.zeros((nu, 10))
@@ -711,6 +751,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         act_biastype[k] = int(_bias_map[a.biastype])
         act_ctrllimited[k] = a.ctrllimited
         act_forcelimited[k] = a.forcelimited
+        act_actlimited[k] = a.actlimited
+        act_actrange[k] = a.actrange
         act_gear[k] = a.gear
         act_gainprm[k] = a.gainprm[:10]
         act_biasprm[k] = a.biasprm[:10]
@@ -734,6 +776,10 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
                 act_lengthrange[k] = np.sort(
                     np.asarray(jnt_range[jid]) * g0)
             elif act_trntype[k] == int(TrnType.TENDON):
+                if spec.tendons[act_trnid[k]].sites:
+                    raise ValueError(
+                        f"muscle actuator '{a.name}': spatial-tendon "
+                        "muscles need an explicit lengthrange")
                 lo = hi = 0.0
                 for jn, coef in spec.tendons[act_trnid[k]].joints:
                     jid2 = jname2id[jn]
@@ -811,12 +857,13 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         pair_margin.append(max(ga.margin, gb.margin))
         pair_gap.append(max(ga.gap, gb.gap))
 
-    # ---- fixed tendons: length is the static linear form W_q qpos, so the
-    # whole tendon stage is two tiny constant matmuls at runtime (TPU-first
-    # replacement for mj_tendon's per-wrap loop)
+    # ---- tendons: fixed = static linear form W_q qpos (two tiny constant
+    # matmuls at runtime); spatial = straight site chains evaluated by
+    # ops/tendon.py (TPU-first replacement for mj_tendon's per-wrap loop)
     ntendon = len(spec.tendons)
     ten_Wq = np.zeros((ntendon, nq))
     ten_Wv = np.zeros((ntendon, nv))
+    sp_rows, sp_chains = [], []
     ten_limited = np.zeros(ntendon, dtype=bool)
     ten_range = np.zeros((ntendon, 2))
     ten_solref = np.zeros((ntendon, 2))
@@ -836,6 +883,16 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
                                  "scalar (hinge/slide) joints")
             ten_Wq[ti, jnt_qposadr[jid]] += coef
             ten_Wv[ti, jnt_dofadr[jid]] += coef
+        if t.sites:
+            chain = []
+            for sn in t.sites:
+                sid = name2site.get(sn, -1)
+                if sid < 0:
+                    raise ValueError(
+                        f"tendon '{t.name}': unknown site '{sn}'")
+                chain.append(sid)
+            sp_rows.append(ti)
+            sp_chains.append(chain)
         ten_limited[ti] = t.limited
         ten_range[ti] = t.range
         ten_solref[ti] = t.solref_limit
@@ -844,15 +901,28 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         ten_damping[ti] = t.damping
         ten_margin[ti] = t.margin
         if t.springlength is None:
-            length0 = float(ten_Wq[ti] @ qpos0)
+            if t.sites:
+                # length of the site chain at qpos0 (world poses)
+                pts = []
+                for sid in sp_chains[-1]:
+                    b = site_bodyid[sid]
+                    s = site_specs[sid]
+                    pts.append(world_pos0[b]
+                               + R.rot_vec_np(s.pos, world_quat0[b]))
+                length0 = float(sum(
+                    np.linalg.norm(pts[i + 1] - pts[i])
+                    for i in range(len(pts) - 1)))
+            else:
+                length0 = float(ten_Wq[ti] @ qpos0)
             ten_springlength[ti] = [length0, length0]
         else:
             ten_springlength[ti] = t.springlength
-    # tendon-transmission actuators: the moment row is gear[0] * W_v[tid];
-    # stored unscaled (runtime multiplies force*gear0 into moment01)
-    ten_act_rows = np.nonzero(act_trntype == int(TrnType.TENDON))[0]
-    for k in ten_act_rows:
-        act_moment01[k] = ten_Wv[act_trnid[k]]
+    maxpath = max((len(c) for c in sp_chains), default=2)
+    ten_sp_sites = np.zeros((len(sp_rows), maxpath), dtype=int)
+    ten_sp_mask = np.zeros((len(sp_rows), maxpath))
+    for i, c in enumerate(sp_chains):
+        ten_sp_sites[i, :len(c)] = c
+        ten_sp_mask[i, :len(c)] = 1.0
 
     # ---- static efc row layout + contact candidate tables
     # row order matches MuJoCo: equality, dof friction, limits, contacts
@@ -957,6 +1027,9 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         geom_type=geom_type,
         geom_dataid=geom_dataid,
         geom_hullid=geom_hullid,
+        geom_hfieldid=geom_hfieldid,
+        hf_nrow=hf_nrow,
+        hf_ncol=hf_ncol,
         site_bodyid=np.asarray(site_bodyid, dtype=int),
         site_type=np.asarray(
             [int(GeomType[s.type.upper()]) for s in site_specs], dtype=int),
@@ -980,6 +1053,9 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         ten_Wq=ten_Wq,
         ten_Wv=ten_Wv,
         ten_limited=ten_limited,
+        ten_sp_rows=np.asarray(sp_rows, dtype=int),
+        ten_sp_sites=ten_sp_sites,
+        ten_sp_mask=ten_sp_mask,
         cand_pairid=np.asarray(cand_pairid, dtype=int),
         jnt_limited=np.asarray(jnt_limited, dtype=bool),
         sensor_type=np.asarray([s[0] for s in sens], dtype=int),
@@ -999,6 +1075,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         act_biastype=act_biastype,
         act_ctrllimited=act_ctrllimited,
         act_forcelimited=act_forcelimited,
+        act_actlimited=act_actlimited,
         act_moment01=act_moment01,
     )
 
@@ -1085,6 +1162,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
                        if nsite else np.zeros((0, 4))),
         mesh_vert=np_f(mesh_vert),
         mesh_vert_pad=np_f(mesh_vert_pad),
+        hfield_data=np_f(hfield_data),
+        hfield_size=np_f(hfield_size),
         mesh_vert_mask=np_f(mesh_vert_mask),
         mesh_face_pad=np_f(mesh_face_pad),
         mesh_vertadr=np_i(mesh_vertadr),
@@ -1126,6 +1205,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         actuator_forcerange=np_f(act_forcerange),
         actuator_lengthrange=np_f(act_lengthrange),
         actuator_acc0=np_f(np.zeros(nu)),
+        actuator_actrange=np_f(act_actrange),
         ten_range=np_f(ten_range),
         ten_solref=np_f(ten_solref),
         ten_solimp=np_f(ten_solimp),

@@ -211,9 +211,12 @@ def export_mjcf(spec: mjcf.SpecTree, path: str, model=None, data=None,
                 attrs["solimplimit"] = _fmt(t.solimp_limit)
             if t.springlength is not None:
                 attrs["springlength"] = _fmt(t.springlength)
-            fx = ET.SubElement(ten_el, "fixed", attrs)
+            tag = "spatial" if t.sites else "fixed"
+            fx = ET.SubElement(ten_el, tag, attrs)
             for jn, coef in t.joints:
                 ET.SubElement(fx, "joint", {"joint": jn, "coef": _fmt(coef)})
+            for sn in t.sites:
+                ET.SubElement(fx, "site", {"site": sn})
     if spec.actuators:
         # written back in the normalized <general> form (parse re-reads it)
         act_el = ET.SubElement(root, "actuator")

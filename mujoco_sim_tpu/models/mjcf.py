@@ -71,6 +71,7 @@ class GeomSpec:
     rgba: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.5, 0.5, 0.5, 1.0]))
     mesh: str = ""
+    hfield: str = ""
     group: int = 0
 
 
@@ -112,6 +113,7 @@ class MeshSpec:
     name: str = ""
     file: str = ""
     scale: np.ndarray = dataclasses.field(default_factory=lambda: np.ones(3))
+    vertex: np.ndarray | None = None    # inline <mesh vertex="..."/> data
 
 
 @dataclasses.dataclass
@@ -132,9 +134,14 @@ class EqSpec:
 # sensor tag -> the attribute naming its target object (shared by the
 # parser and the MJCF exporter)
 _SITE_SENSORS = ("touch", "accelerometer", "velocimeter", "gyro",
-                 "force", "torque", "magnetometer")
+                 "force", "torque", "magnetometer", "rangefinder")
 _SENSOR_OBJ_ATTR = {"jointpos": "joint", "jointvel": "joint",
                     "ballquat": "joint", "ballangvel": "joint",
+                    "jointlimitpos": "joint", "jointlimitvel": "joint",
+                    "jointlimitfrc": "joint",
+                    "tendonlimitpos": "tendon",
+                    "tendonlimitvel": "tendon",
+                    "tendonlimitfrc": "tendon",
                     "tendonpos": "tendon", "tendonvel": "tendon",
                     "actuatorpos": "actuator", "actuatorvel": "actuator",
                     "actuatorfrc": "actuator",
@@ -176,6 +183,9 @@ class ActuatorSpec:
     forcelimited: bool = False
     forcerange: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(2))
+    actlimited: bool = False
+    actrange: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2))
     dyntype: str = "none"       # none | integrator | filter(exact) | muscle
     gaintype: str = "fixed"     # fixed | affine | muscle
     biastype: str = "none"      # none | affine | muscle
@@ -189,13 +199,31 @@ class ActuatorSpec:
 
 
 @dataclasses.dataclass
+class HFieldSpec:
+    """<asset><hfield>: elevation grid terrain.
+
+    data is stored row 0 = SOUTH (min y) after flipping the XML's
+    north-first row order, normalized to [0,1] min-max — both probed vs
+    mjModel.hfield_data.  size = (rx, ry, ztop, zbottom)."""
+
+    name: str = ""
+    nrow: int = 0
+    ncol: int = 0
+    size: np.ndarray = dataclasses.field(default_factory=lambda: np.ones(4))
+    data: np.ndarray | None = None    # (nrow, ncol)
+
+
+@dataclasses.dataclass
 class TendonSpec:
-    """One <tendon><fixed> element: a static linear combination of scalar
-    joint positions (length = sum coef_i * qpos_i).  Spatial tendons (site
-    routing + wrap geoms) are out of scope and raise at parse."""
+    """One <tendon> child.
+
+    fixed: a static linear combination of scalar joint positions
+    (length = sum coef_i * qpos_i).  spatial: a straight-line site chain
+    (length = sum |p_{i+1} - p_i|); wrap geoms and pulleys raise."""
 
     name: str = ""
     joints: list = dataclasses.field(default_factory=list)  # [(jname, coef)]
+    sites: list = dataclasses.field(default_factory=list)   # spatial chain
     limited: bool = False
     range: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(2))
@@ -259,6 +287,7 @@ class SpecTree:
     option: OptionSpec = dataclasses.field(default_factory=OptionSpec)
     world: BodySpec = dataclasses.field(default_factory=lambda: BodySpec(name="world"))
     meshes: list = dataclasses.field(default_factory=list)
+    hfields: list = dataclasses.field(default_factory=list)
     equalities: list = dataclasses.field(default_factory=list)
     excludes: list = dataclasses.field(default_factory=list)   # (body1, body2)
     pairs: list = dataclasses.field(default_factory=list)      # explicit geom pairs
@@ -474,8 +503,42 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
             name = el.get("name") or os.path.splitext(
                 os.path.basename(el.get("file", "")))[0]
             scale = _get_v(el, "scale", np.ones(3))
+            vertex = None
+            if el.get("vertex"):
+                vertex = np.fromstring(el.get("vertex"),
+                                       sep=" ").reshape(-1, 3)
             spec.meshes.append(MeshSpec(name=name, file=el.get("file", ""),
-                                        scale=scale))
+                                        scale=scale, vertex=vertex))
+        for el in asset.findall("hfield"):
+            hf = HFieldSpec(name=el.get("name", ""))
+            hf.size = _get_v(el, "size", np.ones(4))[:4]
+            if el.get("elevation"):
+                vals = np.fromstring(el.get("elevation"), sep=" ")
+                hf.nrow = int(_get_f(el, "nrow", 0))
+                hf.ncol = int(_get_f(el, "ncol", 0))
+                if hf.nrow * hf.ncol != len(vals):
+                    raise ValueError(
+                        f"hfield '{hf.name}': elevation has {len(vals)} "
+                        f"values, expected nrow*ncol = {hf.nrow*hf.ncol}")
+                grid = vals.reshape(hf.nrow, hf.ncol)
+            elif el.get("file"):
+                import matplotlib.image as mpimg
+                img = mpimg.imread(os.path.join(base_dir,
+                                                el.get("file")))
+                if img.ndim == 3:
+                    img = img[..., :3].mean(-1)
+                grid = np.asarray(img, float)
+                hf.nrow, hf.ncol = grid.shape
+            else:
+                raise ValueError(f"hfield '{hf.name}' needs elevation= "
+                                 "or file= data")
+            # XML rows are north-first; storage is south-first, min-max
+            # normalized (probed vs mjModel.hfield_data)
+            grid = np.flipud(grid)
+            lo, hi = grid.min(), grid.max()
+            hf.data = ((grid - lo) / (hi - lo) if hi > lo
+                       else np.zeros_like(grid))
+            spec.hfields.append(hf)
 
     deg = comp.angle
 
@@ -570,6 +633,7 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         if rgba is not None:
             g.rgba = rgba
         g.mesh = el.get("mesh", "")
+        g.hfield = el.get("hfield", "")
         g.group = int(_get_f(el, "group", 0))
         if g.type == "mesh" or (g.mesh and el.get("type") is None):
             g.type = "mesh"
@@ -697,6 +761,13 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         a.forcelimited = bool(
             flimited if flimited is not None
             else comp.autolimits and fr is not None and np.any(fr != 0))
+        ar = _get_v(el, "actrange", None)
+        if ar is not None:
+            a.actrange = ar[:2]
+        alimited = _get_b(el, "actlimited", None)
+        a.actlimited = bool(
+            alimited if alimited is not None
+            else comp.autolimits and ar is not None and np.any(ar != 0))
         if tag == "motor":
             pass  # gain fixed 1, bias none, dyn none
         elif tag == "position":
@@ -724,7 +795,10 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
             a.gainprm = np.array([kp, 0.0, 0.0])
             a.biastype = "affine"
             a.biasprm = np.array([0.0, -kp, -_get_f(el, "kv", 0.0)])
-            # actrange (the integrated-position clamp) is the ctrl clamp here
+            ar = _get_v(el, "actrange", None)
+            if ar is not None:
+                a.actlimited = True
+                a.actrange = ar[:2]
         elif tag == "muscle":
             # mjcf muscle shortcut -> muscle dyn/gain/bias with the
             # documented default parameter vector
@@ -783,10 +857,16 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
     # -- tendons (fixed only: length is a static linear form in qpos)
     for t_root in root.findall("tendon"):
         for el0 in t_root:
-            if el0.tag != "fixed":
+            if el0.tag not in ("fixed", "spatial"):
                 raise ValueError(
-                    f"<tendon><{el0.tag}> is not supported (only fixed "
-                    "tendons; spatial routing/wrapping is out of scope)")
+                    f"<tendon><{el0.tag}> is not supported")
+            if el0.tag == "spatial":
+                for sub in el0:
+                    if sub.tag != "site":
+                        raise ValueError(
+                            "spatial tendons support straight site chains "
+                            f"only; <{sub.tag}> (wrap geoms/pulleys) is "
+                            "not supported")
             # defaults for tendons live under the <tendon> default tag
             klass = el0.get("class", "main")
             dcls = defaults.get(klass, defaults["main"])
@@ -819,9 +899,14 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
             for j in el0.findall("joint"):
                 t.joints.append((j.get("joint", ""),
                                  float(j.get("coef", "0"))))
+            for sel in el0.findall("site"):
+                t.sites.append(sel.get("site", ""))
+            if el0.tag == "spatial" and len(t.sites) < 2:
+                raise ValueError(
+                    f"spatial tendon '{t.name}' needs at least 2 sites")
             spec.tendons.append(t)
 
-    # -- sensors (mjtSensor surface minus rangefinder/limit/user sensors)
+    # -- sensors (mjtSensor surface minus user/plugin sensors)
     for s_root in root.findall("sensor"):
         for el in s_root:
             s = SensorSpec(type=el.tag, name=el.get("name", ""),

@@ -97,6 +97,7 @@ class SensorType(enum.IntEnum):
     FORCE = 4
     TORQUE = 5
     MAGNETOMETER = 6
+    RANGEFINDER = 7
     JOINTPOS = 8
     JOINTVEL = 9
     TENDONPOS = 10
@@ -106,6 +107,12 @@ class SensorType(enum.IntEnum):
     ACTUATORFRC = 14
     BALLQUAT = 15
     BALLANGVEL = 16
+    JOINTLIMITPOS = 17
+    JOINTLIMITVEL = 18
+    JOINTLIMITFRC = 19
+    TENDONLIMITPOS = 20
+    TENDONLIMITVEL = 21
+    TENDONLIMITFRC = 22
     FRAMEPOS = 23
     FRAMEQUAT = 24
     FRAMEXAXIS = 25
@@ -249,6 +256,8 @@ class Model:
     mesh_vert: jax.Array          # (nmeshvert_total, 3) hull vertices, packed
     mesh_vertadr: jax.Array       # (nmesh,) i32
     mesh_vertnum: jax.Array       # (nmesh,) i32
+    hfield_data: jax.Array        # (nhfield, maxrow, maxcol) in [0,1]
+    hfield_size: jax.Array        # (nhfield, 4) rx ry ztop zbottom
     mesh_vert_pad: jax.Array      # (nmesh, maxvert, 3) padded hull verts
     mesh_vert_mask: jax.Array     # (nmesh, maxvert) 1.0 for real verts
     mesh_face_pad: jax.Array      # (nmesh, maxface, 4) [normal, offset]
@@ -264,6 +273,7 @@ class Model:
     actuator_forcerange: jax.Array  # (nu, 2)
     actuator_lengthrange: jax.Array  # (nu, 2) muscle operating range
     actuator_acc0: jax.Array      # (nu,) |M^-1 moment| at qpos0 (set_const)
+    actuator_actrange: jax.Array  # (nu, 2) activation clamp (actlimited)
 
     # ---- fixed tendons (length = Layout.ten_Wq @ qpos, a static matmul)
     ten_range: jax.Array          # (ntendon, 2)
@@ -467,6 +477,7 @@ class Data:
     qfrc_actuator: jax.Array   # (nv,)
     ten_length: jax.Array      # (ntendon,)
     ten_velocity: jax.Array    # (ntendon,)
+    ten_J: jax.Array           # (ntendon, nv) moment rows (mj_tendon)
 
     # masked-slot scene state (spawn/destroy; SURVEY §3.3 contract)
     body_active: jax.Array     # (nbody,) bool

@@ -30,6 +30,11 @@ def collision_class(t: GeomType, vs_plane: bool = False) -> GeomType:
 # candidate contacts per pair by CLASS combo (geom1-class listed first;
 # MESH here means "hull": real mesh or synthetic cylinder prism)
 PAIR_NCON = {
+    (GeomType.HFIELD, GeomType.SPHERE): 1,
+    (GeomType.HFIELD, GeomType.CAPSULE): 3,
+    (GeomType.HFIELD, GeomType.BOX): 4,
+    (GeomType.HFIELD, GeomType.ELLIPSOID): 1,
+    (GeomType.HFIELD, GeomType.MESH): 4,
     (GeomType.PLANE, GeomType.SPHERE): 1,
     (GeomType.PLANE, GeomType.CAPSULE): 2,
     (GeomType.PLANE, GeomType.CYLINDER): 4,
@@ -69,13 +74,19 @@ def pair_key(t1: GeomType, t2: GeomType):
     swapped=True means the pair must be stored with geoms exchanged so that
     geom1's class matches key[0].
     """
-    if t1 == GeomType.PLANE or t2 == GeomType.PLANE:
-        if t1 == GeomType.PLANE and t2 == GeomType.PLANE:
-            return None
-        swapped = t1 != GeomType.PLANE
-        other = t1 if swapped else t2
-        key = (GeomType.PLANE, other)
-        return (key, swapped) if key in PAIR_NCON else None
+    for flat in (GeomType.PLANE, GeomType.HFIELD):
+        if t1 == flat or t2 == flat:
+            if t1 in (GeomType.PLANE, GeomType.HFIELD) and \
+                    t2 in (GeomType.PLANE, GeomType.HFIELD):
+                return None
+            swapped = t1 != flat
+            other = t1 if swapped else t2
+            # hfield keeps the cylinder's prism-hull class (unlike plane,
+            # which has an exact cylinder path)
+            if flat == GeomType.HFIELD:
+                other = collision_class(other)
+            key = (flat, other)
+            return (key, swapped) if key in PAIR_NCON else None
     c1 = collision_class(t1)
     c2 = collision_class(t2)
     if (c1, c2) in PAIR_NCON:

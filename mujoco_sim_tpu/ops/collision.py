@@ -630,6 +630,129 @@ _DISPATCH = {
     (GeomType.BOX, GeomType.BOX): (_box_box, False),
 }
 
+# ---------------------------------------------------------------------------
+# Heightfield narrowphase: probe points against the triangulated surface.
+# Grid layout probed vs the oracle (tests/test_hfield.py): data row 0 =
+# min-y, each cell split along the (low,low)->(high,high) diagonal, point
+# depth measured against the triangle's plane.  MuJoCo collides per-cell
+# prisms with convex geoms instead; on any planar region (flat/ramp) the
+# two agree exactly, they differ only across cell edges.
+# ---------------------------------------------------------------------------
+
+def _hfield_point_dist(hfdata, nrow, ncol, hfsize, pts):
+    """pts (..., k, 3) in hfield LOCAL frame -> (dist (..., k), normal
+    (..., k, 3) local).  hfdata (..., R, C) padded; nrow/ncol STATIC
+    per-pair numpy counts; hfsize (..., 4)."""
+    R_, C_ = hfdata.shape[-2:]
+    rx = hfsize[..., None, 0]
+    ry = hfsize[..., None, 1]
+    zt = hfsize[..., None, 2]
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    nr = jnp.asarray(nrow)[..., None]          # static counts, broadcast
+    nc = jnp.asarray(ncol)[..., None]
+    gx = (x + rx) / (2.0 * rx) * (nc - 1.0)
+    gy = (y + ry) / (2.0 * ry) * (nr - 1.0)
+    i0 = jnp.clip(jnp.floor(gx), 0, nc - 2.0).astype(jnp.int32)
+    j0 = jnp.clip(jnp.floor(gy), 0, nr - 2.0).astype(jnp.int32)
+    fx = gx - i0
+    fy = gy - j0
+    flat = hfdata.reshape(hfdata.shape[:-2] + (R_ * C_,))
+
+    def take(jj, ii):
+        idx = jj * C_ + ii
+        return jnp.take_along_axis(flat, idx, axis=-1) * zt
+
+    z00 = take(j0, i0)
+    z10 = take(j0, i0 + 1)
+    z01 = take(j0 + 1, i0)
+    z11 = take(j0 + 1, i0 + 1)
+    lowtri = fx >= fy                      # (low,low)-(high,high) diagonal
+    surf = jnp.where(lowtri,
+                     z00 + fx * (z10 - z00) + fy * (z11 - z10),
+                     z00 + fx * (z11 - z01) + fy * (z01 - z00))
+    cw = 2.0 * rx / (nc - 1.0)             # world cell extents
+    ch = 2.0 * ry / (nr - 1.0)
+    dzdx = jnp.where(lowtri, z10 - z00, z11 - z01) / cw
+    dzdy = jnp.where(lowtri, z11 - z10, z01 - z00) / ch
+    n = jnp.stack([-dzdx, -dzdy, jnp.ones_like(dzdx)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    dist = (z - surf) * n[..., 2]          # signed distance to the plane
+    inside = (jnp.abs(x) <= rx) & (jnp.abs(y) <= ry)
+    dist = jnp.where(inside, dist, jnp.asarray(1e9, pts.dtype))
+    return dist, n
+
+
+def _hfield_probe(hp, hR, hfdata, nrow, ncol, hfsize, pts_world, radius):
+    """shared tail: world probe points with an inflation radius ->
+    (dist, pos, nrm) world."""
+    loc = _rotate_rows(hR, pts_world - hp[..., None, :])
+    dist, n_loc = _hfield_point_dist(hfdata, nrow, ncol, hfsize, loc)
+    nrm = _rotate_rows_fwd(hR, n_loc)
+    dist = dist - radius
+    pos = pts_world - nrm * (radius + 0.5 * dist)[..., None]
+    return dist, pos, nrm
+
+
+def _hfield_sphere(hp, hR, hfdata, nrow, ncol, hfsize, sp, sR, size2):
+    d, pos, nrm = _hfield_probe(hp, hR, hfdata, nrow, ncol, hfsize,
+                                sp[..., None, :], size2[..., 0:1])
+    return d, pos, nrm
+
+
+def _hfield_capsule(hp, hR, hfdata, nrow, ncol, hfsize, cp, cR, size2):
+    axis = cR[..., :, 2]
+    r = size2[..., 0:1]
+    hh = size2[..., 1:2]
+    ends = jnp.stack([cp + axis * hh, cp - axis * hh, cp], axis=-2)
+    return _hfield_probe(hp, hR, hfdata, nrow, ncol, hfsize, ends, r)
+
+
+def _hfield_ellipsoid(hp, hR, hfdata, nrow, ncol, hfsize, ep, eR, size2):
+    # support point along the hfield's -z axis (plane-ellipsoid style)
+    up = hR[..., :, 2]
+    u_loc = (eR * up[..., :, None]).sum(-2)                  # R2^T up
+    s = size2
+    denom = jnp.sqrt(((s * u_loc) ** 2).sum(-1) + 1e-30)
+    p_loc = -(s * s * u_loc) / denom[..., None]
+    p = ep + (eR[..., :, :] * p_loc[..., None, :]).sum(-1)
+    return _hfield_probe(hp, hR, hfdata, nrow, ncol, hfsize,
+                         p[..., None, :], jnp.zeros_like(s[..., 0:1]))
+
+
+def _pick4(d, pos, nrm):
+    neg, idx = _top_k_small(-d, 4)
+    oh = jax.nn.one_hot(idx, d.shape[-1], dtype=d.dtype)
+    return (-neg, (oh[..., None] * pos[..., None, :, :]).sum(-2),
+            (oh[..., None] * nrm[..., None, :, :]).sum(-2))
+
+
+def _hfield_box(hp, hR, hfdata, nrow, ncol, hfsize, bp, bR, size2):
+    corners = jnp.asarray(np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+         for sz in (-1, 1)]), dtype=bp.dtype)                # (8, 3)
+    pw = bp[..., None, :] + _rotate_rows_fwd(
+        bR, corners * size2[..., None, :])
+    d, pos, nrm = _hfield_probe(hp, hR, hfdata, nrow, ncol, hfsize, pw,
+                                jnp.zeros_like(size2[..., 0:1]))
+    return _pick4(d, pos, nrm)
+
+
+def _hfield_mesh(hp, hR, hfdata, nrow, ncol, hfsize, mp, mR, verts, vmask):
+    pw = mp[..., None, :] + _rotate_rows_fwd(mR, verts)
+    d, pos, nrm = _hfield_probe(hp, hR, hfdata, nrow, ncol, hfsize, pw,
+                                jnp.zeros_like(mp[..., 0:1]))
+    d = jnp.where(vmask > 0.5, d, 1e9)
+    return _pick4(d, pos, nrm)
+
+
+_DISPATCH_HF = {
+    (GeomType.HFIELD, GeomType.SPHERE): (_hfield_sphere, False),
+    (GeomType.HFIELD, GeomType.CAPSULE): (_hfield_capsule, False),
+    (GeomType.HFIELD, GeomType.ELLIPSOID): (_hfield_ellipsoid, False),
+    (GeomType.HFIELD, GeomType.BOX): (_hfield_box, False),
+    (GeomType.HFIELD, GeomType.MESH): (_hfield_mesh, True),
+}
+
 # hull dispatch (two-level top-P groups): needs planes of geom2 (+1 for m-m)
 _DISPATCH_MESH = {
     (GeomType.SPHERE, GeomType.MESH): _sphere_mesh,
@@ -685,7 +808,6 @@ def collision(m: Model, d: Data) -> Data:
         key = g.key
         sel = g.pair_idx
         if key not in EXPENSIVE:
-            fn, needs_mesh = _DISPATCH[key]
             ncap = g.cap
             g1 = lay.pair_geom1[sel]
             g2 = lay.pair_geom2[sel]
@@ -693,14 +815,32 @@ def collision(m: Model, d: Data) -> Data:
             p2, R2 = d.geom_xpos[g2], d.geom_xmat[g2]
             s1 = sizes[g1]
             s2 = sizes[g2]
-            if needs_mesh:
-                verts = jnp.asarray(m.mesh_vert_pad, dtype)[
-                    lay.geom_hullid[g2]]
-                vmask = jnp.asarray(m.mesh_vert_mask, dtype)[
-                    lay.geom_hullid[g2]]
-                dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts, vmask)
+            if key[0] == GeomType.HFIELD:
+                fn, needs_mesh = _DISPATCH_HF[key]
+                hid = lay.geom_hfieldid[g1]                # static
+                hfdata = jnp.asarray(m.hfield_data, dtype)[hid]
+                hfsize = jnp.asarray(m.hfield_size, dtype)[hid]
+                nrow, ncol = lay.hf_nrow[hid], lay.hf_ncol[hid]
+                if needs_mesh:
+                    verts = jnp.asarray(m.mesh_vert_pad, dtype)[
+                        lay.geom_hullid[g2]]
+                    vmask = jnp.asarray(m.mesh_vert_mask, dtype)[
+                        lay.geom_hullid[g2]]
+                    dist, pos, nrm = fn(p1, R1, hfdata, nrow, ncol, hfsize,
+                                        p2, R2, verts, vmask)
+                else:
+                    dist, pos, nrm = fn(p1, R1, hfdata, nrow, ncol, hfsize,
+                                        p2, R2, s2)
             else:
-                dist, pos, nrm = fn(p1, R1, s1, p2, R2, s2)
+                fn, needs_mesh = _DISPATCH[key]
+                if needs_mesh:
+                    verts = jnp.asarray(m.mesh_vert_pad, dtype)[
+                        lay.geom_hullid[g2]]
+                    vmask = jnp.asarray(m.mesh_vert_mask, dtype)[
+                        lay.geom_hullid[g2]]
+                    dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts, vmask)
+                else:
+                    dist, pos, nrm = fn(p1, R1, s1, p2, R2, s2)
             marg = margin_all[sel][..., None]
             act = dist < marg
             b1 = lay.geom_bodyid[g1]

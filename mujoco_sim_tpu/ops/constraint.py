@@ -341,9 +341,8 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
     # tendon moment W_v as the row (MuJoCo mjCNSTR_LIMIT_TENDON)
     if len(lay.tlim_tenid):
         tids = lay.tlim_tenid
-        Wv = jnp.asarray(lay.ten_Wv, dtype)[tids]          # (n, nv)
-        length = (jnp.asarray(lay.ten_Wq, dtype)[tids] * d.qpos[None, :]
-                  ).sum(-1)
+        Wv = d.ten_J[tids]                                 # (n, nv)
+        length = d.ten_length[tids]
         rng = jnp.asarray(m.ten_range, dtype)[tids]
         margin = jnp.asarray(m.ten_margin, dtype)[tids]
         dist_lo = length - rng[:, 0]

@@ -15,8 +15,10 @@ from mujoco_sim_tpu.models.model import Model, JointType, DisableBit
 from mujoco_sim_tpu.ops import math as mm
 
 
-def spring_damper(m: Model, qpos: jax.Array, qvel: jax.Array):
-    """(qfrc_spring, qfrc_damper)."""
+def spring_damper(m: Model, qpos: jax.Array, qvel: jax.Array, ten=None):
+    """(qfrc_spring, qfrc_damper).  ten = (length, velocity, J) from
+    ops/tendon.py (spatial-aware); None falls back to the static fixed-
+    tendon form."""
     lay = m.layout
     dtype = qpos.dtype
     qfrc_spring = jnp.zeros(m.nv, dtype)
@@ -55,12 +57,15 @@ def spring_damper(m: Model, qpos: jax.Array, qvel: jax.Array):
     qfrc_damper = -jnp.asarray(m.dof_damping, dtype) * qvel
 
     if m.ntendon:
-        # fixed-tendon spring (with 3.x deadband springlength) + damper,
-        # projected through the static moment W_v (mj_passive tendon terms)
-        Wq = jnp.asarray(lay.ten_Wq, dtype)
-        Wv = jnp.asarray(lay.ten_Wv, dtype)
-        length = Wq @ qpos
-        vel = Wv @ qvel
+        # tendon spring (with 3.x deadband springlength) + damper,
+        # projected through the moment rows (mj_passive tendon terms)
+        if ten is not None:
+            length, vel, Wv = ten
+        else:
+            Wq = jnp.asarray(lay.ten_Wq, dtype)
+            Wv = jnp.asarray(lay.ten_Wv, dtype)
+            length = Wq @ qpos
+            vel = Wv @ qvel
         sl = m.ten_springlength.astype(dtype)
         excess = jnp.where(length > sl[:, 1], length - sl[:, 1],
                            jnp.where(length < sl[:, 0], length - sl[:, 0],
@@ -89,13 +94,13 @@ def gravcomp(m: Model, com: dict, xipos: jax.Array,
 
 
 def passive(m: Model, com: dict, qpos: jax.Array, qvel: jax.Array,
-            xipos: jax.Array, mass=None):
+            xipos: jax.Array, mass=None, ten=None):
     """(qfrc_passive, qfrc_spring, qfrc_damper, qfrc_gravcomp)."""
     dtype = qpos.dtype
     if m.opt.disableflags & int(DisableBit.PASSIVE):
         z = jnp.zeros(m.nv, dtype)
         return z, z, z, z
-    qfrc_spring, qfrc_damper = spring_damper(m, qpos, qvel)
+    qfrc_spring, qfrc_damper = spring_damper(m, qpos, qvel, ten=ten)
     qfrc_gravcomp = gravcomp(m, com, xipos, mass)
     return (qfrc_spring + qfrc_damper + qfrc_gravcomp,
             qfrc_spring, qfrc_damper, qfrc_gravcomp)

@@ -165,6 +165,24 @@ def sensors(m: Model, d: Data) -> Data:
         gb = jnp.asarray(lay.geom_bodyid)
         con_b1 = gb[d.contact.geom1]
         con_b2 = gb[d.contact.geom2]
+    rf_rows = [k for k in range(m.nsensor)
+               if int(lay.sensor_type[k]) == int(SensorType.RANGEFINDER)]
+    if rf_rows:
+        # mj_ray semantics: ray from the site along its +Z axis, the
+        # site's own body excluded, invisible (alpha=0, no material)
+        # geoms skipped, -1 on miss (engine_ray.c behavior probed via
+        # mujoco.mj_ray in tests/test_raycast.py)
+        from mujoco_sim_tpu.ops import raycast
+        sids = lay.sensor_objid[np.asarray(rf_rows)]
+        pnt = d.site_xpos[sids]
+        vec = d.site_xmat[sids][..., :, 2]
+        geom_mask = (np.asarray(lay.geom_bodyid)[None, :]
+                     != np.asarray(lay.site_bodyid)[sids][:, None])
+        geom_mask &= (np.asarray(m.geom_rgba)[:, 3] > 0.0)[None, :]
+        rf_dist = raycast.ray_all(m, d, pnt, vec, geom_mask)
+        rf_val = jnp.where(rf_dist > raycast.INF / 2,
+                           jnp.asarray(-1.0, dtype), rf_dist)
+        rf_index = {k: i for i, k in enumerate(rf_rows)}
 
     def body_vel_at(bodyid, point):
         """world-frame (angvel, linvel) of a body-fixed point (cvel frame
@@ -230,6 +248,56 @@ def sensors(m: Model, d: Data) -> Data:
             val = d.actuator_velocity[obj][None]
         elif st == int(S.ACTUATORFRC):
             val = d.actuator_force[obj][None]
+        elif st == int(S.RANGEFINDER):
+            val = rf_val[rf_index[k]][None]
+        elif st in (int(S.JOINTLIMITPOS), int(S.JOINTLIMITVEL),
+                    int(S.JOINTLIMITFRC)):
+            # value of the joint's limit efc row when active, else 0
+            # (mjSENS_JOINTLIMIT* scan of d->efc in mj_sensorPos/Vel/Acc)
+            rng = m.jnt_range.astype(dtype)[obj]
+            margin = m.jnt_margin.astype(dtype)[obj]
+            q = d.qpos[int(lay.jnt_qposadr[obj])]
+            dist_lo = q - rng[0]
+            dist_hi = rng[1] - q
+            lower = dist_lo < dist_hi
+            dist = jnp.where(lower, dist_lo, dist_hi)
+            sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
+            from mujoco_sim_tpu.models.model import DisableBit
+            limit_on = not (m.opt.disableflags & int(DisableBit.LIMIT))
+            active = ((dist < margin)
+                      & jnp.asarray(bool(lay.jnt_limited[obj]) and limit_on))
+            if st == int(S.JOINTLIMITPOS):
+                v_ = dist - margin
+            elif st == int(S.JOINTLIMITVEL):
+                v_ = sign * d.qvel[int(lay.jnt_dofadr[obj])]
+            else:
+                pos_in_list = np.nonzero(lay.lim_jntid == obj)[0]
+                v_ = (d.efc_force[int(lay.lim_efcadr[pos_in_list[0]])]
+                      if len(pos_in_list) else jnp.asarray(0.0, dtype))
+            val = jnp.where(active, v_, 0.0)[None]
+        elif st in (int(S.TENDONLIMITPOS), int(S.TENDONLIMITVEL),
+                    int(S.TENDONLIMITFRC)):
+            rng = m.ten_range.astype(dtype)[obj]
+            margin = m.ten_margin.astype(dtype)[obj]
+            length = d.ten_length[obj]
+            dist_lo = length - rng[0]
+            dist_hi = rng[1] - length
+            lower = dist_lo < dist_hi
+            dist = jnp.where(lower, dist_lo, dist_hi)
+            sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
+            from mujoco_sim_tpu.models.model import DisableBit
+            limit_on = not (m.opt.disableflags & int(DisableBit.LIMIT))
+            active = ((dist < margin)
+                      & jnp.asarray(bool(lay.ten_limited[obj]) and limit_on))
+            if st == int(S.TENDONLIMITPOS):
+                v_ = dist - margin
+            elif st == int(S.TENDONLIMITVEL):
+                v_ = sign * d.ten_velocity[obj]
+            else:
+                pos_in_list = np.nonzero(lay.tlim_tenid == obj)[0]
+                v_ = (d.efc_force[int(lay.tlim_efcadr[pos_in_list[0]])]
+                      if len(pos_in_list) else jnp.asarray(0.0, dtype))
+            val = jnp.where(active, v_, 0.0)[None]
         elif st == int(S.MAGNETOMETER):
             val = d.site_xmat[obj].T @ m.opt.magnetic.astype(dtype)
         elif st == int(S.GYRO):
@@ -303,8 +371,11 @@ def sensors(m: Model, d: Data) -> Data:
 
         val = val.reshape(dim).astype(dtype)
         if cutoff > 0 and st not in (int(S.BALLQUAT), int(S.FRAMEQUAT)):
-            lo = 0.0 if st == int(S.TOUCH) else -cutoff
-            val = jnp.clip(val, lo, cutoff)
+            if st in (int(S.TOUCH), int(S.RANGEFINDER)):
+                # POSITIVE datatype: top clamp only (a -1 miss survives)
+                val = jnp.minimum(val, cutoff)
+            else:
+                val = jnp.clip(val, -cutoff, cutoff)
         out = out.at[adr:adr + dim].set(val)
     return d.replace(sensordata=out)
 

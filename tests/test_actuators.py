@@ -176,6 +176,19 @@ def test_site_transmission_oracle():
     np.testing.assert_allclose(np.asarray(d.qacc), do.qacc, atol=1e-10)
 
 
+def test_actrange_clamp():
+    """intvelocity integrator state clamps at actrange (mj_advance)."""
+    acts = ('<intvelocity name="iv" joint="j1" kp="40" kv="3" '
+            'actrange="-0.5 0.6"/>')
+    xml = ARM.format(integrator="Euler", actuators=acts).replace(
+        "<compiler angle=\"radian\"/>",
+        "<compiler angle=\"radian\" autolimits=\"true\"/>")
+    qerr, _, do, d = _rollout_err(xml, np.array([2.0]), nsteps=500)
+    assert qerr < 1e-10
+    assert abs(float(d.act[0]) - 0.6) < 1e-12   # clamped, same as oracle
+    assert abs(do.act[0] - 0.6) < 1e-12
+
+
 def test_site_transmission_trajectory():
     qerr, _, do, d = _rollout_err(SITE_ARM, np.array([0.3, -0.6]),
                                   nsteps=200)

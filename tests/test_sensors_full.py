@@ -151,7 +151,8 @@ def test_cutoff_clamp():
 
 
 def test_unknown_sensor_raises():
+    # user sensors need a callback host-side; they stay unsupported
     xml = XML.replace("<clock name=\"ck\"/>",
-                      "<rangefinder name=\"rf\" site=\"s_tip\"/>")
+                      "<user name=\"u\" dim=\"1\"/>")
     with pytest.raises(ValueError, match="not supported"):
         parse_mjcf_string(xml)

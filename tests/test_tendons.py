@@ -129,17 +129,77 @@ def test_deadband_springlength():
                                    do.qfrc_spring, atol=1e-12)
 
 
-def test_spatial_tendon_raises():
+SPATIAL = """
+<mujoco>
+  <compiler angle="radian"/>
+  <option timestep="0.002"/>
+  <worldbody>
+    <site name="anchor" pos="0 0 1.5"/>
+    <body pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.3 0 0" mass="1"/>
+      <site name="mid" pos="0.15 0 0.03"/>
+      <body pos="0.3 0 0">
+        <joint name="j2" type="hinge" axis="1 0 0" damping="0.05"/>
+        <geom type="capsule" size="0.015" fromto="0 0 0 0 0.2 0"
+              mass="0.3"/>
+        <site name="tip" pos="0 0.2 0"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="cable" stiffness="60" damping="2" springlength="0.4"
+             limited="true" range="0 0.9">
+      <site site="anchor"/><site site="mid"/><site site="tip"/>
+    </spatial>
+  </tendon>
+  <actuator><general name="wind" tendon="cable" gainprm="5"/></actuator>
+</mujoco>
+"""
+
+
+def test_spatial_tendon_oracle():
+    """straight site-chain tendon: length/J/velocity, spring+damper,
+    limit rows, tendon actuator — machine-precision vs the oracle."""
+    mo, do, m, d = _pair(SPATIAL)
+    np.testing.assert_allclose(np.asarray(m.ten_invweight0),
+                               mo.tendon_invweight0, rtol=1e-9)
+    qs, vs, cs = [0.5, -0.3], [0.4, -0.6], [-0.5]
+    do.qpos[:] = qs
+    do.qvel[:] = vs
+    do.ctrl[:] = cs
+    mujoco.mj_forward(mo, do)
+    d = d.replace(qpos=jnp.asarray(qs, d.qpos.dtype),
+                  qvel=jnp.asarray(vs, d.qpos.dtype),
+                  ctrl=jnp.asarray(cs, d.qpos.dtype))
+    d = engine.forward(m, d)
+    np.testing.assert_allclose(np.asarray(d.ten_length), do.ten_length,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.ten_J).ravel(),
+                               do.ten_J.ravel(), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.qfrc_spring), do.qfrc_spring,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.qacc), do.qacc, atol=1e-9)
+    step = jax.jit(engine.step)
+    for _ in range(300):
+        mujoco.mj_step(mo, do)
+        d = step(m, d)
+    assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-10
+
+
+def test_spatial_wrap_geom_raises():
     xml = """
     <mujoco><worldbody>
       <site name="s1"/>
+      <geom name="wrap" type="cylinder" size="0.05 0.2"/>
       <body><joint type="hinge"/><geom type="sphere" size="0.1" mass="1"/>
         <site name="s2"/></body>
     </worldbody>
-    <tendon><spatial name="sp"><site site="s1"/><site site="s2"/></spatial>
+    <tendon><spatial name="sp"><site site="s1"/><geom geom="wrap"/>
+      <site site="s2"/></spatial>
     </tendon></mujoco>
     """
-    with pytest.raises(ValueError, match="spatial"):
+    with pytest.raises(ValueError, match="wrap"):
         parse_mjcf_string(xml)
 
 
