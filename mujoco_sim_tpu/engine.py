@@ -148,12 +148,19 @@ def set_const(m: Model) -> Model:
         if m.ntendon:
             from mujoco_sim_tpu.ops import tendon as tendon_mod
             origin_body = com["subtree_com"][lay.body_rootid]
-            _, W = tendon_mod.tendon_quantities(
-                m, qpos0, kin["site_xpos"], com["cdof"], origin_body)
+            length0, W = tendon_mod.tendon_quantities(
+                m, qpos0, kin["site_xpos"], com["cdof"], origin_body,
+                kin["geom_xpos"], kin["geom_xmat"],
+                jnp.asarray(m.geom_size, dtype))
             ten_invweight0 = ((W @ Minv) * W).sum(-1)
+            # spatial-tendon springlength defaults were NaN-marked at
+            # compile (the wrap path needs the full qpos0 evaluation)
+            springlength = jnp.where(jnp.isnan(m.ten_springlength),
+                                     length0[:, None], m.ten_springlength)
         else:
             W = None
             ten_invweight0 = jnp.zeros((0,), dtype)
+            springlength = m.ten_springlength
         if m.nu:
             # actuator_acc0 = |M^-1 moment| at qpos0 (site rows stay 0 —
             # muscle-on-site raises at compile)
@@ -167,13 +174,16 @@ def set_const(m: Model) -> Model:
             acc0 = jnp.linalg.norm(mom @ Minv, axis=-1)
         else:
             acc0 = jnp.zeros((0,), dtype)
-        return dof_invweight0, body_invweight0, ten_invweight0, acc0
+        return (dof_invweight0, body_invweight0, ten_invweight0, acc0,
+                springlength)
 
     import numpy as np_
-    dof_invweight0, body_invweight0, ten_invweight0, acc0 = _compute(m)
+    (dof_invweight0, body_invweight0, ten_invweight0, acc0,
+     springlength) = _compute(m)
     return m.replace(dof_invweight0=np_.asarray(dof_invweight0),
                      body_invweight0=np_.asarray(body_invweight0),
                      ten_invweight0=np_.asarray(ten_invweight0),
+                     ten_springlength=np_.asarray(springlength),
                      actuator_acc0=np_.asarray(acc0))
 
 
@@ -201,7 +211,8 @@ def fwd_position(m: Model, d: Data) -> Data:
         from mujoco_sim_tpu.ops import tendon as tendon_mod
         origin_body = d.subtree_com[m.layout.body_rootid]
         tlen, tJ = tendon_mod.tendon_quantities(
-            m, d.qpos, d.site_xpos, d.cdof, origin_body)
+            m, d.qpos, d.site_xpos, d.cdof, origin_body,
+            d.geom_xpos, d.geom_xmat, d.geom_size)
         d = d.replace(ten_length=tlen, ten_J=tJ, ten_velocity=tJ @ d.qvel)
     # collision + constraint assembly
     from mujoco_sim_tpu.ops import collision as collision_mod

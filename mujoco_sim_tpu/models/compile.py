@@ -858,12 +858,16 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         pair_gap.append(max(ga.gap, gb.gap))
 
     # ---- tendons: fixed = static linear form W_q qpos (two tiny constant
-    # matmuls at runtime); spatial = straight site chains evaluated by
+    # matmuls at runtime); spatial = static LEG tables — plain site-site
+    # segments plus sphere/cylinder wrap legs — evaluated batched by
     # ops/tendon.py (TPU-first replacement for mj_tendon's per-wrap loop)
     ntendon = len(spec.tendons)
     ten_Wq = np.zeros((ntendon, nq))
     ten_Wv = np.zeros((ntendon, nv))
-    sp_rows, sp_chains = [], []
+    plain_legs = []          # (ten, site_a, site_b, 1/divisor)
+    wrap_legs = []           # (ten, s_a, s_b, geom, side, is_sphere, 1/div)
+    geom_name2id = {g.name: k for k, g in enumerate(geom_specs) if g.name}
+    any_spatial = False
     ten_limited = np.zeros(ntendon, dtype=bool)
     ten_range = np.zeros((ntendon, 2))
     ten_solref = np.zeros((ntendon, 2))
@@ -883,16 +887,61 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
                                  "scalar (hinge/slide) joints")
             ten_Wq[ti, jnt_qposadr[jid]] += coef
             ten_Wv[ti, jnt_dofadr[jid]] += coef
-        if t.sites:
-            chain = []
-            for sn in t.sites:
-                sid = name2site.get(sn, -1)
-                if sid < 0:
-                    raise ValueError(
-                        f"tendon '{t.name}': unknown site '{sn}'")
-                chain.append(sid)
-            sp_rows.append(ti)
-            sp_chains.append(chain)
+        if t.path:
+            any_spatial = True
+            div = 1.0
+            prev_site = None     # last site of the current branch
+            pend_wrap = None     # (geom, side) between prev_site and next
+            for el in t.path:
+                if el[0] == "pulley":
+                    if pend_wrap is not None:
+                        raise ValueError(f"tendon '{t.name}': pulley "
+                                         "cannot follow a wrap geom")
+                    div = float(el[1])
+                    if div <= 0:
+                        raise ValueError(f"tendon '{t.name}': pulley "
+                                         "divisor must be positive")
+                    prev_site = None          # pulley starts a new branch
+                elif el[0] == "site":
+                    sid = name2site.get(el[1], -1)
+                    if sid < 0:
+                        raise ValueError(f"tendon '{t.name}': unknown "
+                                         f"site '{el[1]}'")
+                    if pend_wrap is not None:
+                        gid, side = pend_wrap
+                        is_sph = GeomType(geom_type[gid]) == GeomType.SPHERE
+                        wrap_legs.append((ti, prev_site, sid, gid, side,
+                                          is_sph, 1.0 / div))
+                        pend_wrap = None
+                    elif prev_site is not None:
+                        plain_legs.append((ti, prev_site, sid, 1.0 / div))
+                    prev_site = sid
+                else:                         # wrap geom
+                    gid = geom_name2id.get(el[1], -1)
+                    if gid < 0:
+                        raise ValueError(f"tendon '{t.name}': unknown "
+                                         f"wrap geom '{el[1]}'")
+                    if GeomType(geom_type[gid]) not in (GeomType.SPHERE,
+                                                        GeomType.CYLINDER):
+                        raise ValueError(
+                            f"tendon '{t.name}': wrap geom '{el[1]}' must "
+                            "be a sphere or cylinder")
+                    if prev_site is None:
+                        raise ValueError(f"tendon '{t.name}': wrap geom "
+                                         "must follow a site")
+                    if pend_wrap is not None:
+                        raise ValueError(f"tendon '{t.name}': consecutive "
+                                         "wrap geoms need a site between")
+                    side = -1
+                    if el[2]:
+                        side = name2site.get(el[2], -1)
+                        if side < 0:
+                            raise ValueError(f"tendon '{t.name}': unknown "
+                                             f"sidesite '{el[2]}'")
+                    pend_wrap = (gid, side)
+            if pend_wrap is not None:
+                raise ValueError(f"tendon '{t.name}': wrap geom at the "
+                                 "end of the path")
         ten_limited[ti] = t.limited
         ten_range[ti] = t.range
         ten_solref[ti] = t.solref_limit
@@ -901,28 +950,26 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         ten_damping[ti] = t.damping
         ten_margin[ti] = t.margin
         if t.springlength is None:
-            if t.sites:
-                # length of the site chain at qpos0 (world poses)
-                pts = []
-                for sid in sp_chains[-1]:
-                    b = site_bodyid[sid]
-                    s = site_specs[sid]
-                    pts.append(world_pos0[b]
-                               + R.rot_vec_np(s.pos, world_quat0[b]))
-                length0 = float(sum(
-                    np.linalg.norm(pts[i + 1] - pts[i])
-                    for i in range(len(pts) - 1)))
+            if t.path:
+                # spatial length0 needs the full wrap path: NaN marker,
+                # filled from the qpos0 evaluation in engine.set_const
+                ten_springlength[ti] = [np.nan, np.nan]
             else:
                 length0 = float(ten_Wq[ti] @ qpos0)
-            ten_springlength[ti] = [length0, length0]
+                ten_springlength[ti] = [length0, length0]
         else:
             ten_springlength[ti] = t.springlength
-    maxpath = max((len(c) for c in sp_chains), default=2)
-    ten_sp_sites = np.zeros((len(sp_rows), maxpath), dtype=int)
-    ten_sp_mask = np.zeros((len(sp_rows), maxpath))
-    for i, c in enumerate(sp_chains):
-        ten_sp_sites[i, :len(c)] = c
-        ten_sp_mask[i, :len(c)] = 1.0
+    ten_leg_ten = np.asarray([l[0] for l in plain_legs], dtype=int)
+    ten_leg_sites = (np.asarray([l[1:3] for l in plain_legs], dtype=int)
+                     if plain_legs else np.zeros((0, 2), dtype=int))
+    ten_leg_w = np.asarray([l[3] for l in plain_legs], dtype=float)
+    ten_wleg_ten = np.asarray([l[0] for l in wrap_legs], dtype=int)
+    ten_wleg_sites = (np.asarray([l[1:3] for l in wrap_legs], dtype=int)
+                      if wrap_legs else np.zeros((0, 2), dtype=int))
+    ten_wleg_geom = np.asarray([l[3] for l in wrap_legs], dtype=int)
+    ten_wleg_side = np.asarray([l[4] for l in wrap_legs], dtype=int)
+    ten_wleg_sphere = np.asarray([l[5] for l in wrap_legs], dtype=bool)
+    ten_wleg_w = np.asarray([l[6] for l in wrap_legs], dtype=float)
 
     # ---- static efc row layout + contact candidate tables
     # row order matches MuJoCo: equality, dof friction, limits, contacts
@@ -1053,9 +1100,16 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         ten_Wq=ten_Wq,
         ten_Wv=ten_Wv,
         ten_limited=ten_limited,
-        ten_sp_rows=np.asarray(sp_rows, dtype=int),
-        ten_sp_sites=ten_sp_sites,
-        ten_sp_mask=ten_sp_mask,
+        ten_any_spatial=any_spatial,
+        ten_leg_ten=ten_leg_ten,
+        ten_leg_sites=ten_leg_sites,
+        ten_leg_w=ten_leg_w,
+        ten_wleg_ten=ten_wleg_ten,
+        ten_wleg_sites=ten_wleg_sites,
+        ten_wleg_geom=ten_wleg_geom,
+        ten_wleg_side=ten_wleg_side,
+        ten_wleg_sphere=ten_wleg_sphere,
+        ten_wleg_w=ten_wleg_w,
         cand_pairid=np.asarray(cand_pairid, dtype=int),
         jnt_limited=np.asarray(jnt_limited, dtype=bool),
         sensor_type=np.asarray([s[0] for s in sens], dtype=int),

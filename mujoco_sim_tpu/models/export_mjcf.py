@@ -211,12 +211,20 @@ def export_mjcf(spec: mjcf.SpecTree, path: str, model=None, data=None,
                 attrs["solimplimit"] = _fmt(t.solimp_limit)
             if t.springlength is not None:
                 attrs["springlength"] = _fmt(t.springlength)
-            tag = "spatial" if t.sites else "fixed"
+            tag = "spatial" if t.path else "fixed"
             fx = ET.SubElement(ten_el, tag, attrs)
             for jn, coef in t.joints:
                 ET.SubElement(fx, "joint", {"joint": jn, "coef": _fmt(coef)})
-            for sn in t.sites:
-                ET.SubElement(fx, "site", {"site": sn})
+            for el in t.path:
+                if el[0] == "site":
+                    ET.SubElement(fx, "site", {"site": el[1]})
+                elif el[0] == "geom":
+                    g_at = {"geom": el[1]}
+                    if el[2]:
+                        g_at["sidesite"] = el[2]
+                    ET.SubElement(fx, "geom", g_at)
+                else:
+                    ET.SubElement(fx, "pulley", {"divisor": _fmt(el[1])})
     if spec.actuators:
         # written back in the normalized <general> form (parse re-reads it)
         act_el = ET.SubElement(root, "actuator")

@@ -218,12 +218,15 @@ class TendonSpec:
     """One <tendon> child.
 
     fixed: a static linear combination of scalar joint positions
-    (length = sum coef_i * qpos_i).  spatial: a straight-line site chain
-    (length = sum |p_{i+1} - p_i|); wrap geoms and pulleys raise."""
+    (length = sum coef_i * qpos_i).  spatial: a site path with optional
+    sphere/cylinder wrap geoms (+sidesite) and pulley branch dividers,
+    stored in document order in `path` as ("site", name) /
+    ("geom", name, sidesite) / ("pulley", divisor)."""
 
     name: str = ""
     joints: list = dataclasses.field(default_factory=list)  # [(jname, coef)]
-    sites: list = dataclasses.field(default_factory=list)   # spatial chain
+    sites: list = dataclasses.field(default_factory=list)   # sites (legacy)
+    path: list = dataclasses.field(default_factory=list)    # spatial path
     limited: bool = False
     range: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(2))
@@ -854,7 +857,7 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         for el in a_root:
             spec.actuators.append(parse_actuator(el))
 
-    # -- tendons (fixed only: length is a static linear form in qpos)
+    # -- tendons
     for t_root in root.findall("tendon"):
         for el0 in t_root:
             if el0.tag not in ("fixed", "spatial"):
@@ -862,10 +865,9 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
                     f"<tendon><{el0.tag}> is not supported")
             if el0.tag == "spatial":
                 for sub in el0:
-                    if sub.tag != "site":
+                    if sub.tag not in ("site", "geom", "pulley"):
                         raise ValueError(
-                            "spatial tendons support straight site chains "
-                            f"only; <{sub.tag}> (wrap geoms/pulleys) is "
+                            f"spatial tendon wrap element <{sub.tag}> is "
                             "not supported")
             # defaults for tendons live under the <tendon> default tag
             klass = el0.get("class", "main")
@@ -899,8 +901,16 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
             for j in el0.findall("joint"):
                 t.joints.append((j.get("joint", ""),
                                  float(j.get("coef", "0"))))
-            for sel in el0.findall("site"):
-                t.sites.append(sel.get("site", ""))
+            for sel in el0:          # path elements in document order
+                if sel.tag == "site":
+                    t.path.append(("site", sel.get("site", "")))
+                    t.sites.append(sel.get("site", ""))
+                elif sel.tag == "geom":
+                    t.path.append(("geom", sel.get("geom", ""),
+                                   sel.get("sidesite", "")))
+                elif sel.tag == "pulley":
+                    t.path.append(("pulley",
+                                   float(sel.get("divisor", "1"))))
             if el0.tag == "spatial" and len(t.sites) < 2:
                 raise ValueError(
                     f"spatial tendon '{t.name}' needs at least 2 sites")

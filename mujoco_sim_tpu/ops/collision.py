@@ -433,7 +433,8 @@ def _hull_sdf(pts_local, planes):
     return sdf, fidx
 
 
-def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
+def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None,
+                         lateral_filter=False, lateral_slack=0.0):
     """Vertex depths measured along the face-normal SAT axis.
 
     The reference face maximizes (over faces) the minimum (over points)
@@ -442,6 +443,16 @@ def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
     (the r1 per-vertex-nearest-face sdf underestimated it: PR2 fingertips
     read -1.06 mm vs the oracle's -1.73 mm).  Edge-edge hull axes are not
     enumerated; depth is a lower bound in that (rarer) case.
+
+    lateral_filter: drop vertices that are laterally OUTSIDE the other
+    hull (full-sdf max over faces > their ref-face depth + slack): on
+    large flat hulls the far corners tie the MTV plane-depth while
+    sitting nowhere near the overlap, spawning phantom manifold points
+    (hsrb4s base vs wheel r3 diagnosis; the oracle's single EPA contact
+    has no analogue).  lateral_slack (broadcastable to the vert batch)
+    keeps NEAR-overlap overhang corners — face-face stacks lean on them
+    — while still rejecting far-away corners; callers pass a fraction of
+    the other hull's bounding radius.
     Returns (depth (...,k_out), pts idx (...,k_out), nref (...,3) local).
     """
     vals = _pts_vs_planes(pts_local, planes)    # (..., V, F)
@@ -458,6 +469,15 @@ def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None):
     nref = plane[..., :3]
     depth = ((pts_local * nref[..., None, :]).sum(-1)
              - plane[..., 3:4])
+    if lateral_filter:
+        vert_sdf = vals.max(axis=-1)            # (..., V) true convex sdf
+        slack = jnp.asarray(lateral_slack)[..., None] + 1e-4
+        keep = vert_sdf <= jnp.maximum(depth, 0.0) + slack
+        # edge/vertex-region contacts can have EVERY vert laterally
+        # outside (no hull vert inside the other); keep the raw manifold
+        # then rather than emitting nothing for a touching pair
+        any_keep = keep.any(axis=-1, keepdims=True)
+        depth = jnp.where(keep | ~any_keep, depth, 1e9)
     if pts_mask is not None:
         depth = jnp.where(pts_mask > 0.5, depth, 1e9)
     neg, idx = _top_k_small(-depth, k_out)
@@ -589,28 +609,41 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
 
 def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
                p2, R2, verts2, planes2, vmask2):
+    # lateral slack = 15% of the other hull's bounding radius: keeps the
+    # near-overlap overhang corners that support face-face stacks while
+    # rejecting far-away corners (phantom lever arms, hsrb4s diagnosis)
+    rb1 = jnp.sqrt(((verts1 * verts1).sum(-1) * vmask1).max(-1))
+    rb2 = jnp.sqrt(((verts2 * verts2).sum(-1) * vmask2).max(-1))
     # verts of 1 in hull 2 (shared reference face)
     vw1 = p1[..., None, :] + _rotate_rows_fwd(R1, verts1)
     loc2 = _rotate_rows(R2, vw1 - p2[..., None, :])
-    d_a, top, nref2, sepA = _hull_ref_face_depth(loc2, planes2, 2, vmask1)
+    d_a, top, nref2, sepA = _hull_ref_face_depth(loc2, planes2, 2, vmask1,
+                                                 lateral_filter=True,
+                                                 lateral_slack=0.15 * rb2)
     pos_a = _select_rows(vw1, top)
-    n_a = -((R2 * nref2[..., None, :]).sum(-1))[..., None, :]
-    n_a = jnp.broadcast_to(n_a, pos_a.shape)
+    n_a = -((R2 * nref2[..., None, :]).sum(-1))
     # verts of 2 in hull 1
     vw2 = p2[..., None, :] + _rotate_rows_fwd(R2, verts2)
     loc1 = _rotate_rows(R1, vw2 - p1[..., None, :])
-    d_b, top2, nref1, sepB = _hull_ref_face_depth(loc1, planes1, 2, vmask2)
+    d_b, top2, nref1, sepB = _hull_ref_face_depth(loc1, planes1, 2, vmask2,
+                                                  lateral_filter=True,
+                                                  lateral_slack=0.15 * rb1)
     pos_b = _select_rows(vw2, top2)
-    n_b = ((R1 * nref1[..., None, :]).sum(-1))[..., None, :]
-    n_b = jnp.broadcast_to(n_b, pos_b.shape)
+    n_b = (R1 * nref1[..., None, :]).sum(-1)
     # joint face-SAT over BOTH hulls: one separating face on either side
-    # deactivates everything (face-only SAT per side gave phantom contacts)
+    # deactivates everything (face-only SAT per side gave phantom contacts).
+    # ALL manifold points share the joint-MTV normal (the face with the
+    # larger min-support): the losing side's own ref-face normal is a
+    # direction the oracle's single EPA contact never reports (hsrb4s r3
+    # diagnosis), while its laterally-contained verts are still needed —
+    # face-face stacks take their overlap corners from BOTH hulls.
     sep = jnp.maximum(sepA, sepB)
     d_a = jnp.maximum(d_a, sep[..., None])
     d_b = jnp.maximum(d_b, sep[..., None])
+    n_mtv = jnp.where((sepA >= sepB)[..., None], n_a, n_b)[..., None, :]
     dist = jnp.concatenate([d_a, d_b], axis=-1)
     pos = jnp.concatenate([pos_a, pos_b], axis=-2)
-    nrm = jnp.concatenate([n_a, n_b], axis=-2)
+    nrm = jnp.broadcast_to(n_mtv, pos.shape)
     return dist, pos, nrm
 
 

@@ -16,6 +16,10 @@ xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
+        # single-threaded LLVM codegen: the parallel split path segfaults
+        # nondeterministically in backend_compile_and_load (jax 0.9.0,
+        # ~once/15min of compiles; observed across 4 suite runs)
+        + " --xla_cpu_parallel_codegen_split_count=1"
     ).strip()
 
 import jax  # noqa: E402

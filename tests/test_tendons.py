@@ -187,11 +187,237 @@ def test_spatial_tendon_oracle():
     assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-10
 
 
-def test_spatial_wrap_geom_raises():
+def _forward_pair(mo, do, m, d, qpos, qvel, ctrl=None):
+    do.qpos[:] = qpos
+    do.qvel[:] = qvel
+    if ctrl is not None:
+        do.ctrl[:] = ctrl
+    mujoco.mj_forward(mo, do)
+    d = d.replace(qpos=jnp.asarray(qpos, d.qpos.dtype),
+                  qvel=jnp.asarray(qvel, d.qpos.dtype))
+    if ctrl is not None:
+        d = d.replace(ctrl=jnp.asarray(ctrl, d.qpos.dtype))
+    return do, engine.forward(m, d)
+
+
+WRAP_CYL = """
+<mujoco>
+  <compiler angle="radian"/>
+  <option timestep="0.002"/>
+  <worldbody>
+    <site name="a" pos="-0.5 0.25 0.1"/>
+    <geom name="cyl" type="cylinder" size="0.1 0.8" euler="0.2 -0.15 0"/>
+    <site name="side_lo" pos="0.3 0 -0.3"/>
+    <body pos="0.5 -0.25 0.4">
+      <joint name="jx" type="slide" axis="1 0 0" damping="0.4"/>
+      <joint name="jz" type="slide" axis="0 0 1" damping="0.4"/>
+      <geom type="sphere" size="0.03" mass="1"/>
+      <site name="b"/>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="cable" stiffness="25" damping="1.5" springlength="0.9">
+      <site site="a"/><geom geom="cyl"/><site site="b"/>
+    </spatial>
+  </tendon>
+</mujoco>
+"""
+
+
+def test_cylinder_wrap_oracle():
+    """tilted cylinder wrap: length, full moment row, passive forces and
+    qacc match mju_wrap to machine precision; wrap engages/disengages
+    along a 400-step rollout without divergence."""
+    mo, do, m, d = _pair(WRAP_CYL)
+    for qpos, qvel in [([0.0, 0.0], [0.1, -0.2]),       # wrapped
+                       ([0.2, 0.6], [0.0, 0.3]),        # straight (above)
+                       ([-0.1, -0.25], [0.5, 0.1])]:    # deep wrap
+        do_, d_ = _forward_pair(mo, do, m, d, np.array(qpos),
+                                np.array(qvel))
+        np.testing.assert_allclose(np.asarray(d_.ten_length),
+                                   do_.ten_length, atol=1e-10,
+                                   err_msg=str(qpos))
+        np.testing.assert_allclose(np.asarray(d_.ten_J).ravel(),
+                                   do_.ten_J.ravel(), atol=1e-9,
+                                   err_msg=str(qpos))
+        np.testing.assert_allclose(np.asarray(d_.qacc), do_.qacc,
+                                   atol=1e-7, err_msg=str(qpos))
+    step = jax.jit(engine.step)
+    do.qpos[:] = [0.0, 0.0]
+    do.qvel[:] = [0.4, 0.8]
+    d = d.replace(qpos=jnp.asarray([0.0, 0.0], d.qpos.dtype),
+                  qvel=jnp.asarray([0.4, 0.8], d.qpos.dtype))
+    for _ in range(400):
+        mujoco.mj_step(mo, do)
+        d = step(m, d)
+    assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-8
+
+
+WRAP_SPH = """
+<mujoco>
+  <compiler angle="radian"/>
+  <option timestep="0.002"/>
+  <worldbody>
+    <site name="a" pos="-0.5 0.1 0.3"/>
+    <geom name="ball" type="sphere" size="0.12" pos="0 0 0.05"/>
+    <site name="below" pos="0 0 -0.4"/>
+    <body pos="0.5 -0.1 0.3">
+      <joint name="jz" type="slide" axis="0 0 1" damping="0.3"/>
+      <geom type="sphere" size="0.03" mass="0.5"/>
+      <site name="b"/>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="cable" stiffness="40" damping="2" springlength="0.7">
+      <site site="a"/><geom geom="ball" sidesite="below"/><site site="b"/>
+    </spatial>
+  </tendon>
+  <actuator><general name="pull" tendon="cable" gainprm="8"/></actuator>
+</mujoco>
+"""
+
+
+def test_sphere_wrap_sidesite_oracle():
+    """sidesite on the far side FORCES the wrap even when the straight
+    segment misses the sphere (probed mju_wrap rule); actuator moment
+    through the wrapped row matches."""
+    mo, do, m, d = _pair(WRAP_SPH)
+    for qpos, qvel, ctrl in [([0.0], [0.2], [-0.5]),    # forced wrap
+                             ([-0.45], [0.1], [0.3]),   # segment crosses
+                             ([0.0], [-0.3], [0.0])]:
+        do_, d_ = _forward_pair(mo, do, m, d, np.array(qpos),
+                                np.array(qvel), np.array(ctrl))
+        np.testing.assert_allclose(np.asarray(d_.ten_length),
+                                   do_.ten_length, atol=1e-10,
+                                   err_msg=str(qpos))
+        np.testing.assert_allclose(np.asarray(d_.ten_J).ravel(),
+                                   do_.ten_J.ravel(), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(d_.qacc), do_.qacc,
+                                   atol=1e-7)
+    step = jax.jit(engine.step)
+    do.qvel[:] = [0.5]
+    do.ctrl[:] = [-0.4]
+    d = d.replace(qvel=jnp.asarray([0.5], d.qpos.dtype),
+                  ctrl=jnp.asarray([-0.4], d.qpos.dtype))
+    for _ in range(300):
+        mujoco.mj_step(mo, do)
+        d = step(m, d)
+    assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-8
+
+
+def test_wrap_inside_oracle():
+    """sidesite INSIDE the geom: tendon must touch the surface (single
+    minimizing point) unless the segment already crosses."""
+    xml = """
+    <mujoco>
+      <compiler angle="radian"/>
+      <option timestep="0.002"/>
+      <worldbody>
+        <site name="a" pos="-0.5 0 0.3"/>
+        <geom name="cyl" type="cylinder" size="0.1 0.5"
+              euler="1.5707963 0 0"/>
+        <site name="inside" pos="0.02 0 0.03"/>
+        <body pos="0.5 0 0.2">
+          <joint name="jz" type="slide" axis="0 0 1" damping="0.2"/>
+          <geom type="sphere" size="0.03" mass="0.5"/>
+          <site name="b"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <spatial name="cable" stiffness="30" damping="1" springlength="0.8">
+          <site site="a"/><geom geom="cyl" sidesite="inside"/>
+          <site site="b"/>
+        </spatial>
+      </tendon>
+    </mujoco>
+    """
+    mo, do, m, d = _pair(xml)
+    for qpos, qvel in [([0.1], [0.2]),     # touch (asymmetric heights)
+                       ([0.35], [0.0]),    # touch, higher
+                       ([-0.45], [0.1])]:  # segment crosses -> straight
+        do_, d_ = _forward_pair(mo, do, m, d, np.array(qpos),
+                                np.array(qvel))
+        np.testing.assert_allclose(np.asarray(d_.ten_length),
+                                   do_.ten_length, atol=1e-8,
+                                   err_msg=str(qpos))
+        np.testing.assert_allclose(np.asarray(d_.ten_J).ravel(),
+                                   do_.ten_J.ravel(), atol=1e-6)
+
+
+def test_pulley_oracle():
+    """pulley divisor scales branch lengths/moments and breaks the chain
+    (no segment across the pulley)."""
+    xml = """
+    <mujoco>
+      <compiler angle="radian"/>
+      <option timestep="0.002"/>
+      <worldbody>
+        <site name="a" pos="0 0 1"/>
+        <body pos="0 0 0.5">
+          <joint name="j1" type="slide" axis="0 0 1" damping="0.1"/>
+          <geom type="sphere" size="0.03" mass="1"/>
+          <site name="b"/>
+        </body>
+        <site name="c" pos="0.3 0 1"/>
+        <body pos="0.3 0 0.4">
+          <joint name="j2" type="slide" axis="0 0 1" damping="0.1"/>
+          <geom type="sphere" size="0.03" mass="0.7"/>
+          <site name="e"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <spatial name="t" stiffness="50" springlength="0.7"
+                 limited="true" range="0 0.85">
+          <site site="a"/><site site="b"/>
+          <pulley divisor="2"/>
+          <site site="c"/><site site="e"/>
+        </spatial>
+      </tendon>
+      <actuator><general name="winch" tendon="t" gainprm="10"/></actuator>
+    </mujoco>
+    """
+    mo, do, m, d = _pair(xml)
+    np.testing.assert_allclose(np.asarray(m.ten_invweight0),
+                               mo.tendon_invweight0, rtol=1e-9)
+    do_, d_ = _forward_pair(mo, do, m, d, np.array([0.1, -0.2]),
+                            np.array([0.3, 0.4]), np.array([-0.6]))
+    np.testing.assert_allclose(np.asarray(d_.ten_length), do_.ten_length,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d_.ten_J).ravel(),
+                               do_.ten_J.ravel(), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d_.qacc), do_.qacc, atol=1e-9)
+    step = jax.jit(engine.step)
+    do.ctrl[:] = [-0.6]
+    d = d_.replace(qpos=jnp.zeros(2, d.qpos.dtype),
+                   qvel=jnp.zeros(2, d.qpos.dtype))
+    do.qpos[:] = 0
+    do.qvel[:] = 0
+    for _ in range(300):
+        mujoco.mj_step(mo, do)
+        d = step(m, d)
+    assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-10
+
+
+def test_unknown_wrap_element_raises():
     xml = """
     <mujoco><worldbody>
       <site name="s1"/>
-      <geom name="wrap" type="cylinder" size="0.05 0.2"/>
+      <body><joint type="hinge"/><geom type="sphere" size="0.1" mass="1"/>
+        <site name="s2"/></body>
+    </worldbody>
+    <tendon><spatial name="sp"><site site="s1"/>
+      <unknown thing="1"/><site site="s2"/></spatial>
+    </tendon></mujoco>
+    """
+    with pytest.raises(ValueError, match="not supported"):
+        parse_mjcf_string(xml)
+
+
+def test_box_wrap_geom_raises():
+    xml = """
+    <mujoco><worldbody>
+      <site name="s1"/>
+      <geom name="wrap" type="box" size="0.05 0.05 0.2"/>
       <body><joint type="hinge"/><geom type="sphere" size="0.1" mass="1"/>
         <site name="s2"/></body>
     </worldbody>
@@ -199,8 +425,8 @@ def test_spatial_wrap_geom_raises():
       <site site="s2"/></spatial>
     </tendon></mujoco>
     """
-    with pytest.raises(ValueError, match="wrap"):
-        parse_mjcf_string(xml)
+    with pytest.raises(ValueError, match="sphere or cylinder"):
+        compile_spec(parse_mjcf_string(xml))
 
 
 def test_tendon_names_and_export_roundtrip(tmp_path):
