@@ -58,8 +58,12 @@ def _mocap_quat0(m: Model, dtype):
     return jnp.asarray(np.asarray(m.body_quat)[ids], dtype)
 
 
-def make_data(m: Model, dtype=None) -> Data:
-    """Fresh Data at qpos0 (mj_makeData + reset equivalent)."""
+def make_data(m: Model, dtype=None, keyframe=None) -> Data:
+    """Fresh Data at qpos0 (mj_makeData + reset equivalent).
+
+    keyframe: optional <keyframe><key> name or index — the returned Data
+    starts from that snapshot (mj_resetDataKeyframe equivalent).
+    """
     if dtype is None:
         dtype = jnp.asarray(m.qpos0).dtype
     z = lambda *shape: jnp.zeros(shape, dtype)
@@ -75,7 +79,7 @@ def make_data(m: Model, dtype=None) -> Data:
         efc_address=jnp.full((ncon,), -1, jnp.int32),
         active=jnp.zeros((ncon,), bool),
     )
-    return Data(
+    d = Data(
         time=jnp.asarray(0.0, dtype),
         qpos=jnp.asarray(m.qpos0, dtype),
         qvel=z(nv), qacc=z(nv), qacc_warmstart=z(nv),
@@ -114,6 +118,21 @@ def make_data(m: Model, dtype=None) -> Data:
         sensordata=z(m.nsensordata),
         energy=z(2),
     )
+    if keyframe is not None:
+        kid = (m.names.key_id(keyframe) if isinstance(keyframe, str)
+               else int(keyframe))
+        if kid < 0 or kid >= m.nkey:
+            raise ValueError(f"unknown keyframe {keyframe!r}")
+        d = d.replace(
+            time=jnp.asarray(m.key_time, dtype)[kid],
+            qpos=jnp.asarray(m.key_qpos, dtype)[kid],
+            qvel=jnp.asarray(m.key_qvel, dtype)[kid],
+            act=jnp.asarray(m.key_act, dtype)[kid],
+            ctrl=jnp.asarray(m.key_ctrl, dtype)[kid],
+            mocap_pos=jnp.asarray(m.key_mpos, dtype)[kid],
+            mocap_quat=jnp.asarray(m.key_mquat, dtype)[kid],
+        )
+    return d
 
 
 def set_const(m: Model) -> Model:
@@ -161,6 +180,7 @@ def set_const(m: Model) -> Model:
             W = None
             ten_invweight0 = jnp.zeros((0,), dtype)
             springlength = m.ten_springlength
+            length0 = jnp.zeros((0,), dtype)
         if m.nu:
             # actuator_acc0 = |M^-1 moment| at qpos0 (site rows stay 0 —
             # muscle-on-site raises at compile)
@@ -175,15 +195,16 @@ def set_const(m: Model) -> Model:
         else:
             acc0 = jnp.zeros((0,), dtype)
         return (dof_invweight0, body_invweight0, ten_invweight0, acc0,
-                springlength)
+                springlength, length0)
 
     import numpy as np_
     (dof_invweight0, body_invweight0, ten_invweight0, acc0,
-     springlength) = _compute(m)
+     springlength, length0) = _compute(m)
     return m.replace(dof_invweight0=np_.asarray(dof_invweight0),
                      body_invweight0=np_.asarray(body_invweight0),
                      ten_invweight0=np_.asarray(ten_invweight0),
                      ten_springlength=np_.asarray(springlength),
+                     ten_length0=np_.asarray(length0),
                      actuator_acc0=np_.asarray(acc0))
 
 

@@ -532,14 +532,18 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     # ---- equality constraints
     name2body = {n: i for i, n in enumerate(body_name)}
     name2jnt = {j.name: k for k, j in enumerate(jnt_specs) if j.name}
+    name2ten_eq = {t.name: k for k, t in enumerate(spec.tendons) if t.name}
     eq_rows = []
     for e in spec.equalities:
         et = {"connect": EqType.CONNECT, "weld": EqType.WELD,
-              "joint": EqType.JOINT}[e.type]
+              "joint": EqType.JOINT, "tendon": EqType.TENDON}[e.type]
         data = np.array(e.data, dtype=float)
         if et == EqType.JOINT:
             o1 = name2jnt[e.obj1]
             o2 = name2jnt[e.obj2] if e.obj2 else -1
+        elif et == EqType.TENDON:
+            o1 = name2ten_eq[e.obj1]
+            o2 = name2ten_eq[e.obj2] if e.obj2 else -1
         else:
             o1 = name2body[e.obj1]
             o2 = name2body[e.obj2] if e.obj2 else 0
@@ -620,6 +624,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     for s in spec.sensors:
         st = SensorType[s.type.upper()]
         objtype = 0
+        reftype, refid = -1, -1
         if s.type in ("touch", "accelerometer", "velocimeter", "gyro",
                       "force", "torque", "magnetometer", "rangefinder"):
             objid = name2site.get(s.site, -1)
@@ -658,6 +663,16 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
             if objid < 0:
                 raise ValueError(f"sensor '{s.name}': unknown {s.objtype} "
                                  f"'{s.objname}'")
+            if getattr(s, "refname", ""):
+                if s.reftype not in _FRAME_OBJ:
+                    raise ValueError(f"sensor '{s.name}': reftype "
+                                     f"'{s.reftype}' not supported")
+                rot, rtable = _FRAME_OBJ[s.reftype]
+                reftype = int(rot)
+                refid = rtable.get(s.refname, -1)
+                if refid < 0:
+                    raise ValueError(f"sensor '{s.name}': unknown "
+                                     f"{s.reftype} '{s.refname}'")
         elif s.type.startswith("subtree"):
             objid = name2body_l.get(s.objname, -1)
             if objid < 0:
@@ -666,7 +681,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         else:                   # clock
             objid = -1
         dim = _SDIM[s.type]
-        sens.append((int(st), objid, objtype, sadr, dim, s.cutoff, s.name))
+        sens.append((int(st), objid, objtype, sadr, dim, s.cutoff, s.name,
+                     reftype, refid))
         sadr += dim
     nsensor = len(sens)
     nsensordata = sadr
@@ -977,7 +993,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     for r in eq_rows:
         eq_efcadr.append(adr_cursor)
         adr_cursor += {int(EqType.CONNECT): 3, int(EqType.WELD): 6,
-                       int(EqType.JOINT): 1}[r[0]]
+                       int(EqType.JOINT): 1, int(EqType.TENDON): 1}[r[0]]
     fri_dofid = np.nonzero(dof_frictionloss > 0)[0]
     fri_efcadr = adr_cursor + np.arange(len(fri_dofid))
     adr_cursor += len(fri_dofid)
@@ -1118,6 +1134,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         sensor_adr=np.asarray([s[3] for s in sens], dtype=int),
         sensor_dim=np.asarray([s[4] for s in sens], dtype=int),
         sensor_cutoff=np.asarray([s[5] for s in sens], dtype=float),
+        sensor_reftype=np.asarray([s[7] for s in sens], dtype=int),
+        sensor_refid=np.asarray([s[8] for s in sens], dtype=int),
         act_trnjnt=act_trnjnt,
         act_trntype=act_trntype,
         act_trnid=act_trnid,
@@ -1133,7 +1151,47 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         act_moment01=act_moment01,
     )
 
+    # ---- keyframes: defaults follow mj_resetDataKeyframe (qpos0 / zeros /
+    # initial mocap pose); explicit values are length-checked
+    nkey = len(spec.keys)
+    key_time = np.zeros(nkey)
+    key_qpos = np.tile(qpos0, (nkey, 1)) if nkey else np.zeros((0, nq))
+    key_qvel = np.zeros((nkey, nv))
+    key_act = np.zeros((nkey, nu))
+    key_ctrl = np.zeros((nkey, nu))
+    mocap_body_ids = np.nonzero(body_mocapid >= 0)[0]
+    mpos0 = np.array([world_pos0[b] for b in mocap_body_ids]).reshape(-1, 3)
+    mquat0 = np.array([world_quat0[b]
+                       for b in mocap_body_ids]).reshape(-1, 4)
+    key_mpos = np.tile(mpos0, (nkey, 1, 1)) if nkey else np.zeros(
+        (0, nmocap, 3))
+    key_mquat = np.tile(mquat0, (nkey, 1, 1)) if nkey else np.zeros(
+        (0, nmocap, 4))
+    for ki, kf in enumerate(spec.keys):
+        key_time[ki] = kf.time
+        for attr, arr, dim in (("qpos", key_qpos, nq),
+                               ("qvel", key_qvel, nv),
+                               ("act", key_act, nu),
+                               ("ctrl", key_ctrl, nu)):
+            v = getattr(kf, attr)
+            if v is not None:
+                if len(v) != dim:
+                    raise ValueError(
+                        f"key '{kf.name}': {attr} has {len(v)} values, "
+                        f"expected {dim}")
+                arr[ki] = v
+        for attr, arr, dim in (("mpos", key_mpos, 3),
+                               ("mquat", key_mquat, 4)):
+            v = getattr(kf, attr)
+            if v is not None:
+                if len(v) != nmocap * dim:
+                    raise ValueError(
+                        f"key '{kf.name}': {attr} has {len(v)} values, "
+                        f"expected {nmocap * dim}")
+                arr[ki] = v.reshape(nmocap, dim)
+
     names = NameTable(
+        key=[k.name or f"key{i}" for i, k in enumerate(spec.keys)],
         body=body_name,
         joint=[j.name or f"joint{k}" for k, j in enumerate(jnt_specs)],
         geom=[g.name or f"geom{k}" for k, g in enumerate(geom_specs)],
@@ -1248,6 +1306,13 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         sensor_cutoff=np_f([s[5] for s in sens]),
         qpos0=np_f(qpos0),
         qpos_spring=np_f(qpos_spring),
+        key_time=np_f(key_time),
+        key_qpos=np_f(key_qpos),
+        key_qvel=np_f(key_qvel),
+        key_act=np_f(key_act),
+        key_ctrl=np_f(key_ctrl),
+        key_mpos=np_f(key_mpos),
+        key_mquat=np_f(key_mquat),
         nq=nq, nv=nv, nbody=nbody, njnt=njnt, ngeom=ngeom, nsite=nsite,
         nmesh=len(mesh_names), neq=neq, npair=npair, nsensor=nsensor,
         nu=nu,
@@ -1266,10 +1331,11 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         ten_stiffness=np_f(ten_stiffness),
         ten_damping=np_f(ten_damping),
         ten_springlength=np_f(ten_springlength),
+        ten_length0=np_f(np.full(ntendon, np.nan)),
         ten_margin=np_f(ten_margin),
         ten_invweight0=np_f(np.zeros(ntendon)),
         ntendon=ntendon,
-        nsensordata=nsensordata, nmocap=nmocap,
+        nsensordata=nsensordata, nmocap=nmocap, nkey=nkey,
         ncon_max=ncon_max, nefc_max=nefc_max,
         ncand=ncand, max_condim=max_condim, contact_efcadr=contact_efcadr,
         npair_unsupported=npair_unsupported,

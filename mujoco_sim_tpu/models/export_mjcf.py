@@ -180,6 +180,23 @@ def export_mjcf(spec: mjcf.SpecTree, path: str, model=None, data=None,
                 ET.SubElement(eq, "connect", {
                     "body1": e.obj1, "body2": e.obj2,
                     "anchor": _fmt(e.data[:3])})
+            elif e.type == "tendon":
+                ET.SubElement(eq, "tendon", {
+                    "tendon1": e.obj1, "tendon2": e.obj2,
+                    "polycoef": _fmt(e.data[:5])})
+    if getattr(spec, "keys", None):
+        kf = ET.SubElement(root, "keyframe")
+        for k in spec.keys:
+            at = {}
+            if k.name:
+                at["name"] = k.name
+            if k.time:
+                at["time"] = _fmt(k.time)
+            for attr in ("qpos", "qvel", "act", "ctrl", "mpos", "mquat"):
+                v = getattr(k, attr)
+                if v is not None:
+                    at[attr] = _fmt(v)
+            ET.SubElement(kf, "key", at)
     if spec.excludes:
         contact = ET.SubElement(root, "contact")
         for b1, b2 in spec.excludes:

@@ -158,6 +158,8 @@ class SensorSpec:
     site: str = ""
     objtype: str = ""           # frame sensors: site|body|xbody|geom
     objname: str = ""           # joint/tendon/actuator/body/frame target
+    reftype: str = ""           # frame sensors: relative-frame object
+    refname: str = ""
     cutoff: float = 0.0
 
 
@@ -282,6 +284,20 @@ class CompilerSpec:
 
 
 @dataclasses.dataclass
+class KeySpec:
+    """<keyframe><key>: a named restorable state snapshot."""
+
+    name: str = ""
+    time: float = 0.0
+    qpos: np.ndarray | None = None
+    qvel: np.ndarray | None = None
+    act: np.ndarray | None = None
+    ctrl: np.ndarray | None = None
+    mpos: np.ndarray | None = None
+    mquat: np.ndarray | None = None
+
+
+@dataclasses.dataclass
 class SpecTree:
     """Full parsed model, pre-compilation."""
 
@@ -291,6 +307,7 @@ class SpecTree:
     world: BodySpec = dataclasses.field(default_factory=lambda: BodySpec(name="world"))
     meshes: list = dataclasses.field(default_factory=list)
     hfields: list = dataclasses.field(default_factory=list)
+    keys: list = dataclasses.field(default_factory=list)
     equalities: list = dataclasses.field(default_factory=list)
     excludes: list = dataclasses.field(default_factory=list)   # (body1, body2)
     pairs: list = dataclasses.field(default_factory=list)      # explicit geom pairs
@@ -722,8 +739,14 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
                 e.obj2 = el2.get("body2", "")
                 anchor = _get_v(el2, "anchor", np.zeros(3))
                 e.data[:3] = anchor
+            elif el.tag == "tendon":
+                e.obj1 = el2.get("tendon1", "")
+                e.obj2 = el2.get("tendon2", "")
+                poly = _get_v(el2, "polycoef", np.array([0.0, 1, 0, 0, 0]))
+                e.data[: len(poly)] = poly
             else:
-                continue
+                raise ValueError(
+                    f"<equality><{el.tag}> is not supported")
             spec.equalities.append(e)
 
     # -- contact overrides
@@ -916,6 +939,16 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
                     f"spatial tendon '{t.name}' needs at least 2 sites")
             spec.tendons.append(t)
 
+    # -- keyframes
+    for kf_root in root.findall("keyframe"):
+        for el in kf_root.findall("key"):
+            k = KeySpec(name=el.get("name", ""),
+                        time=_get_f(el, "time", 0.0))
+            for attr in ("qpos", "qvel", "act", "ctrl", "mpos", "mquat"):
+                if el.get(attr):
+                    setattr(k, attr, np.fromstring(el.get(attr), sep=" "))
+            spec.keys.append(k)
+
     # -- sensors (mjtSensor surface minus user/plugin sensors)
     for s_root in root.findall("sensor"):
         for el in s_root:
@@ -926,12 +959,13 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
             elif el.tag in _SENSOR_OBJ_ATTR:
                 s.objname = el.get(_SENSOR_OBJ_ATTR[el.tag], "")
             elif el.tag in _FRAME_SENSORS:
-                if el.get("refname") or el.get("reftype"):
-                    raise ValueError(
-                        f"<{el.tag}> relative-frame (refname) sensors are "
-                        "not supported")
                 s.objtype = el.get("objtype", "")
                 s.objname = el.get("objname", "")
+                s.reftype = el.get("reftype", "")
+                s.refname = el.get("refname", "")
+                if s.refname and not s.reftype:
+                    raise ValueError(
+                        f"<{el.tag}> refname needs an explicit reftype")
             elif el.tag == "clock":
                 pass
             else:

@@ -282,6 +282,7 @@ class Model:
     ten_stiffness: jax.Array      # (ntendon,)
     ten_damping: jax.Array        # (ntendon,)
     ten_springlength: jax.Array   # (ntendon, 2) deadband [lo, hi]
+    ten_length0: jax.Array        # (ntendon,) length at qpos0 (set_const)
     ten_margin: jax.Array         # (ntendon,)
     ten_invweight0: jax.Array     # (ntendon,) W M(q0)^-1 W^T (mj_setConst)
 
@@ -313,6 +314,15 @@ class Model:
     qpos0: jax.Array              # (nq,)
     qpos_spring: jax.Array        # (nq,)
 
+    # ---- keyframes (<keyframe><key>, mj_resetDataKeyframe targets)
+    key_time: jax.Array           # (nkey,)
+    key_qpos: jax.Array           # (nkey, nq)
+    key_qvel: jax.Array           # (nkey, nv)
+    key_act: jax.Array            # (nkey, nu)
+    key_ctrl: jax.Array           # (nkey, nu)
+    key_mpos: jax.Array           # (nkey, nmocap, 3)
+    key_mquat: jax.Array          # (nkey, nmocap, 4)
+
     # ---- static metadata
     nq: int = static(default=0)
     nv: int = static(default=0)
@@ -326,6 +336,7 @@ class Model:
     nsensor: int = static(default=0)
     nsensordata: int = static(default=0)
     nmocap: int = static(default=0)
+    nkey: int = static(default=0)
     nu: int = static(default=0)         # actuators (na act slots == nu)
     ntendon: int = static(default=0)
     ncon_max: int = static(default=0)   # contact budget K (top-K compaction)
@@ -383,11 +394,12 @@ class NameTable:
     """
 
     __slots__ = ("body", "joint", "geom", "site", "mesh", "sensor", "eq",
-                 "actuator", "tendon", "_body_inv", "_joint_inv",
-                 "_geom_inv", "_site_inv", "_act_inv", "_ten_inv")
+                 "actuator", "tendon", "key", "_body_inv", "_joint_inv",
+                 "_geom_inv", "_site_inv", "_act_inv", "_ten_inv",
+                 "_key_inv")
 
     def __init__(self, body=(), joint=(), geom=(), site=(), mesh=(),
-                 sensor=(), eq=(), actuator=(), tendon=()):
+                 sensor=(), eq=(), actuator=(), tendon=(), key=()):
         self.body = tuple(body)
         self.joint = tuple(joint)
         self.geom = tuple(geom)
@@ -397,6 +409,8 @@ class NameTable:
         self.eq = tuple(eq)
         self.actuator = tuple(actuator)
         self.tendon = tuple(tendon)
+        self.key = tuple(key)
+        self._key_inv = {n: i for i, n in enumerate(self.key)}
         self._ten_inv = {n: i for i, n in enumerate(self.tendon)}
         self._act_inv = {n: i for i, n in enumerate(self.actuator)}
         self._body_inv = {n: i for i, n in enumerate(self.body)}
@@ -422,9 +436,13 @@ class NameTable:
     def tendon_id(self, name: str) -> int:
         return self._ten_inv.get(name, -1)
 
+    def key_id(self, name: str) -> int:
+        return self._key_inv.get(name, -1)
+
     def __hash__(self):
         return hash((self.body, self.joint, self.geom, self.site, self.mesh,
-                     self.sensor, self.eq, self.actuator, self.tendon))
+                     self.sensor, self.eq, self.actuator, self.tendon,
+                     self.key))
 
     def __eq__(self, other):
         return isinstance(other, NameTable) and (

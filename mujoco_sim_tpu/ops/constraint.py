@@ -94,7 +94,8 @@ _PLAN_CACHE: dict = {}
 class _EqPlan:
     """Static equality-section plan: per-type index arrays, constant one-hot
     bases for joint couples, and the permutation restoring compile-time
-    (interleaved) row order from [JOINT | CONNECT | WELD] block order."""
+    (interleaved) row order from [JOINT | TENDON | CONNECT | WELD] block
+    order."""
 
     def __init__(self, m: Model):
         lay = m.layout
@@ -103,6 +104,11 @@ class _EqPlan:
         self.jsel = np.nonzero(et == int(EqType.JOINT))[0]
         self.csel = np.nonzero(et == int(EqType.CONNECT))[0]
         self.wsel = np.nonzero(et == int(EqType.WELD))[0]
+        self.tsel = np.nonzero(et == int(EqType.TENDON))[0]
+        if len(self.tsel):
+            self.t_id1 = lay.eq_obj1id[self.tsel]
+            self.t_has2 = lay.eq_obj2id[self.tsel] >= 0
+            self.t_id2 = np.where(self.t_has2, lay.eq_obj2id[self.tsel], 0)
         # joint couples: dof addresses + one-hot base matrices
         if len(self.jsel):
             o1 = lay.eq_obj1id[self.jsel]
@@ -123,11 +129,11 @@ class _EqPlan:
             self.j_base1, self.j_base2 = b1, b2
         # row permutation: dest row (relative to eq section) -> src row in
         # the [J | C | W] block concat
-        rows_of = {int(EqType.JOINT): 1, int(EqType.CONNECT): 3,
-                   int(EqType.WELD): 6}
+        rows_of = {int(EqType.JOINT): 1, int(EqType.TENDON): 1,
+                   int(EqType.CONNECT): 3, int(EqType.WELD): 6}
         src_of_eq = {}
         cursor = 0
-        for grp in (self.jsel, self.csel, self.wsel):
+        for grp in (self.jsel, self.tsel, self.csel, self.wsel):
             for k in grp:
                 src_of_eq[int(k)] = cursor
                 cursor += rows_of[int(et[k])]
@@ -232,6 +238,30 @@ def make_constraint(m: Model, d: Data, com: dict) -> Data:
                 jnp.asarray(plan.j_has2), dinv[plan.j_da2], 0.0)
             active = eq_act0[js] & d.body_active[plan.j_body]
             emit_eq(rows, pos, eq_solref[js], eq_solimp[js], diag, active)
+
+        if len(plan.tsel):
+            # tendon couple: (L1 - L1_0) = poly(L2 - L2_0), same polynomial
+            # form as joint couples but through the tendon moment rows
+            ts = plan.tsel
+            data = eq_data[ts]
+            len0 = jnp.asarray(m.ten_length0, dtype)
+            has2 = jnp.asarray(plan.t_has2)
+            l1 = d.ten_length[plan.t_id1] - len0[plan.t_id1]
+            dx = jnp.where(has2,
+                           d.ten_length[plan.t_id2] - len0[plan.t_id2], 0.0)
+            c = data[:, :5]
+            poly = (((c[:, 4] * dx + c[:, 3]) * dx + c[:, 2]) * dx
+                    + c[:, 1]) * dx + c[:, 0]
+            dpoly = ((4.0 * c[:, 4] * dx + 3.0 * c[:, 3]) * dx
+                     + 2.0 * c[:, 2]) * dx + c[:, 1]
+            dpoly = jnp.where(has2, dpoly, 0.0)
+            rows = (d.ten_J[plan.t_id1]
+                    - dpoly[:, None] * d.ten_J[plan.t_id2])
+            pos = l1 - poly
+            tinv = jnp.asarray(m.ten_invweight0, dtype)
+            diag = tinv[plan.t_id1] + jnp.where(has2, tinv[plan.t_id2], 0.0)
+            active = eq_act0[ts]
+            emit_eq(rows, pos, eq_solref[ts], eq_solimp[ts], diag, active)
 
         if len(plan.csel):
             cs = plan.csel

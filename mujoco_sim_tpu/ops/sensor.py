@@ -330,18 +330,35 @@ def sensors(m: Model, d: Data) -> Data:
                     int(S.FRAMELINVEL), int(S.FRAMEANGVEL)):
             ot = int(lay.sensor_objtype[k])
             pos, R, quat_fn, b = frame_of(ot, obj)
+            refid = int(lay.sensor_refid[k])
+            ref = (frame_of(int(lay.sensor_reftype[k]), refid)
+                   if refid >= 0 else None)
             if st == int(S.FRAMEPOS):
-                val = pos
+                val = (ref[1].T @ (pos - ref[0]) if ref is not None
+                       else pos)
             elif st == int(S.FRAMEQUAT):
-                val = mm.quat_normalize(quat_fn())
+                q = quat_fn()
+                if ref is not None:
+                    q = mm.quat_mul(mm.quat_inv(ref[2]()), q)
+                val = mm.quat_normalize(q)
             elif st in (int(S.FRAMEXAXIS), int(S.FRAMEYAXIS),
                         int(S.FRAMEZAXIS)):
-                val = R[:, st - int(S.FRAMEXAXIS)]
+                axis = R[:, st - int(S.FRAMEXAXIS)]
+                val = ref[1].T @ axis if ref is not None else axis
             elif st == int(S.FRAMEANGVEL):
                 ang, _ = body_vel_at(b, pos)
+                if ref is not None:
+                    ang_r, _ = body_vel_at(ref[3], ref[0])
+                    ang = ref[1].T @ (ang - ang_r)
                 val = ang
             else:
                 _, lin = body_vel_at(b, pos)
+                if ref is not None:
+                    # relative to the (moving, rotating) ref frame,
+                    # expressed in it: R_r^T (v - v_r - w_r x (p - p_r))
+                    ang_r, lin_r = body_vel_at(ref[3], ref[0])
+                    lin = ref[1].T @ (lin - lin_r
+                                      - jnp.cross(ang_r, pos - ref[0]))
                 val = lin
         elif st in (int(S.SUBTREECOM), int(S.SUBTREELINVEL),
                     int(S.SUBTREEANGMOM)):

@@ -72,3 +72,55 @@ def test_euler_orientation_and_include(tmp_path):
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(m.geom_quat), mm.geom_quat,
                                atol=1e-12)
+
+
+def test_keyframes_oracle(tmp_path):
+    """<keyframe><key>: stored snapshots match mjModel.key_*, and
+    make_data(keyframe=...) reproduces mj_resetDataKeyframe dynamics."""
+    import jax
+    import jax.numpy as jnp
+    import mujoco
+    from mujoco_sim_tpu import engine
+
+    xml = tmp_path / "keyed.xml"
+    xml.write_text("""
+<mujoco>
+  <compiler angle="radian"/>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom type="plane" size="2 2 0.1"/>
+    <body pos="0 0 0.5"><freejoint/>
+      <geom type="box" size="0.1 0.08 0.06" mass="1"/></body>
+    <body pos="0.5 0 0.3">
+      <joint name="h" type="hinge" axis="0 1 0" damping="0.2"/>
+      <geom type="capsule" size="0.02" fromto="0 0 0 0.2 0 0" mass="0.4"/>
+    </body>
+  </worldbody>
+  <actuator><motor joint="h" gear="1.5"/></actuator>
+  <keyframe>
+    <key name="tossed" time="0.5"
+         qpos="0.1 -0.05 0.8 0.9689124 0.2474040 0 0 0.4"
+         qvel="1 0 2 0.5 0 0 -0.8" ctrl="0.3"/>
+    <key name="rest" qpos="0 0 0.161 1 0 0 0 0"/>
+  </keyframe>
+</mujoco>""")
+    mm = oracle_model(str(xml))
+    m = load_model(str(xml))
+    assert m.nkey == mm.nkey == 2
+    np.testing.assert_allclose(np.asarray(m.key_qpos), mm.key_qpos,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.key_qvel), mm.key_qvel,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.key_time), mm.key_time,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.key_ctrl), mm.key_ctrl,
+                               atol=1e-12)
+    dd = mujoco.MjData(mm)
+    mujoco.mj_resetDataKeyframe(mm, dd, 0)
+    d = engine.make_data(m, keyframe="tossed")
+    assert float(d.time) == dd.time
+    step = jax.jit(engine.step)
+    for _ in range(100):
+        mujoco.mj_step(mm, dd)
+        d = step(m, d)
+    assert np.abs(dd.qpos - np.asarray(d.qpos)).max() < 1e-8

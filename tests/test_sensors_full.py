@@ -61,6 +61,16 @@ XML = """
     <frameangvel name="fav" objtype="body" objname="arm"/>
     <framepos name="fpb" objtype="body" objname="arm"/>
     <framequat name="fqb" objtype="body" objname="arm"/>
+    <framepos name="rfp" objtype="site" objname="s_tip"
+              reftype="body" refname="arm"/>
+    <framequat name="rfq" objtype="xbody" objname="wrist"
+               reftype="site" refname="s_imu"/>
+    <framexaxis name="rfx" objtype="geom" objname="cap"
+                reftype="xbody" refname="base"/>
+    <framelinvel name="rflv" objtype="site" objname="s_tip"
+                 reftype="xbody" refname="base"/>
+    <frameangvel name="rfav" objtype="body" objname="wrist"
+                 reftype="site" refname="s_imu"/>
     <gyro name="gy" site="s_imu"/>
     <velocimeter name="vm" site="s_imu"/>
     <accelerometer name="ac" site="s_imu"/>

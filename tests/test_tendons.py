@@ -398,6 +398,71 @@ def test_pulley_oracle():
     assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-10
 
 
+def test_tendon_equality_oracle():
+    """<equality><tendon>: couples two tendon lengths through the moment
+    rows, (L1-L1_0) = poly(L2-L2_0) — efc rows and qacc match."""
+    xml = """
+    <mujoco>
+      <compiler angle="radian"/>
+      <option timestep="0.002"/>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint name="j1" type="hinge" axis="0 1 0" damping="0.1"/>
+          <geom type="capsule" size="0.03" fromto="0 0 0 0.3 0 0" mass="1"/>
+          <body pos="0.3 0 0">
+            <joint name="j2" type="hinge" axis="0 1 0" damping="0.05"/>
+            <geom type="capsule" size="0.02" fromto="0 0 0 0.25 0 0"
+                  mass="0.4"/>
+            <body pos="0.25 0 0">
+              <joint name="j3" type="slide" axis="1 0 0" damping="0.2"/>
+              <geom type="sphere" size="0.03" mass="0.2"/>
+            </body>
+          </body>
+        </body>
+      </worldbody>
+      <tendon>
+        <fixed name="ta"><joint joint="j1" coef="0.5"/>
+          <joint joint="j2" coef="-0.3"/></fixed>
+        <fixed name="tb"><joint joint="j2" coef="1.1"/>
+          <joint joint="j3" coef="0.8"/></fixed>
+      </tendon>
+      <equality>
+        <tendon tendon1="ta" tendon2="tb" polycoef="0.02 0.7 0.3 0 0"/>
+      </equality>
+    </mujoco>
+    """
+    mo, do, m, d = _pair(xml)
+    do_, d_ = _forward_pair(mo, do, m, d, np.array([0.3, -0.2, 0.1]),
+                            np.array([0.5, -0.4, 0.2]))
+    assert do_.ne == 1
+    i = np.nonzero(np.asarray(d_.efc_active))[0]
+    np.testing.assert_allclose(np.asarray(d_.efc_J)[i[0]],
+                               np.asarray(do_.efc_J).ravel()[:mo.nv],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d_.qacc), do_.qacc, atol=1e-9)
+    step = jax.jit(engine.step)
+    do.qpos[:] = 0
+    do.qvel[:] = [0.5, -0.4, 0.2]
+    d = d.replace(qpos=jnp.zeros(3, d.qpos.dtype),
+                  qvel=jnp.asarray([0.5, -0.4, 0.2], d.qpos.dtype))
+    for _ in range(300):
+        mujoco.mj_step(mo, do)
+        d = step(m, d)
+    assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-10
+
+
+def test_unknown_equality_raises():
+    xml = """
+    <mujoco><worldbody>
+      <body name="b1"><joint type="hinge"/>
+        <geom type="sphere" size="0.1" mass="1"/></body>
+    </worldbody>
+    <equality><distance body1="b1" body2="world"/></equality></mujoco>
+    """
+    with pytest.raises(ValueError, match="not supported"):
+        parse_mjcf_string(xml)
+
+
 def test_unknown_wrap_element_raises():
     xml = """
     <mujoco><worldbody>
