@@ -249,8 +249,11 @@ def fwd_velocity(m: Model, d: Data) -> Data:
     vel = smooth.com_vel(m, com_full, d.qvel)
     qfrc_bias = smooth.rne(m, com_full, vel, d.qvel)
     ten = ((d.ten_length, d.ten_velocity, d.ten_J) if m.ntendon else None)
+    fluid_state = ((vel["cvel"], d.ximat, d.body_inertia)
+                   if m.opt.has_fluid else None)
     qfrc_passive, qsp, qdm, qgc = passive_mod.passive(
-        m, com, d.qpos, d.qvel, d.xipos, d.body_mass, ten=ten)
+        m, com, d.qpos, d.qvel, d.xipos, d.body_mass, ten=ten,
+        fluid_state=fluid_state)
     return d.replace(cvel=vel["cvel"], cdof_dot=vel["cdof_dot"],
                      qfrc_bias=qfrc_bias, qfrc_passive=qfrc_passive,
                      qfrc_spring=qsp, qfrc_damper=qdm, qfrc_gravcomp=qgc)

@@ -1068,6 +1068,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         noslip_iterations=ospec.noslip_iterations,
         noslip_tolerance=ospec.noslip_tolerance,
         disableflags=ospec.disableflags,
+        has_fluid=int(ospec.density > 0 or ospec.viscosity > 0
+                      or np.any(np.asarray(ospec.wind) != 0)),
     )
 
     layout = Layout(

@@ -169,6 +169,7 @@ class Option:
     noslip_iterations: int = static(default=0)
     noslip_tolerance: float = static(default=1e-6)
     disableflags: int = static(default=0)
+    has_fluid: int = static(default=0)  # density/viscosity/wind nonzero
 
 
 @pytree

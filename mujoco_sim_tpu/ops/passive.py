@@ -93,8 +93,61 @@ def gravcomp(m: Model, com: dict, xipos: jax.Array,
     return jnp.einsum("du,bu,bd->d", com["cdof"], F, mask)
 
 
+def fluid(m: Model, com: dict, xipos: jax.Array, cvel: jax.Array,
+          ximat: jax.Array, mass: jax.Array, inertia: jax.Array):
+    """Inertia-box fluid drag (mj_passive's fluid model): per body, an
+    equivalent box r_i = sqrt(3(I_j+I_k-I_i)/(2m)) sees
+      viscous:  f = -3 pi d eta v,  tau = -pi d^3 eta w,  d = 2(r0+r1+r2)/3
+      density:  f_i = -2 rho r_j r_k |v_i| v_i,
+                tau_i = -(rho/2) r_i (r_j^4 + r_k^4) |w_i| w_i
+    in the body's INERTIAL frame, with the wind subtracted from v.  All
+    coefficients probed against mujoco 3.10 qfrc_passive (r3).
+    Returns qfrc (nv,).
+    """
+    dtype = xipos.dtype
+    lay = m.layout
+    origin = com["origin"]
+    cdof = com["cdof"]
+    eta = m.opt.viscosity.astype(dtype)
+    rho = m.opt.density.astype(dtype)
+    wind = m.opt.wind.astype(dtype)
+    msafe = jnp.maximum(mass.astype(dtype), 1e-12)
+    I = inertia.astype(dtype)
+    Isum = I.sum(-1, keepdims=True)
+    r = jnp.sqrt(jnp.maximum(3.0 * (Isum - 2.0 * I) / (2.0 * msafe[:, None]),
+                             1e-24))                     # (nbody, 3)
+    # body velocity at xipos, world frame
+    w_world = cvel[:, :3]
+    v_world = cvel[:, 3:] + jnp.cross(w_world, xipos - origin)
+    # into the inertial frame (ximat columns = frame axes)
+    w_l = (ximat * w_world[:, :, None]).sum(-2)
+    v_l = (ximat * (v_world - wind)[:, :, None]).sum(-2)
+    diam = 2.0 * r.sum(-1) / 3.0
+    f_l = -3.0 * jnp.pi * eta * diam[:, None] * v_l
+    tau_l = -jnp.pi * eta * (diam ** 3)[:, None] * w_l
+    r4 = r ** 4
+    rj = jnp.roll(r, -1, axis=-1)
+    rk = jnp.roll(r, -2, axis=-1)
+    r4j = jnp.roll(r4, -1, axis=-1)
+    r4k = jnp.roll(r4, -2, axis=-1)
+    f_l = f_l - 2.0 * rho * rj * rk * jnp.abs(v_l) * v_l
+    tau_l = tau_l - 0.5 * rho * r * (r4j + r4k) * jnp.abs(w_l) * w_l
+    live = (mass > 1e-12).astype(dtype)[:, None]
+    f_w = (ximat * f_l[:, None, :]).sum(-1) * live
+    tau_w = (ximat * tau_l[:, None, :]).sum(-1) * live
+    # project through the body point/angular jacobians
+    ang, lin = cdof[:, :3], cdof[:, 3:]
+    maskbv = jnp.asarray(m.ancestor_mask, dtype)         # (nbody, nv)
+    rr = xipos - origin
+    # qfrc_i = sum_b mask * [ang_i . tau_b + (lin_i + ang_i x r_b) . f_b]
+    lin_at = (lin[None] + jnp.cross(ang[None, :, :], rr[:, None, :]))
+    qfrc = (maskbv * ((ang[None] * tau_w[:, None, :]).sum(-1)
+                      + (lin_at * f_w[:, None, :]).sum(-1))).sum(0)
+    return qfrc
+
+
 def passive(m: Model, com: dict, qpos: jax.Array, qvel: jax.Array,
-            xipos: jax.Array, mass=None, ten=None):
+            xipos: jax.Array, mass=None, ten=None, fluid_state=None):
     """(qfrc_passive, qfrc_spring, qfrc_damper, qfrc_gravcomp)."""
     dtype = qpos.dtype
     if m.opt.disableflags & int(DisableBit.PASSIVE):
@@ -102,5 +155,9 @@ def passive(m: Model, com: dict, qpos: jax.Array, qvel: jax.Array,
         return z, z, z, z
     qfrc_spring, qfrc_damper = spring_damper(m, qpos, qvel, ten=ten)
     qfrc_gravcomp = gravcomp(m, com, xipos, mass)
-    return (qfrc_spring + qfrc_damper + qfrc_gravcomp,
+    qfrc_fluid = jnp.zeros(m.nv, dtype)
+    if m.opt.has_fluid and fluid_state is not None:
+        cvel, ximat, inertia = fluid_state
+        qfrc_fluid = fluid(m, com, xipos, cvel, ximat, mass, inertia)
+    return (qfrc_spring + qfrc_damper + qfrc_gravcomp + qfrc_fluid,
             qfrc_spring, qfrc_damper, qfrc_gravcomp)
