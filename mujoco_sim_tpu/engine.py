@@ -291,12 +291,34 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     if m.nu == 0:
         return d
     from mujoco_sim_tpu.models.model import (DynType, GainType, BiasType,
-                                             TrnType)
+                                             TrnType, JointType)
     dtype = d.qpos.dtype
     lay = m.layout
     gear0 = m.actuator_gear.astype(dtype)[:, 0]
-    length = d.qpos[lay.act_qposadr] * gear0
-    velocity = d.qvel[lay.act_dofadr] * gear0
+    # scalar-joint rows: length/velocity = gear0 * joint state; free/ball
+    # rows read length 0 and velocity = (gear vector) . qvel via moment01
+    # (act_gear0_eff = 1 there, the gear is folded into moment01)
+    g0eff = jnp.asarray(lay.act_gear0_eff, dtype)
+    moment01 = jnp.asarray(lay.act_moment01, dtype)     # (nu, nv) static
+    length = (d.qpos[lay.act_qposadr] * gear0
+              * jnp.asarray(lay.act_len_valid, dtype))
+    velocity = g0eff * (moment01 @ d.qvel)
+    # ball-joint rows: length = gear[:3] . rotation vector of the joint
+    # quaternion (mju_quat2Vel semantics, wrapped to [-pi, pi])
+    ball_rows = np.nonzero(
+        (lay.act_trntype == int(TrnType.JOINT)) & (lay.act_trnjnt >= 0)
+        & (lay.jnt_type[np.maximum(lay.act_trnjnt, 0)]
+           == int(JointType.BALL)))[0]
+    if len(ball_rows):
+        from mujoco_sim_tpu.ops import math as mm
+        qadr = lay.act_qposadr[ball_rows]
+        q = mm.quat_normalize(d.qpos[qadr[:, None] + np.arange(4)])
+        sin_half = jnp.sqrt((q[:, 1:] ** 2).sum(-1) + 1e-30)
+        ang = 2.0 * jnp.arctan2(sin_half, q[:, 0])
+        ang = jnp.where(ang > jnp.pi, ang - 2.0 * jnp.pi, ang)
+        rv = q[:, 1:] / sin_half[:, None] * ang[:, None]
+        gear3 = m.actuator_gear.astype(dtype)[ball_rows, :3]
+        length = length.at[ball_rows].set((gear3 * rv).sum(-1))
 
     # site transmissions (mj_transmission mjTRN_SITE, oracle-probed): the
     # moment row is the site jacobian (minus the refsite's, if any)
@@ -449,8 +471,7 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     fr = m.actuator_forcerange.astype(dtype)
     force = jnp.where(jnp.asarray(lay.act_forcelimited),
                       jnp.clip(force, fr[:, 0], fr[:, 1]), force)
-    moment01 = jnp.asarray(lay.act_moment01, dtype)     # (nu, nv) static
-    qfrc = (force * gear0) @ moment01   # joint rows (site/tendon rows zero)
+    qfrc = (force * g0eff) @ moment01   # joint rows (site/tendon rows zero)
     if moment_site is not None:
         qfrc = qfrc + force[site_rows] @ moment_site
     if moment_ten is not None:

@@ -750,9 +750,14 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
                     f"actuator '{a.name}' targets unknown joint '{a.joint}'")
             jt = JointType(jnt_type[jid])
             if jt not in (JointType.HINGE, JointType.SLIDE):
-                raise ValueError(
-                    f"actuator '{a.name}': only hinge/slide joint "
-                    "transmissions are supported (free/ball wrenches not)")
+                # free/ball: the moment IS the (dof-count) gear vector,
+                # constant in the joint's dof coordinates (probed:
+                # actuator_moment equals gear at any orientation);
+                # length reads 0
+                if a.dyntype == "muscle" or a.gaintype == "muscle":
+                    raise ValueError(
+                        f"muscle actuator '{a.name}' cannot drive a "
+                        f"{jt.name.lower()} joint")
             act_trntype[k] = int(TrnType.JOINT)
             act_trnid[k] = jid
             act_trnjnt[k] = jid
@@ -813,9 +818,23 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
                     f"muscle actuator '{a.name}': site transmissions need "
                     "an explicit lengthrange")
     act_moment01 = np.zeros((nu, nv))
-    joint_rows = np.nonzero(act_trntype == int(TrnType.JOINT))[0]
-    if len(joint_rows):
-        act_moment01[joint_rows, act_dofadr[joint_rows]] = 1.0
+    # gear scale folded into the force->qfrc map: scalar joints use a
+    # one-hot row scaled by gear[0] at runtime; free/ball joints fold the
+    # full gear vector here and scale by 1 (act_gear0_eff)
+    act_gear0_eff = np.ones(nu)
+    act_len_valid = np.zeros(nu)
+    _NDOF = {int(JointType.FREE): 6, int(JointType.BALL): 3}
+    for k in np.nonzero(act_trntype == int(TrnType.JOINT))[0]:
+        jid = act_trnjnt[k]
+        jt = int(jnt_type[jid])
+        if jt in _NDOF:
+            n = _NDOF[jt]
+            act_moment01[k, act_dofadr[k]:act_dofadr[k] + n] = \
+                spec.actuators[k].gear[:n]
+        else:
+            act_moment01[k, act_dofadr[k]] = 1.0
+            act_gear0_eff[k] = spec.actuators[k].gear[0]
+            act_len_valid[k] = 1.0
 
     # ---- qpos0 / qpos_spring
     qpos0 = np.zeros(nq)
@@ -1151,6 +1170,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         act_forcelimited=act_forcelimited,
         act_actlimited=act_actlimited,
         act_moment01=act_moment01,
+        act_gear0_eff=act_gear0_eff,
+        act_len_valid=act_len_valid,
     )
 
     # ---- keyframes: defaults follow mj_resetDataKeyframe (qpos0 / zeros /

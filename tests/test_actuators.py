@@ -210,3 +210,50 @@ def test_actuator_names():
     assert m.nu == 4
     assert m.names.actuator == ("a1", "a2", "a3", "a4")
     assert m.names.actuator_id("a3") == 2
+
+
+def test_free_and_ball_joint_transmissions():
+    """motor on free/ball joints: the moment IS the gear vector on the
+    joint's dofs (probed: constant at any orientation); length reads 0."""
+    xml = """
+    <mujoco>
+      <compiler angle="radian"/>
+      <option timestep="0.002"/>
+      <worldbody>
+        <geom type="plane" size="3 3 0.1"/>
+        <body pos="0 0 0.5">
+          <freejoint name="fj"/>
+          <geom type="box" size="0.1 0.1 0.1" mass="1"/>
+          <body pos="0 0 0.15">
+            <joint name="bj" type="ball" damping="0.1"/>
+            <geom type="capsule" size="0.02" fromto="0 0 0 0 0 0.2"
+                  mass="0.3"/>
+          </body>
+        </body>
+      </worldbody>
+      <actuator>
+        <motor joint="fj" gear="0 0 1 0 0 0"/>
+        <motor joint="fj" gear="0 0 0 0.5 0 0.2"/>
+        <motor joint="bj" gear="0 1 0"/>
+      </actuator>
+    </mujoco>
+    """
+    mo = mujoco.MjModel.from_xml_string(xml)
+    do = mujoco.MjData(mo)
+    m = engine.set_const(compile_spec(parse_mjcf_string(xml)))
+    d = engine.make_data(m)
+    do.ctrl[:] = [14.0, 0.8, 0.4]
+    d = d.replace(ctrl=jnp.asarray([14.0, 0.8, 0.4], d.qpos.dtype))
+    step = jax.jit(engine.step)
+    worst = 0.0
+    for _ in range(200):
+        mujoco.mj_step(mo, do)
+        d = step(m, d)
+        mujoco.mj_forward(mo, do)
+        df = engine.forward(m, d)
+        worst = max(worst, float(np.abs(np.asarray(df.actuator_velocity)
+                                        - do.actuator_velocity).max()))
+    assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-8
+    assert worst < 1e-8
+    np.testing.assert_allclose(np.asarray(df.actuator_length),
+                               do.actuator_length, atol=1e-12)
