@@ -157,14 +157,54 @@ def main():
             return c
         return g
 
+    # kernel-only timing on PRE-TRANSPOSED inputs isolates the lane-last
+    # layout-change cost from the kernel itself
+    tp = jnp.transpose(jnp.pad(pts, ((0, (-N) % 128), (0, 0), (0, 0))),
+                       (1, 2, 0))
+    tpl = jnp.transpose(jnp.pad(planes, ((0, (-N) % 128), (0, 0), (0, 0)),
+                                constant_values=1.0), (1, 2, 0))
+    tm = jnp.transpose(jnp.pad(vmask, ((0, (-N) % 128), (0, 0)),
+                               constant_values=1.0), (1, 0))
+    Np = tp.shape[-1]
+
+    @jax.jit
+    def kernel_only(tp):
+        def body(c, _):
+            dep, idx, plane, sep = pl.pallas_call(
+                make_kernel(V, F, 2),
+                out_shape=(jax.ShapeDtypeStruct((2, Np), tp.dtype),
+                           jax.ShapeDtypeStruct((2, Np), jnp.int32),
+                           jax.ShapeDtypeStruct((4, Np), tp.dtype),
+                           jax.ShapeDtypeStruct((1, Np), tp.dtype)),
+                grid=(Np // 128,),
+                in_specs=[pl.BlockSpec((V, 3, 128), lambda i: (0, 0, i),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((F, 4, 128), lambda i: (0, 0, i),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((V, 128), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=(pl.BlockSpec((2, 128), lambda i: (0, i),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((2, 128), lambda i: (0, i),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((4, 128), lambda i: (0, i),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((1, 128), lambda i: (0, i),
+                                        memory_space=pltpu.VMEM)),
+            )(tp, tpl, tm)
+            return c + 1e-20 * dep.sum(), ()
+        c, _ = jax.lax.scan(body, jnp.zeros((), tp.dtype), None, length=50)
+        return c
+
     g_p = many(lambda a, b, c: sat_pallas(a, b, c), lambda o: o[0])
     g_x = many(lambda a, b, c: xla_ref(a, b, c), lambda o: o[0])
-    for name, g in (("pallas", g_p), ("xla   ", g_x)):
-        jax.block_until_ready(g(pts))
+    for name, g, arg in (("pallas", g_p, pts), ("xla   ", g_x, pts),
+                         ("kernel", kernel_only, tp)):
+        jax.block_until_ready(g(arg))
         best = 1e9
         for _ in range(10):
             t0 = time.perf_counter()
-            jax.block_until_ready(g(pts))
+            jax.block_until_ready(g(arg))
             best = min(best, time.perf_counter() - t0)
         print(f"{name}: {best/50*1e6:.1f} us/call (N={N})")
 
