@@ -609,12 +609,27 @@ def _implicit(m: Model, d: Data, fast: bool) -> Data:
         com = _com_dict(m, d)
         com_full = dict(com, cinert=_cinert(m, d))
 
-        def bias_of_v(v):
+        def frc_of_v(v):
+            # everything velocity-dependent whose derivative enters the
+            # implicit matrix: RNE bias MINUS the velocity-dependent
+            # passive forces (fluid drag, tendon damping) — mjd_smooth_vel
+            # + mjd_passive_vel in MuJoCo's mj_implicit
             vel = smooth.com_vel(m, com_full, v)
-            return smooth.rne(m, com_full, vel, v)
+            out = smooth.rne(m, com_full, vel, v)
+            if m.opt.has_fluid:
+                out = out - passive_mod.fluid(
+                    m, com, d.xipos, vel["cvel"], d.ximat, d.body_mass,
+                    d.body_inertia)
+            return out
 
-        dbias_dv = jax.jacfwd(bias_of_v)(d.qvel)   # (nv, nv), nonsymmetric
-        A = MhB + h * dbias_dv
+        dfrc_dv = jax.jacfwd(frc_of_v)(d.qvel)     # (nv, nv), nonsymmetric
+        A = MhB + h * dfrc_dv
+        if m.ntendon:
+            # tendon damping enters as the DIAGONAL approximation of
+            # J^T b J (probed: the full outer product mismatches
+            # mj_implicit; MuJoCo folds it like joint damping)
+            b = m.ten_damping.astype(dtype)
+            A = A + h * jnp.diag((b[:, None] * d.ten_J ** 2).sum(0))
         qacc = jnp.linalg.solve(A, rhs)
     qvel = jnp.where(_dof_active(m, d), d.qvel + h * qacc, 0.0)
     qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)

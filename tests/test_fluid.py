@@ -74,3 +74,29 @@ def test_fluid_trajectory():
         mujoco.mj_step(mo, do)
         d = step(m, d)
     assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-9
+
+
+def test_implicit_with_fluid_and_tendon_damping():
+    """mj_implicit's qDeriv includes fluid drag and tendon damping
+    derivatives (mjd_passive_vel); 200 steps bit-level."""
+    xml = XML.replace('<option timestep="0.002"',
+                      '<option integrator="implicit" timestep="0.002"')
+    xml = xml.replace("</worldbody>", """
+        <body pos="-1 0 1">
+          <joint name="h2" type="hinge" axis="0 1 0"/>
+          <geom type="capsule" size="0.03" fromto="0 0 0 0.3 0 0"
+                mass="0.5"/>
+        </body>
+      </worldbody>""").replace("</mujoco>", """
+      <tendon><fixed name="tt" damping="0.8" stiffness="3">
+        <joint joint="h" coef="1.0"/><joint joint="h2" coef="-0.6"/>
+      </fixed></tendon>
+    </mujoco>""")
+    mo, do, m, d = _pair(xml)
+    do.qvel[:] = np.linspace(-1, 1, mo.nv)
+    d = d.replace(qvel=jnp.asarray(do.qvel.copy(), d.qpos.dtype))
+    step = jax.jit(engine.step)
+    for _ in range(200):
+        mujoco.mj_step(mo, do)
+        d = step(m, d)
+    assert np.abs(do.qpos - np.asarray(d.qpos)).max() < 1e-9
