@@ -894,7 +894,17 @@ def collision(m: Model, d: Data) -> Data:
             alive = (body_act[lay.geom_bodyid[pg1]]
                      & body_act[lay.geom_bodyid[pg2]])
             score = jnp.where(alive, bd, BIG)
-            _, selp = _top_k_small(-score, P)
+            # rank-based top-P: one (npg, npg) comparison + row-sum gives
+            # every pair's rank at once, replacing P serial argmax passes
+            # (~105us of the r2 PR2 step); ties break to the lower index,
+            # matching _top_k_small/lax.top_k ordering exactly
+            iota_n = np.arange(npg)
+            lt = score[None, :] < score[:, None]
+            tie = ((score[None, :] == score[:, None])
+                   & jnp.asarray(iota_n[None, :] < iota_n[:, None]))
+            rank = (lt | tie).sum(-1)
+            ohp = ((rank[None, :] == jnp.arange(P)[:, None])
+                   & (rank[None, :] < P)).astype(dtype)    # (P, npairs_g)
             # The selected pairs' payload comes from chained one-hot
             # matmuls, all with STATIC 0/1 right-hand sides:
             #   ohp (P, npairs_g)         traced top-P selection
@@ -905,7 +915,6 @@ def collision(m: Model, d: Data) -> Data:
             # replacing per-field traced-index gathers (~1.9 ms/step on the
             # r2 PR2 trace) and the earlier (nenv, npairs, 83) payload
             # concat (~0.5 ms/step, r2 trace concatenate.1873).
-            ohp = jax.nn.one_hot(selp, npg, dtype=dtype)    # (P, npairs_g)
             nhull = m.mesh_vert_pad.shape[0]  # meshes + cyl prisms
             is_mm = key == (GeomType.MESH, GeomType.MESH)
             S = np.zeros((npg, 2 * m.ngeom))
