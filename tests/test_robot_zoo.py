@@ -89,3 +89,30 @@ def test_hsrb4s_contact_sanity():
     assert np.isfinite(q).all()
     np.testing.assert_allclose(q[:3], dd.qpos[:3], atol=5e-2)  # base pos
     assert np.abs(q - dd.qpos).max() < 0.5  # no joint runs away
+
+
+@pytest.mark.parametrize("name,band", [
+    ("ridgeback_panda/ridgeback_panda", 0.1),
+    ("armar/armar6", 0.5),
+])
+def test_deep_start_trajectories(name, band):
+    """ridgeback/armar6 50-step bands: both models START with mesh pairs
+    interpenetrated several cm (armar6 arm segments 7.3 cm), where the
+    oracle emits ONE EPA contact per pair vs our 2-vert manifolds —
+    the doubled rows stiffen the push-out and the recovery trajectories
+    drift (r3 diagnosis; exact parity needs EPA + face-clip manifolds,
+    see CLAUDE.md round-4).  Depths match to <1 mm; these bands pin the
+    current behavior so regressions surface."""
+    import mujoco
+    path = f"/root/reference/model/test/{name}.xml"
+    mm = oracle_model(path)
+    dd = mujoco.MjData(mm)
+    m = load_model(path)
+    d = engine.make_data(m)
+    step = jax.jit(engine.step)
+    for _ in range(50):
+        mujoco.mj_step(mm, dd)
+        d = step(m, d)
+    err = np.abs(np.asarray(d.qpos) - dd.qpos).max()
+    assert np.isfinite(np.asarray(d.qpos)).all()
+    assert err < band, err
