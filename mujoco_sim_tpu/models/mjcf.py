@@ -452,6 +452,8 @@ def parse_mjcf_string(xml: str, base_dir: str = ".") -> SpecTree:
 
 
 def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
+    from mujoco_sim_tpu.models import rotations as R
+
     spec = SpecTree(base_dir=base_dir)
     spec.model_name = root.get("model", "MuJoCo Model")
 
@@ -667,36 +669,70 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         b.gravcomp = _get_f(el, "gravcomp", 0.0)
         b.mocap = _get_b(el, "mocap", False)
         cc = el.get("childclass", childclass)
-        for child in el:
-            if child.tag == "joint":
-                b.joints.append(parse_joint(child, cc))
-            elif child.tag == "freejoint":
-                j = JointSpec(name=child.get("name", ""), type="free",
-                              limited=False)
-                b.joints.append(j)
-            elif child.tag == "geom":
-                b.geoms.append(parse_geom(child, cc))
-            elif child.tag == "site":
-                s = _with_defaults(child, defaults, "main", cc)
-                ssize = _get_v(s, "size", np.array([0.005]))
-                ssize = np.pad(ssize, (0, 3 - len(ssize)),
-                               mode="edge")[:3]
-                b.sites.append(SiteSpec(
-                    name=s.get("name", ""),
-                    pos=_get_v(s, "pos", np.zeros(3)),
-                    quat=_quat_from_attrs(s, deg, comp.eulerseq),
-                    type=s.get("type", "sphere"),
-                    size=ssize))
-            elif child.tag == "inertial":
-                ine = InertialSpec()
-                ine.pos = _get_v(child, "pos", np.zeros(3))
-                ine.quat = _quat_from_attrs(child, deg, comp.eulerseq)
-                ine.mass = _get_f(child, "mass", 0.0)
-                ine.diaginertia = _get_v(child, "diaginertia", None)
-                ine.fullinertia = _get_v(child, "fullinertia", None)
-                b.inertial = ine
-            elif child.tag == "body":
-                b.children.append(parse_body(child, cc))
+
+        ident = np.array([1.0, 0, 0, 0])
+
+        def xform(obj, fpos, fquat, axis=False):
+            """compose a <frame> transform onto a parsed child spec"""
+            obj.pos = fpos + R.rot_vec_np(obj.pos, fquat)
+            if axis:
+                obj.axis = R.rot_vec_np(obj.axis, fquat)
+            else:
+                obj.quat = R.quat_mul_np(fquat, obj.quat)
+            return obj
+
+        def walk(el_, cc_, fpos, fquat):
+            """children of a body or (recursively) a <frame>; frames are
+            pure compile-time transforms folded into their children"""
+            plain = not np.any(fpos) and fquat[0] == 1.0 and \
+                not np.any(fquat[1:])
+            for child in el_:
+                if child.tag == "frame":
+                    cpos = _get_v(child, "pos", np.zeros(3))
+                    cquat = _quat_from_attrs(child, deg, comp.eulerseq)
+                    walk(child, child.get("childclass", cc_),
+                         fpos + R.rot_vec_np(cpos, fquat),
+                         R.quat_mul_np(fquat, cquat))
+                elif child.tag == "joint":
+                    j = parse_joint(child, cc_)
+                    b.joints.append(j if plain
+                                    else xform(j, fpos, fquat, axis=True))
+                elif child.tag == "freejoint":
+                    j = JointSpec(name=child.get("name", ""), type="free",
+                                  limited=False)
+                    b.joints.append(j)
+                elif child.tag == "geom":
+                    g = parse_geom(child, cc_)
+                    b.geoms.append(g if plain else xform(g, fpos, fquat))
+                elif child.tag == "site":
+                    s = _with_defaults(child, defaults, "main", cc_)
+                    ssize = _get_v(s, "size", np.array([0.005]))
+                    ssize = np.pad(ssize, (0, 3 - len(ssize)),
+                                   mode="edge")[:3]
+                    sp = SiteSpec(
+                        name=s.get("name", ""),
+                        pos=_get_v(s, "pos", np.zeros(3)),
+                        quat=_quat_from_attrs(s, deg, comp.eulerseq),
+                        type=s.get("type", "sphere"),
+                        size=ssize)
+                    b.sites.append(sp if plain
+                                   else xform(sp, fpos, fquat))
+                elif child.tag == "inertial":
+                    ine = InertialSpec()
+                    ine.pos = _get_v(child, "pos", np.zeros(3))
+                    ine.quat = _quat_from_attrs(child, deg, comp.eulerseq)
+                    ine.mass = _get_f(child, "mass", 0.0)
+                    ine.diaginertia = _get_v(child, "diaginertia", None)
+                    ine.fullinertia = _get_v(child, "fullinertia", None)
+                    if not plain:
+                        xform(ine, fpos, fquat)
+                    b.inertial = ine
+                elif child.tag == "body":
+                    sub = parse_body(child, cc_)
+                    b.children.append(sub if plain
+                                      else xform(sub, fpos, fquat))
+
+        walk(el, cc, np.zeros(3), ident)
         return b
 
     # -- worldbody blocks (possibly several; reference pendulum.xml has two)

@@ -124,3 +124,43 @@ def test_keyframes_oracle(tmp_path):
         mujoco.mj_step(mm, dd)
         d = step(m, d)
     assert np.abs(dd.qpos - np.asarray(d.qpos)).max() < 1e-8
+
+
+def test_frame_elements(tmp_path):
+    """<frame>: a pure compile-time transform folded into its children
+    (bodies/geoms/sites/joints), including nesting."""
+    xml = tmp_path / "framed.xml"
+    xml.write_text("""
+<mujoco>
+  <compiler angle="radian"/>
+  <worldbody>
+    <frame pos="0.5 0 1" euler="0 0.4 0">
+      <geom name="g1" type="box" size=".1 .05 .02" pos="0.1 0 0"
+            euler="0.2 0 0"/>
+      <frame pos="0 0.3 0" euler="0.3 0 0">
+        <body name="b1" pos="0.05 0 0.1">
+          <joint name="j1" type="hinge" axis="0 1 0"/>
+          <geom type="sphere" size="0.04" mass="1"/>
+          <site name="s1" pos="0.02 0 0" euler="0 0 0.5"/>
+        </body>
+      </frame>
+    </frame>
+  </worldbody>
+</mujoco>""")
+    mm = oracle_model(str(xml))
+    m = load_model(str(xml))
+    assert m.nbody == mm.nbody
+    np.testing.assert_allclose(np.asarray(m.body_pos), mm.body_pos,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.body_quat), mm.body_quat,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.geom_pos), mm.geom_pos,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.geom_quat), mm.geom_quat,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.site_pos), mm.site_pos,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.site_quat), mm.site_quat,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.jnt_axis), mm.jnt_axis,
+                               atol=1e-12)
