@@ -1112,6 +1112,8 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         geom_dataid=geom_dataid,
         geom_hullid=geom_hullid,
         geom_hfieldid=geom_hfieldid,
+        geom_invisible=np.asarray(
+            [g.rgba[3] <= 0.0 for g in geom_specs], dtype=bool),
         hf_nrow=hf_nrow,
         hf_ncol=hf_ncol,
         site_bodyid=np.asarray(site_bodyid, dtype=int),

@@ -178,7 +178,7 @@ def sensors(m: Model, d: Data) -> Data:
         vec = d.site_xmat[sids][..., :, 2]
         geom_mask = (np.asarray(lay.geom_bodyid)[None, :]
                      != np.asarray(lay.site_bodyid)[sids][:, None])
-        geom_mask &= (np.asarray(m.geom_rgba)[:, 3] > 0.0)[None, :]
+        geom_mask &= ~np.asarray(lay.geom_invisible)[None, :]
         rf_dist = raycast.ray_all(m, d, pnt, vec, geom_mask)
         rf_val = jnp.where(rf_dist > raycast.INF / 2,
                            jnp.asarray(-1.0, dtype), rf_dist)
