@@ -1089,6 +1089,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         disableflags=ospec.disableflags,
         has_fluid=int(ospec.density > 0 or ospec.viscosity > 0
                       or np.any(np.asarray(ospec.wind) != 0)),
+        override_contacts=int(ospec.override_contacts),
     )
 
     layout = Layout(

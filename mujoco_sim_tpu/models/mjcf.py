@@ -269,6 +269,7 @@ class OptionSpec:
         default_factory=lambda: np.array([0.9, 0.95, 0.001, 0.5, 2.0]))
     disableflags: int = 0
     energy: bool = False
+    override_contacts: bool = False
 
 
 @dataclasses.dataclass
@@ -497,6 +498,12 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         opt.noslip_tolerance = _get_f(el, "noslip_tolerance",
                                       opt.noslip_tolerance)
         opt.o_margin = _get_f(el, "o_margin", opt.o_margin)
+        osr = _get_v(el, "o_solref", None)
+        if osr is not None:
+            opt.o_solref = osr[:2]
+        osi = _get_v(el, "o_solimp", None)
+        if osi is not None:
+            opt.o_solimp = osi[:5]
         for fl in el.findall("flag"):
             from mujoco_sim_tpu.models.model import DisableBit
             flag_bits = {
@@ -515,6 +522,8 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
                     opt.disableflags |= int(bit)
             if fl.get("energy") == "enable":
                 opt.energy = True
+            if fl.get("override") == "enable":
+                opt.override_contacts = True
 
     defaults = _parse_defaults(root)
 

@@ -170,6 +170,7 @@ class Option:
     noslip_tolerance: float = static(default=1e-6)
     disableflags: int = static(default=0)
     has_fluid: int = static(default=0)  # density/viscosity/wind nonzero
+    override_contacts: int = static(default=0)  # mjENBL_OVERRIDE
 
 
 @pytree

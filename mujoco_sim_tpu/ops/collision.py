@@ -822,6 +822,10 @@ def collision(m: Model, d: Data) -> Data:
     # without retracing (runtime/sim.py spawn; mj_ros.cpp:941-966)
     rbound = d.geom_rbound.astype(dtype)
     margin_all = jnp.asarray(m.pair_margin, dtype)
+    if m.opt.override_contacts:
+        # mjENBL_OVERRIDE: o_margin replaces every pair's margin
+        margin_all = jnp.broadcast_to(m.opt.o_margin.astype(dtype),
+                                      margin_all.shape)
     sizes = d.geom_size.astype(dtype)
 
     # per-geom dynamic payload, built once and shared by every mesh group:
@@ -978,14 +982,29 @@ def collision(m: Model, d: Data) -> Data:
     # attribute segments are re-selected with a small one-hot matmul — no
     # dynamic element gathers anywhere (each cost 85-170us/step on PR2, r2
     # trace fusion.8611+).
+    npair_ = len(lay.pair_geom1)
+    if m.opt.override_contacts:
+        # mjENBL_OVERRIDE: o_margin/o_solref/o_solimp replace the mixed
+        # per-pair contact parameters (gap is not overridden)
+        marg_col = (jnp.broadcast_to(m.opt.o_margin.astype(dtype),
+                                     (npair_,))
+                    - jnp.asarray(m.pair_gap, dtype))[:, None]
+        solref_cols = jnp.broadcast_to(m.opt.o_solref.astype(dtype),
+                                       (npair_, 2))
+        solimp_cols = jnp.broadcast_to(m.opt.o_solimp.astype(dtype),
+                                       (npair_, 5))
+    else:
+        marg_col = jnp.asarray(m.pair_margin - m.pair_gap, dtype)[:, None]
+        solref_cols = jnp.asarray(m.pair_solref, dtype)
+        solimp_cols = jnp.asarray(m.pair_solimp, dtype)
     pair_attrs = jnp.concatenate([
         jnp.asarray(lay.pair_geom1, dtype)[:, None],
         jnp.asarray(lay.pair_geom2, dtype)[:, None],
-        jnp.asarray(m.pair_margin - m.pair_gap, dtype)[:, None],
+        marg_col,
         jnp.asarray(lay.pair_condim, dtype)[:, None],
         jnp.asarray(m.pair_friction, dtype),
-        jnp.asarray(m.pair_solref, dtype),
-        jnp.asarray(m.pair_solimp, dtype),
+        solref_cols,
+        solimp_cols,
     ], axis=1)                                      # (npair, 4+5+2+5)
     attr_blocks = []
     for g, selp_blk in zip(groups, blk_selp):

@@ -164,3 +164,38 @@ def test_frame_elements(tmp_path):
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(m.jnt_axis), mm.jnt_axis,
                                atol=1e-12)
+
+
+def test_contact_override_flag(tmp_path):
+    """<flag override="enable"/>: o_margin/o_solref/o_solimp replace the
+    mixed per-pair contact parameters (mjENBL_OVERRIDE)."""
+    import jax
+    import jax.numpy as jnp
+    import mujoco
+    from mujoco_sim_tpu import engine
+
+    xml = tmp_path / "override.xml"
+    xml.write_text("""
+<mujoco>
+  <option timestep="0.002" o_margin="0.01" o_solref="0.01 0.7"
+          o_solimp="0.8 0.9 0.002 0.6 2">
+    <flag override="enable"/>
+  </option>
+  <worldbody>
+    <geom type="plane" size="2 2 0.1" solref="0.05 0.5" solimp="0.5 0.6 0.01"/>
+    <body pos="0 0 0.3"><freejoint/>
+      <geom type="box" size="0.1 0.08 0.06" mass="1"
+            solref="0.04 2" margin="0.002"/></body>
+  </worldbody>
+</mujoco>""")
+    mm = oracle_model(str(xml))
+    dd = mujoco.MjData(mm)
+    m = load_model(str(xml))
+    d = engine.make_data(m)
+    step = jax.jit(engine.step)
+    dd.qvel[:] = [0.3, -0.2, -1.0, 1.0, 2.0, 0.5]
+    d = d.replace(qvel=jnp.asarray(dd.qvel.copy(), d.qpos.dtype))
+    for _ in range(300):
+        mujoco.mj_step(mm, dd)
+        d = step(m, d)
+    assert np.abs(dd.qpos - np.asarray(d.qpos)).max() < 1e-8
