@@ -19,6 +19,7 @@ import numpy as np
 
 from mujoco_sim_tpu.models.model import (Model, Data, GeomType,
                                           contact_rows_per)
+from mujoco_sim_tpu.ops.mpr import mpr_penetration
 
 
 def _rows_per(m: Model) -> int:
@@ -644,6 +645,42 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
     dist = jnp.concatenate([d_a, d_b], axis=-1)
     pos = jnp.concatenate([pos_a, pos_b], axis=-2)
     nrm = jnp.broadcast_to(n_mtv, pos.shape)
+
+    # ---- deep-pair MPR refinement.  MuJoCo's backend resolves a deeply
+    # overlapping convex pair with ONE MPR/EPA contact (2.3.7 libccd
+    # ccdMPRPenetration; 3.x GJK/EPA emits a single point unless the
+    # touching faces are aligned, probed on the mesh-stack fixture); our
+    # 2+2 vertex manifolds double the push-out rows there and the deep
+    # -start recovery trajectories drift (hsrb4s gripper 18 mm, armar6
+    # arms 7.3 cm).  Face-aligned deep stacks keep the SAT manifold (the
+    # oracle's multiCCD emits overlap-polygon corners there); any other
+    # pair deeper than the threshold is replaced by the MPR contact.
+    # The gate drives mpr_penetration's `enabled` short-circuit, so
+    # shallow-contact scenes (PR2 bench: fingertips ~1.7 mm) exit the MPR
+    # while_loops at the first condition check.
+    depth_sat = -sep
+    deep_thr = jnp.minimum(5e-3, 0.25 * jnp.minimum(rb1, rb2))
+    n_flat = n_mtv[..., 0, :]
+    nf1w = _rotate_rows_fwd(R1, planes1[..., :3])
+    nf2w = _rotate_rows_fwd(R2, planes2[..., :3])
+    # 0.985 (~10 deg): decimated-hull + prism facet normals wobble several
+    # degrees off the true face; scanned 0.98..0.999 over the deep-start
+    # zoo — ridgeback's cylinder-vs-mesh line contact classifies aligned
+    # (the oracle emits a 5-point polygon manifold there) while hsrb4s's
+    # gripper and armar6's arm pairs stay MPR-refined
+    cos_tol = 0.985
+    aligned = (((nf1w * n_flat[..., None, :]).sum(-1).max(-1) > cos_tol)
+               & ((nf2w * n_flat[..., None, :]).sum(-1).min(-1) < -cos_tol))
+    use_mpr = (depth_sat > deep_thr) & ~aligned
+    vmpr = jnp.vectorize(mpr_penetration,
+                         signature='(v,d),(v),(w,d),(w),()->(),(d),(d)')
+    d_m, n_m, p_m = vmpr(vw1, vmask1, vw2, vmask2, use_mpr)
+    ok = use_mpr & (d_m >= 0.0)
+    first = jnp.zeros(dist.shape[-1], bool).at[0].set(True)
+    mdist = jnp.where(first, -d_m[..., None], jnp.asarray(1e9, dist.dtype))
+    dist = jnp.where(ok[..., None], mdist, dist)
+    pos = jnp.where(ok[..., None, None], p_m[..., None, :], pos)
+    nrm = jnp.where(ok[..., None, None], n_m[..., None, :], nrm)
     return dist, pos, nrm
 
 

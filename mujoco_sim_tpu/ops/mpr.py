@@ -47,11 +47,17 @@ def _center(verts, mask):
     return (verts * mask[:, None]).sum(0) / w
 
 
-def mpr_penetration(vertsA, maskA, vertsB, maskB):
+def mpr_penetration(vertsA, maskA, vertsB, maskB, enabled=None):
     """(depth, dir, pos): depth >= 0 when penetrating (-1.0 when the
     shapes are separated), dir = unit MTV axis oriented from A toward B
     (translate A by -depth*dir to resolve; same orientation as
-    mjContact.frame[0:3] with A = geom1), pos = contact point."""
+    mjContact.frame[0:3] with A = geom1), pos = contact point.
+
+    enabled: optional traced bool; when False the query short-circuits to
+    a miss with BOTH while_loops starting converged.  Callers vmap over
+    candidate pairs and gate on "deep penetration" — when no lane needs
+    refinement the loops exit at the first condition check, so the jitted
+    step pays ~nothing on shallow-contact scenes (PR2 bench)."""
     dtype = vertsA.dtype
 
     def sup(d):
@@ -75,6 +81,8 @@ def mpr_penetration(vertsA, maskA, vertsB, maskB):
     d1 = -v0
     v1, p1 = sup(d1)
     sep = (v1 * d1).sum() < 0.0
+    if enabled is not None:
+        sep = sep | ~enabled
 
     # v2: perpendicular to (v0, v1)
     d2 = jnp.cross(v0, v1)
@@ -151,8 +159,10 @@ def mpr_penetration(vertsA, maskA, vertsB, maskB):
         depth_new = jnp.abs((n * v1).sum())
         return (v1n, v2n, v3n, p1n, p2n, p3n, depth_new, it + 1, done)
 
+    # separated / disabled / undiscovered lanes skip refinement entirely
+    # (the refine loop used to spin its 64 iterations even for misses)
     st = (v1, v2, v3, p1, p2, p3, jnp.asarray(0.0, dtype),
-          jnp.asarray(0), jnp.asarray(False))
+          jnp.asarray(0), sep | ~found)
     v1, v2, v3, p1, p2, p3, depth, _, _ = jax.lax.while_loop(
         ref_cond, ref_body, st)
 

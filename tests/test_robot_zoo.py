@@ -72,9 +72,10 @@ def test_tiago_contact_trajectory():
 
 def test_hsrb4s_contact_sanity():
     """hsrb4s steps stably with contacts: its gripper meshes START 18 mm
-    interpenetrated, where manifold-count differences vs the oracle's single
-    MPR contact shift the finger-spring equilibrium — base pose must still
-    track; finger angles get a loose band."""
+    interpenetrated; the deep-pair MPR refinement emits the oracle's
+    single-contact form there (err50 0.30 vs 0.40 with SAT manifolds) but
+    the finger-spring recovery is chaotic — base pose must track tightly;
+    joints get a pinned band."""
     import mujoco
     path = "/root/reference/model/test/hsrb4s/hsrb4s.xml"
     mm = oracle_model(path)
@@ -88,21 +89,23 @@ def test_hsrb4s_contact_sanity():
     q = np.asarray(d.qpos)
     assert np.isfinite(q).all()
     np.testing.assert_allclose(q[:3], dd.qpos[:3], atol=5e-2)  # base pos
-    assert np.abs(q - dd.qpos).max() < 0.5  # no joint runs away
+    assert np.abs(q - dd.qpos).max() < 0.4  # no joint runs away
 
 
 @pytest.mark.parametrize("name,band", [
     ("ridgeback_panda/ridgeback_panda", 0.1),
-    ("armar/armar6", 0.5),
+    ("armar/armar6", 0.4),
 ])
 def test_deep_start_trajectories(name, band):
     """ridgeback/armar6 50-step bands: both models START with mesh pairs
-    interpenetrated several cm (armar6 arm segments 7.3 cm), where the
-    oracle emits ONE EPA contact per pair vs our 2-vert manifolds —
-    the doubled rows stiffen the push-out and the recovery trajectories
-    drift (r3 diagnosis; exact parity needs EPA + face-clip manifolds,
-    see CLAUDE.md round-4).  Depths match to <1 mm; these bands pin the
-    current behavior so regressions surface."""
+    interpenetrated several cm (armar6 arm segments 7.3 cm).  The deep
+    -pair MPR refinement (ops/collision.py::_mesh_mesh tail) now replaces
+    our 2+2 vertex manifolds with the oracle-matching single MPR contact
+    for non-face-aligned deep pairs (armar6 err50 0.30 vs 0.39 with SAT
+    manifolds; ridgeback unchanged at 0.05 — its deep pair is a cylinder
+    side lying on a face, which classifies aligned and keeps the SAT
+    polygon approximation).  Residual drift is chaotic-recovery
+    divergence; the bands pin current behavior so regressions surface."""
     import mujoco
     path = f"/root/reference/model/test/{name}.xml"
     mm = oracle_model(path)
