@@ -50,6 +50,41 @@ class SimClient:
         finally:
             self.close()
 
+    def subscribe_latest(self, topics, rate=60.0):
+        """Like subscribe, but each yield drains the socket and returns only
+        the NEWEST complete message.  A consumer slower than the publish
+        rate otherwise reads an ever-growing backlog — the cross-server
+        state sync was applying minutes-stale peer poses (its per-message
+        jax update runs ~30/s vs the 120 Hz stream, and the peer's jit
+        -compile window alone queues hundreds of t=0 messages).  Reads the
+        raw socket; do not interleave with call()."""
+        import select
+
+        req = {"op": "subscribe", "topics": topics, "rate": rate}
+        self.f.write(json.dumps(req) + "\n")
+        self.f.flush()
+        buf = b""
+        try:
+            while True:
+                data = self.sock.recv(65536)      # block for fresh bytes
+                if not data:
+                    return
+                buf += data
+                while True:                        # greedy drain
+                    r, _, _ = select.select([self.sock], [], [], 0.0)
+                    if not r:
+                        break
+                    data = self.sock.recv(65536)
+                    if not data:
+                        break
+                    buf += data
+                *lines, buf = buf.split(b"\n")     # keep the partial tail
+                lines = [ln for ln in lines if ln.strip()]
+                if lines:
+                    yield json.loads(lines[-1])
+        finally:
+            self.close()
+
     def close(self):
         try:
             self.sock.close()

@@ -133,8 +133,11 @@ class SimServer:
                 time.sleep(0.2)
                 continue
             try:
-                for msg in cli.subscribe(["object_states"],
-                                         rate=self.receive_rate):
+                # latest-wins: the per-message mocap update is slower than
+                # the publish rate; subscribe() would replay an unbounded
+                # backlog of stale poses (test_multiserver regression)
+                for msg in cli.subscribe_latest(["object_states"],
+                                                rate=self.receive_rate):
                     if not self._running:
                         break
                     objs = msg.get("object_states", {}).get("objects", [])
