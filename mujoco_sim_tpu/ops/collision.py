@@ -20,6 +20,7 @@ import numpy as np
 from mujoco_sim_tpu.models.model import (Model, Data, GeomType,
                                           contact_rows_per)
 from mujoco_sim_tpu.ops.mpr import mpr_penetration
+from mujoco_sim_tpu.ops.gjk import point_hull_closest
 
 
 def _rows_per(m: Model) -> int:
@@ -514,22 +515,71 @@ def _select_rows(pts, idx):
     return (oh[..., :, :, None] * pts[..., None, :, :]).sum(-2)
 
 
-def _sphere_mesh(p1, R1, s1, p2, R2, verts2, planes2):
-    cl = ((R2 * (p1 - p2)[..., :, None]).sum(-2))[..., None, :]
-    sdf, fidx = _hull_sdf(cl, planes2)
+def _point_hull_refine(q, sdf, nref_l, verts, planes, vmask,
+                       near_window=0.01):
+    """Corner/edge-region exact distance for probe points OUTSIDE a hull.
+
+    The max-plane sdf is the distance to the reference face's PLANE; for
+    points whose projection leaves the face polygon (edge/vertex Voronoi
+    regions) it underestimates the Euclidean hull distance, spawning
+    phantom contacts (ridgeback's arm sphere vs base hull read -5.3 mm
+    where the oracle saw no contact).  Runs the GJK closest-point query
+    (ops/gjk.py) only for outside points that are near-contact AND whose
+    face projection exits the hull; all-disabled batches exit the GJK
+    while_loop at its first condition check, so face-resting contacts
+    pay ~nothing.
+
+    q (..., 3) local probe points, sdf (...,) their max-plane sdf,
+    nref_l (..., 3) their reference-face local normal; verts/planes/
+    vmask must broadcast against q's batch dims.  near_window bounds the
+    plane sdf for which refinement can matter — callers add the probe
+    radius (a sphere's plane sdf sits at r + dist).
+    Returns (dist (...,), dir (..., 3) unit probe->hull local, enabled).
+    """
+    qp = q - sdf[..., None] * nref_l
+    psdf_qp = _pts_vs_planes(qp[..., None, :], planes)[..., 0, :].max(-1)
+    enabled = (sdf > 0.0) & (psdf_qp > 1e-6) & (sdf < jnp.asarray(near_window))
+    vq = jnp.vectorize(point_hull_closest,
+                       signature='(d),(v,d),(v),()->(),(d)')
+    gd, gp = vq(q, verts, vmask, enabled)
+    direc = (gp - q) / jnp.maximum(gd, 1e-12)[..., None]
+    return gd, direc, enabled
+
+
+def _local_face_normals(planes, fidx):
+    """planes (..., f, 4) at fidx (..., k) -> local outward normals
+    (..., k, 3) via one-hot contraction."""
+    oh = jax.nn.one_hot(fidx, planes.shape[-2], dtype=planes.dtype)
+    return (oh[..., :, :, None] * planes[..., None, :, :3]).sum(-2)
+
+
+def _sphere_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
+    cl0 = (R2 * (p1 - p2)[..., :, None]).sum(-2)    # (..., 3) local center
+    cl = cl0[..., None, :]
+    sdf, fidx = _hull_sdf(cl, planes2)              # (..., 1)
     r = s1[..., 0:1]
     dist = sdf - r
     n_w = -_face_normal_world(R2, planes2, fidx)
+    nref_l = _local_face_normals(planes2, fidx)     # (..., 1, 3)
+    gd, gdir_l, en = _point_hull_refine(cl0, sdf[..., 0],
+                                        nref_l[..., 0, :],
+                                        verts2, planes2, vmask2,
+                                        near_window=r[..., 0] + 0.01)
+    dist = jnp.where(en[..., None], gd[..., None] - r, dist)
+    n_w = jnp.where(en[..., None, None],
+                    _rotate_rows_fwd(R2, gdir_l[..., None, :]), n_w)
     pos = p1[..., None, :] + n_w * (r + 0.5 * dist)[..., None]
     return dist, pos, n_w
 
 
-def _capsule_mesh(p1, R1, s1, p2, R2, verts2, planes2):
+def _capsule_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
     """3 sphere probes along the axis: both ends + the mid point.
 
     The mid probe supplies side contacts when the capsule lies across a hull
     face/edge (VERDICT r1 #3: end-sphere-only probing missed them); a
-    refinement step slides each probe toward its face's deepest axis point.
+    refinement step slides each probe toward its face's deepest axis point,
+    and outside-corner-region probes get the exact GJK hull distance
+    (_point_hull_refine: the plane sdf spawned phantom contacts there).
     """
     axis = R1[..., :, 2]
     hh = s1[..., 1]
@@ -558,6 +608,14 @@ def _capsule_mesh(p1, R1, s1, p2, R2, verts2, planes2):
     r = s1[..., 0:1]
     dist = sdf - r
     n_w = -_face_normal_world(R2, planes2, fidx)
+    cl_best = jnp.where(better[..., None], cl_ref, cl)
+    nref_l = _local_face_normals(planes2, fidx)        # (..., 3, 3)
+    gd, gdir_l, en = _point_hull_refine(
+        cl_best, sdf, nref_l, verts2[..., None, :, :],
+        planes2[..., None, :, :], vmask2[..., None, :],
+        near_window=r + 0.01)
+    dist = jnp.where(en, gd - r, dist)
+    n_w = jnp.where(en[..., None], _rotate_rows_fwd(R2, gdir_l), n_w)
     pos = centers + n_w * (r + 0.5 * dist)[..., None]
     return dist, pos, n_w
 
@@ -994,11 +1052,9 @@ def collision(m: Model, d: Data) -> Data:
                 verts1, planes1, vmask1 = hull_tables(A1 @ G2H)
                 dist, pos, nrm = fn(p1, R1, verts1, planes1, vmask1,
                                     p2, R2, verts2, planes2, vmask2)
-            elif key == (GeomType.BOX, GeomType.MESH):
+            else:
                 dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts2, planes2,
                                     vmask2)
-            else:
-                dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts2, planes2)
             act = (dist < marg) & alive_sel[..., None]
             selp_blk = ohp
 
