@@ -456,7 +456,17 @@ def _hull_ref_face_depth(pts_local, planes, k_out, pts_mask=None,
     — while still rejecting far-away corners; callers pass a fraction of
     the other hull's bounding radius.
     Returns (depth (...,k_out), pts idx (...,k_out), nref (...,3) local).
+
+    On the TPU backend the query runs as a fused pallas kernel
+    (ops/pallas_sat.py) instead of materializing the (instances, V, F)
+    support tensor to HBM; the XLA form below is the CPU/test path and
+    the MST_DISABLE_PALLAS A/B reference.
     """
+    from mujoco_sim_tpu.ops.pallas_sat import (hull_ref_face_depth,
+                                               use_pallas_sat)
+    if use_pallas_sat() and pts_local.ndim == 3:
+        return hull_ref_face_depth(pts_local, planes, k_out, pts_mask,
+                                   lateral_filter, lateral_slack)
     vals = _pts_vs_planes(pts_local, planes)    # (..., V, F)
     if pts_mask is not None:
         vals = jnp.where(pts_mask[..., :, None] > 0.5, vals, 1e9)
