@@ -1003,17 +1003,12 @@ def collision(m: Model, d: Data) -> Data:
             alive = (body_act[lay.geom_bodyid[pg1]]
                      & body_act[lay.geom_bodyid[pg2]])
             score = jnp.where(alive, bd, BIG)
-            # rank-based top-P: one (npg, npg) comparison + row-sum gives
-            # every pair's rank at once, replacing P serial argmax passes
-            # (~105us of the r2 PR2 step); ties break to the lower index,
-            # matching _top_k_small/lax.top_k ordering exactly
-            iota_n = np.arange(npg)
-            lt = score[None, :] < score[:, None]
-            tie = ((score[None, :] == score[:, None])
-                   & jnp.asarray(iota_n[None, :] < iota_n[:, None]))
-            rank = (lt | tie).sum(-1)
-            ohp = ((rank[None, :] == jnp.arange(P)[:, None])
-                   & (rank[None, :] < P)).astype(dtype)    # (P, npairs_g)
+            # top-P selection: P serial argmax passes (~105us on the r2 PR2
+            # trace).  The r3 rank-matrix form (one (npg,npg) lt|tie + row
+            # -sum) measured 343us on-chip at npg=883 — the O(npg^2) compare
+            # fusion is VPU-bound and LOSES to the serial passes; reverted.
+            _, selp = _top_k_small(-score, P)
+            ohp = jax.nn.one_hot(selp, npg, dtype=dtype)    # (P, npairs_g)
             # The selected pairs' payload comes from chained one-hot
             # matmuls, all with STATIC 0/1 right-hand sides:
             #   ohp (P, npairs_g)         traced top-P selection
