@@ -463,10 +463,30 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
             mesh_vert_pad[hi, :len(verts)] = verts
             mesh_vert_mask[hi, :len(verts)] = 1.0
             mesh_face_pad[hi, :len(fp)] = fp
+        # merged-face polygon tables for the face-clip manifold
+        from mujoco_sim_tpu.models.mesh_io import face_polygons
+        fp_list = [face_polygons(v, f) for v, f in hull_entries]
+        maxmface = max(len(fp) for fp, _, _ in fp_list)
+        maxfv = max(p.shape[1] for _, p, _ in fp_list)
+        mesh_fplane = np.zeros((nhull, maxmface, 4))
+        mesh_fplane[:, :, 3] = 1e9
+        mesh_fmask = np.zeros((nhull, maxmface))
+        mesh_fpoly = np.zeros((nhull, maxmface, maxfv, 3))
+        for hi, (fpl, poly, nfv) in enumerate(fp_list):
+            mesh_fplane[hi, :len(fpl)] = fpl
+            mesh_fmask[hi, :len(fpl)] = 1.0
+            mesh_fpoly[hi, :len(fpl), :poly.shape[1]] = poly
+            # pad extra fv columns by repeating each face's last vertex
+            if poly.shape[1] < maxfv:
+                mesh_fpoly[hi, :len(fpl), poly.shape[1]:] = \
+                    poly[:, -1:, :]
     else:
         mesh_vert_pad = np.zeros((0, 1, 3))
         mesh_vert_mask = np.zeros((0, 1))
         mesh_face_pad = np.zeros((0, 1, 4))
+        mesh_fplane = np.zeros((0, 1, 4))
+        mesh_fmask = np.zeros((0, 1))
+        mesh_fpoly = np.zeros((0, 1, 1, 3))
 
     # mesh geoms inherit the recentered hull's AABB half-extents as size
     # (matches mjModel.geom_size semantics for meshes)
@@ -1304,6 +1324,9 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         hfield_size=np_f(hfield_size),
         mesh_vert_mask=np_f(mesh_vert_mask),
         mesh_face_pad=np_f(mesh_face_pad),
+        mesh_fplane=np_f(mesh_fplane),
+        mesh_fmask=np_f(mesh_fmask),
+        mesh_fpoly=np_f(mesh_fpoly),
         mesh_vertadr=np_i(mesh_vertadr),
         mesh_vertnum=np_i(mesh_vertnum),
         eq_type=np_i([r[0] for r in eq_rows]),

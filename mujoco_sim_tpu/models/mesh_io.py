@@ -230,3 +230,64 @@ def process_mesh(verts: np.ndarray, max_hull_verts: int = 0,
     if max_hull_verts and len(hv) > max_hull_verts:
         hv = decimate_hull(hv, max_hull_verts)
     return hv, props
+
+
+def face_polygons(verts: np.ndarray, planes: np.ndarray, maxfv_cap: int = 16):
+    """Merged (coplanar) face polygons of a convex hull.
+
+    verts (V, 3), planes (F, 4) per-triangle [normal, offset] (as built by
+    compile._plane_eqs) -> (fplanes (Fm, 4) deduped planes, fpoly
+    (Fm, maxfv, 3) face vertices ordered CCW around each face's outward
+    normal and PADDED BY REPEATING THE LAST VERTEX (so circular adjacency
+    stays intact for clipping), nfv (Fm,) real vertex counts).
+
+    The face-clip polygon manifold (ops/collision._face_clip_manifold)
+    consumes these: MuJoCo 3.x's multiCCD emits the corners of the overlap
+    polygon of the two touching faces for face-aligned contacts (probed on
+    the mesh-stack fixture; reference behavior behind mj_step1's implicit
+    narrowphase, SURVEY.md section 2.2), which requires ordered face
+    polygons the per-triangle plane table cannot provide."""
+    scale = float(np.abs(verts).max()) if len(verts) else 1.0
+    ntol = 1e-5
+    dtol = 1e-6 * max(scale, 1e-6)
+    merged: list[np.ndarray] = []
+    for p in planes:
+        dup = False
+        for q in merged:
+            if (p[:3] @ q[:3] > 1.0 - ntol) and abs(p[3] - q[3]) < dtol:
+                dup = True
+                break
+        if not dup:
+            merged.append(p.copy())
+    fplanes = np.asarray(merged)
+    polys = []
+    nfv = []
+    for p in fplanes:
+        on = np.abs(verts @ p[:3] - p[3]) <= dtol
+        fv = verts[on]
+        # order CCW around the outward normal (right-hand rule): angle in
+        # a (t1, t2, n) right-handed basis around the face centroid
+        n = p[:3]
+        a = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else \
+            np.array([0.0, 1.0, 0.0])
+        t1 = np.cross(n, a)
+        t1 /= max(np.linalg.norm(t1), 1e-30)
+        t2 = np.cross(n, t1)  # t1 x t2 = -n... fix below
+        c = fv.mean(axis=0)
+        x = (fv - c) @ t1
+        y = (fv - c) @ t2
+        order = np.argsort(np.arctan2(y, x))
+        fv = fv[order]
+        # ensure CCW w.r.t. +n: signed area in (t1, t2) must match the
+        # basis handedness (t1 x t2 here equals -n, so flip if needed)
+        if np.dot(np.cross(t1, t2), n) < 0:
+            fv = fv[::-1]
+        if len(fv) > maxfv_cap:  # angular subsample, keeps spread corners
+            keep = np.round(np.linspace(0, len(fv), maxfv_cap,
+                                        endpoint=False)).astype(int)
+            fv = fv[keep]
+        nfv.append(len(fv))
+        pad = np.concatenate([fv, np.repeat(fv[-1:], maxfv_cap - len(fv),
+                                            axis=0)], axis=0)
+        polys.append(pad)
+    return fplanes, np.asarray(polys), np.asarray(nfv)

@@ -263,6 +263,12 @@ class Model:
     mesh_vert_pad: jax.Array      # (nmesh, maxvert, 3) padded hull verts
     mesh_vert_mask: jax.Array     # (nmesh, maxvert) 1.0 for real verts
     mesh_face_pad: jax.Array      # (nmesh, maxface, 4) [normal, offset]
+    # merged coplanar faces + ordered face polygons, for the face-clip
+    # overlap-polygon manifold (mesh_io.face_polygons); fpoly padding
+    # repeats each face's last vertex so circular adjacency survives
+    mesh_fplane: jax.Array        # (nhull, maxmface, 4)
+    mesh_fmask: jax.Array         # (nhull, maxmface) 1.0 for real faces
+    mesh_fpoly: jax.Array         # (nhull, maxmface, maxfv, 3)
 
     # ---- actuators (normalized general form; joint transmissions only.
     # type/limited flags live in Layout so kernels branch statically;
