@@ -147,17 +147,18 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     # ---- meshes
     mesh_names = [m.name for m in spec.meshes]
     mesh_idx = {n: i for i, n in enumerate(mesh_names)}
-    mesh_verts, mesh_props = [], []
+    mesh_verts, mesh_props, mesh_fulls = [], [], []
     meshdir = os.path.join(spec.base_dir, spec.compiler.meshdir)
     for msp in spec.meshes:
         if msp.vertex is not None:
             # inline vertex mesh: hull of the given points (MuJoCo
             # qhulls inline meshes the same way)
-            hull, props = mesh_io.process_mesh(
+            hull, props, full = mesh_io.process_mesh(
                 msp.vertex * np.asarray(msp.scale),
                 max_hull_verts=max_hull_verts)
             mesh_verts.append(hull)
             mesh_props.append(props)
+            mesh_fulls.append(full)
             continue
         path = os.path.join(meshdir, msp.file)
         verts = mesh_io.load_mesh_vertices(path, msp.scale)
@@ -165,10 +166,11 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         if path.lower().endswith(".stl"):
             # raw triangles feed the oracle-matching legacy inertia
             tris = mesh_io.load_stl(path) * np.asarray(msp.scale)
-        hull, props = mesh_io.process_mesh(
+        hull, props, full = mesh_io.process_mesh(
             verts, max_hull_verts=max_hull_verts, tris=tris)
         mesh_verts.append(hull)
         mesh_props.append(props)  # (volume, com, inertia_mat about com)
+        mesh_fulls.append(full)
 
     # ---- flatten bodies depth-first (preorder = MuJoCo id order)
     bodies: list[mjcf.BodySpec] = []
@@ -382,9 +384,11 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     # offset into geom pos/quat (MuJoCo does the same; the reference works
     # around it in save_geom_quat, src/mujoco_sim/mj_sim.cpp:715-793)
     mesh_vert_list, mesh_vertadr, mesh_vertnum = [], [], []
+    mesh_hi_list = []   # full-fidelity hulls, same recentered frame
     adr = 0
     recentered = []
-    for verts, (vol, com, imat) in zip(mesh_verts, mesh_props):
+    for verts, (vol, com, imat), full in zip(mesh_verts, mesh_props,
+                                             mesh_fulls):
         evals, evecs = np.linalg.eigh(imat)
         order = np.argsort(evals)[::-1]
         evecs = evecs[:, order]
@@ -393,6 +397,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         local = (verts - com) @ evecs
         recentered.append((com, R.mat_to_quat_np(evecs)))
         mesh_vert_list.append(local)
+        mesh_hi_list.append((full - com) @ evecs)
         mesh_vertadr.append(adr)
         mesh_vertnum.append(len(local))
         adr += len(local)
@@ -412,7 +417,9 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
     # verts are masked; padding planes sit at -inf so they never win the
     # hull-SDF max.
     geom_hullid = np.full(ngeom, -1)
-    hull_entries = []  # (verts, face_planes)
+    hull_entries = []  # (verts, face_planes) — decimated, hot shallow SAT
+    hull_hi_entries = []  # (verts, face_planes) — FULL hull, exact manifold
+    hull_cyl_list = []  # per hull [is_cyl, radius, half_height]
 
     def _plane_eqs(hv, faces):
         a_ = hv[faces[:, 0]]
@@ -425,9 +432,12 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
 
     if mesh_vert_list:
         from mujoco_sim_tpu.models import mesh_io as _mio
-        for local in mesh_vert_list:
+        for local, hi in zip(mesh_vert_list, mesh_hi_list):
             hv, faces = _mio.convex_hull(local)
             hull_entries.append((local, _plane_eqs(hv, faces)))
+            hv2, faces2 = _mio.convex_hull(hi)
+            hull_hi_entries.append((hv2, _plane_eqs(hv2, faces2)))
+            hull_cyl_list.append([0.0, 0.0, 0.0])
     for gi in range(ngeom):
         t = GeomType(geom_type[gi])
         if t == GeomType.MESH:
@@ -450,6 +460,13 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
                 [[0, 0, 1, hh], [0, 0, -1, hh]]])
             geom_hullid[gi] = len(hull_entries)
             hull_entries.append((verts, planes))
+            hull_hi_entries.append((verts, planes))
+            # the deep-pair exact manifold treats prism hulls as TRUE
+            # cylinders (analytic support + tangent-line features): the
+            # prism's vertex features sweep as the cylinder rolls and the
+            # resulting off-center friction at depth spins wheel joints
+            # up (ridgeback base-wheel pairs, r3 diagnosis)
+            hull_cyl_list.append([1.0, float(r), float(hh)])
 
     if hull_entries:
         maxvert = max(len(v) for v, _ in hull_entries)
@@ -463,9 +480,20 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
             mesh_vert_pad[hi, :len(verts)] = verts
             mesh_vert_mask[hi, :len(verts)] = 1.0
             mesh_face_pad[hi, :len(fp)] = fp
+        # ---- exact deep-pair manifold tables (ops/manifold.py), built
+        # from the FULL hulls: decimation error (mm-scale) rotates the
+        # exact MTV at deep penetration (hsrb4s wheel-well diagnosis).
+        # These are only touched inside the deep-pair gate, so their
+        # larger padding never costs the hot shallow-SAT path.
+        maxvhi = max(len(v) for v, _ in hull_hi_entries)
+        mesh_vert_hi = np.full((nhull, maxvhi, 3), 1e6)
+        mesh_vert_hi_mask = np.zeros((nhull, maxvhi))
+        for hi, (verts, _) in enumerate(hull_hi_entries):
+            mesh_vert_hi[hi, :len(verts)] = verts
+            mesh_vert_hi_mask[hi, :len(verts)] = 1.0
         # merged-face polygon tables for the face-clip manifold
         from mujoco_sim_tpu.models.mesh_io import face_polygons
-        fp_list = [face_polygons(v, f) for v, f in hull_entries]
+        fp_list = [face_polygons(v, f) for v, f in hull_hi_entries]
         maxmface = max(len(fp) for fp, _, _ in fp_list)
         maxfv = max(p.shape[1] for _, p, _ in fp_list)
         mesh_fplane = np.zeros((nhull, maxmface, 4))
@@ -475,11 +503,30 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         for hi, (fpl, poly, nfv) in enumerate(fp_list):
             mesh_fplane[hi, :len(fpl)] = fpl
             mesh_fmask[hi, :len(fpl)] = 1.0
-            mesh_fpoly[hi, :len(fpl), :poly.shape[1]] = poly
-            # pad extra fv columns by repeating each face's last vertex
-            if poly.shape[1] < maxfv:
-                mesh_fpoly[hi, :len(fpl), poly.shape[1]:] = \
-                    poly[:, -1:, :]
+            # face_polygons pads every poly to maxfv_cap columns by
+            # repeating the last vertex, so poly.shape[1] == maxfv
+            assert poly.shape[1] == maxfv
+            mesh_fpoly[hi, :len(fpl)] = poly
+        # deduped unit edge directions (exact-MTV edge-cross axes);
+        # capped: the cross-axis set is |EA| x |EB| per pair, so a greedy
+        # farthest-direction cap bounds the gated query's axis count
+        from mujoco_sim_tpu.models.mesh_io import edge_directions, hull_edges
+        ed_list = [edge_directions(p, n, max_dirs=48) for _, p, n in fp_list]
+        maxedir = max(len(e) for e in ed_list)
+        mesh_edir = np.zeros((nhull, maxedir, 3))
+        mesh_edir_mask = np.zeros((nhull, maxedir))
+        for hi, ed in enumerate(ed_list):
+            mesh_edir[hi, :len(ed)] = ed
+            mesh_edir_mask[hi, :len(ed)] = 1.0
+        # full edge endpoint tables (exact-MTV top-K edge refinement)
+        he_list = [hull_edges(p, n) for _, p, n in fp_list]
+        maxhe = max(len(e) for e in he_list)
+        mesh_hedge = np.full((nhull, maxhe, 2, 3), 1e6)
+        mesh_hedge_mask = np.zeros((nhull, maxhe))
+        for hi, he in enumerate(he_list):
+            mesh_hedge[hi, :len(he)] = he
+            mesh_hedge_mask[hi, :len(he)] = 1.0
+        mesh_cyl = np.asarray(hull_cyl_list)
     else:
         mesh_vert_pad = np.zeros((0, 1, 3))
         mesh_vert_mask = np.zeros((0, 1))
@@ -487,6 +534,13 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         mesh_fplane = np.zeros((0, 1, 4))
         mesh_fmask = np.zeros((0, 1))
         mesh_fpoly = np.zeros((0, 1, 1, 3))
+        mesh_edir = np.zeros((0, 1, 3))
+        mesh_edir_mask = np.zeros((0, 1))
+        mesh_cyl = np.zeros((0, 3))
+        mesh_vert_hi = np.zeros((0, 1, 3))
+        mesh_vert_hi_mask = np.zeros((0, 1))
+        mesh_hedge = np.full((0, 1, 2, 3), 1e6)
+        mesh_hedge_mask = np.zeros((0, 1))
 
     # mesh geoms inherit the recentered hull's AABB half-extents as size
     # (matches mjModel.geom_size semantics for meshes)
@@ -1327,6 +1381,13 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         mesh_fplane=np_f(mesh_fplane),
         mesh_fmask=np_f(mesh_fmask),
         mesh_fpoly=np_f(mesh_fpoly),
+        mesh_edir=np_f(mesh_edir),
+        mesh_edir_mask=np_f(mesh_edir_mask),
+        mesh_cyl=np_f(mesh_cyl),
+        mesh_vert_hi=np_f(mesh_vert_hi),
+        mesh_vert_hi_mask=np_f(mesh_vert_hi_mask),
+        mesh_hedge=np_f(mesh_hedge),
+        mesh_hedge_mask=np_f(mesh_hedge_mask),
         mesh_vertadr=np_i(mesh_vertadr),
         mesh_vertnum=np_i(mesh_vertnum),
         eq_type=np_i([r[0] for r in eq_rows]),

@@ -207,13 +207,18 @@ def decimate_hull(hv: np.ndarray, max_verts: int) -> np.ndarray:
 
 def process_mesh(verts: np.ndarray, max_hull_verts: int = 0,
                  tris: np.ndarray | None = None):
-    """verts -> (hull_verts, (volume, com, inertia_mat_about_com)).
+    """verts -> (hull_verts, (volume, com, inertia_mat_about_com), full_hull).
 
     Mass properties come from the RAW triangle surface via the oracle's
     legacy algorithm when `tris` is given; otherwise (vertex-only formats)
     from the convex hull.  The hull itself (for collision) uses the native
     geomlib quickhull when built; scipy qhull otherwise.
-    """
+
+    `full_hull` is the UNDECIMATED hull: the deep-pair exact manifold
+    (ops/manifold.py) needs full-fidelity geometry — a 32-vert decimation
+    of e.g. the hsrb4s base hull loses ~9 mm near the wheel wells, enough
+    to rotate the exact MTV onto a wrong (tilted) axis at 5.6 cm depth.
+    The hot shallow-SAT tables keep the decimated hull (perf)."""
     from mujoco_sim_tpu.models import native
     hv = faces = None
     if native.available():
@@ -227,9 +232,10 @@ def process_mesh(verts: np.ndarray, max_hull_verts: int = 0,
     else:
         vol, com, imat = mass_properties(hv, faces)
         props = (vol, com, imat)
+    full = hv
     if max_hull_verts and len(hv) > max_hull_verts:
         hv = decimate_hull(hv, max_hull_verts)
-    return hv, props
+    return hv, props, full
 
 
 def face_polygons(verts: np.ndarray, planes: np.ndarray, maxfv_cap: int = 16):
@@ -241,7 +247,7 @@ def face_polygons(verts: np.ndarray, planes: np.ndarray, maxfv_cap: int = 16):
     normal and PADDED BY REPEATING THE LAST VERTEX (so circular adjacency
     stays intact for clipping), nfv (Fm,) real vertex counts).
 
-    The face-clip polygon manifold (ops/collision._face_clip_manifold)
+    The exact deep-pair manifold (ops/manifold.exact_pair_contacts)
     consumes these: MuJoCo 3.x's multiCCD emits the corners of the overlap
     polygon of the two touching faces for face-aligned contacts (probed on
     the mesh-stack fixture; reference behavior behind mj_step1's implicit
@@ -249,6 +255,105 @@ def face_polygons(verts: np.ndarray, planes: np.ndarray, maxfv_cap: int = 16):
     polygons the per-triangle plane table cannot provide."""
     scale = float(np.abs(verts).max()) if len(verts) else 1.0
     ntol = 1e-5
+    return _face_polygons_impl(verts, planes, maxfv_cap, scale, ntol)
+
+
+def edge_directions(fpoly: np.ndarray, nfv: np.ndarray,
+                    max_dirs: int = 0) -> np.ndarray:
+    """Unique (parallel/antiparallel-deduped) unit edge directions of a
+    hull, from its merged face polygons (face_polygons output).
+
+    The complete-SAT exact-MTV query (ops/manifold.py) enumerates
+    cross(edgeA, edgeB) axes: only DIRECTIONS matter there, and merging
+    parallel edges (a cube's 12 edges -> 3 directions, a 16-gon prism's
+    48 -> 9) shrinks the axis set quadratically.  `max_dirs` > 0 further
+    caps the set by greedy farthest-direction selection (max |dot| to the
+    kept set minimized) — the cross-axis count is |EA| x |EB| per pair,
+    and edge-cross MTVs on the deep-start robots are rare enough that a
+    near-miss axis (sub-degree after capping a ~180-vert hull to 48
+    directions) only slightly overestimates depth."""
+    dirs: list[np.ndarray] = []
+    for poly, k in zip(fpoly, nfv):
+        for i in range(int(k)):
+            d = poly[(i + 1) % int(k)] - poly[i]
+            n = np.linalg.norm(d)
+            if n < 1e-12:
+                continue
+            d = d / n
+            if not any(abs(float(d @ e)) > 1.0 - 1e-8 for e in dirs):
+                dirs.append(d)
+    if not dirs:
+        return np.zeros((1, 3))
+    out = np.asarray(dirs)
+    if max_dirs and len(out) > max_dirs:
+        adot = np.abs(out @ out.T)
+        keep = [0]
+        best = adot[0].copy()
+        while len(keep) < max_dirs:
+            nxt = int(np.argmin(best))
+            keep.append(nxt)
+            best = np.maximum(best, adot[nxt])
+        out = out[np.asarray(sorted(keep))]
+    return out
+
+
+def hull_edges(fpoly: np.ndarray, nfv: np.ndarray) -> np.ndarray:
+    """Unique undirected hull edges as endpoint pairs (E, 2, 3), from the
+    merged face polygons (face_polygons output).
+
+    The exact-MTV refinement (ops/manifold._mtv) selects the top-K edges
+    nearest each hull's support plane along the coarse axis and crosses
+    them for the refined axis set — that needs endpoint POSITIONS (to
+    score plane distance), not just the deduped directions the coarse
+    pass uses."""
+    seen = set()
+    out: list[np.ndarray] = []
+    for poly, k in zip(fpoly, nfv):
+        k = int(k)
+        for i in range(k):
+            a = poly[i]
+            b = poly[(i + 1) % k]
+            if np.linalg.norm(b - a) < 1e-12:
+                continue
+            key = tuple(sorted((tuple(np.round(a, 9)), tuple(np.round(b, 9)))))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(np.stack([a, b]))
+    if not out:
+        return np.zeros((1, 2, 3))
+    return np.asarray(out)
+
+
+def _hull2d_ccw(pts: np.ndarray) -> np.ndarray:
+    """Indices of the 2D convex hull of pts (k, 2), CCW order (monotone
+    chain).  Collinear boundary points are kept only at the corners."""
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+
+    def half(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                o, a = pts[out[-2]], pts[out[-1]]
+                if (a[0] - o[0]) * (pts[i][1] - o[1]) - \
+                   (a[1] - o[1]) * (pts[i][0] - o[0]) <= 1e-18:
+                    out.pop()
+                else:
+                    break
+            out.append(int(i))
+        return out
+
+    lower = half(order)
+    upper = half(order[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:          # degenerate (collinear face) — keep ends
+        hull = list(dict.fromkeys(lower + upper))[:3]
+        while len(hull) < 3:
+            hull.append(hull[-1])
+    return np.asarray(hull)
+
+
+def _face_polygons_impl(verts, planes, maxfv_cap, scale, ntol):
     dtol = 1e-6 * max(scale, 1e-6)
     merged: list[np.ndarray] = []
     for p in planes:
@@ -265,23 +370,29 @@ def face_polygons(verts: np.ndarray, planes: np.ndarray, maxfv_cap: int = 16):
     for p in fplanes:
         on = np.abs(verts @ p[:3] - p[3]) <= dtol
         fv = verts[on]
-        # order CCW around the outward normal (right-hand rule): angle in
-        # a (t1, t2, n) right-handed basis around the face centroid
+        # a sliver/degenerate plane (normal ~0 after the guarded
+        # normalize) can select <3 on-plane verts; fail loudly at compile
+        # rather than emit a NaN-centroid polygon the clipper trips on
+        assert len(fv) >= 3, (
+            f"degenerate hull face: {len(fv)} on-plane verts for plane {p}")
+        # order CCW around the outward normal via the 2D convex hull in
+        # the (t1, t2, n) right-handed basis (t1 = n x a normalized,
+        # t2 = n x t1 => t1 x t2 = +n, so CCW in (t1, t2) is CCW about
+        # the outward normal).  A plain angular sort is NOT enough:
+        # decimated hulls can carry a degenerate vertex INTERIOR to a
+        # merged face (qhull keeps coplanar points occasionally), and an
+        # interior point in the ring makes the polygon self-intersecting
+        # — the SH feature clip then rejects everything (ridgeback base
+        # bottom face, r3 diagnosis).  The hull pass drops it.
         n = p[:3]
         a = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else \
             np.array([0.0, 1.0, 0.0])
         t1 = np.cross(n, a)
         t1 /= max(np.linalg.norm(t1), 1e-30)
-        t2 = np.cross(n, t1)  # t1 x t2 = -n... fix below
-        c = fv.mean(axis=0)
-        x = (fv - c) @ t1
-        y = (fv - c) @ t2
-        order = np.argsort(np.arctan2(y, x))
-        fv = fv[order]
-        # ensure CCW w.r.t. +n: signed area in (t1, t2) must match the
-        # basis handedness (t1 x t2 here equals -n, so flip if needed)
-        if np.dot(np.cross(t1, t2), n) < 0:
-            fv = fv[::-1]
+        t2 = np.cross(n, t1)
+        assert np.dot(np.cross(t1, t2), n) > 0  # basis is right-handed
+        pts2 = np.stack([fv @ t1, fv @ t2], axis=1)
+        fv = fv[_hull2d_ccw(pts2)]
         if len(fv) > maxfv_cap:  # angular subsample, keeps spread corners
             keep = np.round(np.linspace(0, len(fv), maxfv_cap,
                                         endpoint=False)).astype(int)

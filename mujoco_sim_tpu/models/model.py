@@ -269,6 +269,21 @@ class Model:
     mesh_fplane: jax.Array        # (nhull, maxmface, 4)
     mesh_fmask: jax.Array         # (nhull, maxmface) 1.0 for real faces
     mesh_fpoly: jax.Array         # (nhull, maxmface, maxfv, 3)
+    # deduped edge DIRECTIONS (unit, local; parallel/antiparallel merged)
+    # for the complete-SAT exact-MTV edge-cross axes (ops/manifold.py)
+    mesh_edir: jax.Array          # (nhull, maxedir, 3)
+    mesh_edir_mask: jax.Array     # (nhull, maxedir)
+    # [is_cyl, radius, half_height]: prism hulls the exact manifold
+    # treats as true cylinders (analytic support, axis = local +z)
+    mesh_cyl: jax.Array           # (nhull, 3)
+    # FULL (undecimated) hull verts for the deep-pair exact manifold:
+    # 32-vert decimation error (mm) rotates the exact MTV at cm-scale
+    # penetration.  Only read inside the deep-pair gate.
+    mesh_vert_hi: jax.Array       # (nhull, maxvhi, 3), pad 1e6
+    mesh_vert_hi_mask: jax.Array  # (nhull, maxvhi)
+    # full-hull edge endpoint pairs (exact-MTV top-K edge refinement)
+    mesh_hedge: jax.Array         # (nhull, maxhe, 2, 3), pad 1e6
+    mesh_hedge_mask: jax.Array    # (nhull, maxhe)
 
     # ---- actuators (normalized general form; joint transmissions only.
     # type/limited flags live in Layout so kernels branch statically;

@@ -19,7 +19,6 @@ import numpy as np
 
 from mujoco_sim_tpu.models.model import (Model, Data, GeomType,
                                           contact_rows_per)
-from mujoco_sim_tpu.ops.mpr import mpr_penetration
 from mujoco_sim_tpu.ops.gjk import point_hull_closest
 
 
@@ -677,7 +676,7 @@ def _box_mesh(p1, R1, s1, p2, R2, verts2, planes2, vmask2):
 
 
 def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
-               p2, R2, verts2, planes2, vmask2):
+               p2, R2, verts2, planes2, vmask2, extras=None):
     # lateral slack = 15% of the other hull's bounding radius: keeps the
     # near-overlap overhang corners that support face-face stacks while
     # rejecting far-away corners (phantom lever arms, hsrb4s diagnosis)
@@ -714,41 +713,50 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
     pos = jnp.concatenate([pos_a, pos_b], axis=-2)
     nrm = jnp.broadcast_to(n_mtv, pos.shape)
 
-    # ---- deep-pair MPR refinement.  MuJoCo's backend resolves a deeply
-    # overlapping convex pair with ONE MPR/EPA contact (2.3.7 libccd
-    # ccdMPRPenetration; 3.x GJK/EPA emits a single point unless the
-    # touching faces are aligned, probed on the mesh-stack fixture); our
-    # 2+2 vertex manifolds double the push-out rows there and the deep
-    # -start recovery trajectories drift (hsrb4s gripper 18 mm, armar6
-    # arms 7.3 cm).  Face-aligned deep stacks keep the SAT manifold (the
-    # oracle's multiCCD emits overlap-polygon corners there); any other
-    # pair deeper than the threshold is replaced by the MPR contact.
-    # The gate drives mpr_penetration's `enabled` short-circuit, so
-    # shallow-contact scenes (PR2 bench: fingertips ~1.7 mm) exit the MPR
-    # while_loops at the first condition check.
+    # ---- deep-pair exact manifold.  The oracle (mujoco 3.10 native
+    # GJK/EPA + multiCCD behind mj_step1) resolves a penetrating convex
+    # pair with the exact MTV and a contact-feature manifold: face-face
+    # -> up to 4 overlap-polygon corners, edge contacts -> clipped
+    # segment endpoints, vertex contact -> single EPA point — every
+    # point at the SAME depth/normal, on the mid-surface plane (probed,
+    # tests/test_manifold.py).  Our 2+2 SAT vertex manifolds diverge
+    # from that exactly when penetration is deep (hsrb4s gripper 18 mm,
+    # armar6 arms 7.3 cm at start), so pairs beyond the threshold are
+    # replaced by ops/manifold.exact_pair_contacts — a complete-SAT
+    # exact MTV + Sutherland-Hodgman feature clip.  Both the hull-table
+    # selection and the query sit behind a one-iteration while_loop:
+    # shallow-contact scenes (PR2 bench, fingertips ~1.7 mm) pay one
+    # predicate evaluation.
     depth_sat = -sep
     deep_thr = jnp.minimum(5e-3, 0.25 * jnp.minimum(rb1, rb2))
-    n_flat = n_mtv[..., 0, :]
-    nf1w = _rotate_rows_fwd(R1, planes1[..., :3])
-    nf2w = _rotate_rows_fwd(R2, planes2[..., :3])
-    # 0.985 (~10 deg): decimated-hull + prism facet normals wobble several
-    # degrees off the true face; scanned 0.98..0.999 over the deep-start
-    # zoo — ridgeback's cylinder-vs-mesh line contact classifies aligned
-    # (the oracle emits a 5-point polygon manifold there) while hsrb4s's
-    # gripper and armar6's arm pairs stay MPR-refined
-    cos_tol = 0.985
-    aligned = (((nf1w * n_flat[..., None, :]).sum(-1).max(-1) > cos_tol)
-               & ((nf2w * n_flat[..., None, :]).sum(-1).min(-1) < -cos_tol))
-    use_mpr = (depth_sat > deep_thr) & ~aligned
-    vmpr = jnp.vectorize(mpr_penetration,
-                         signature='(v,d),(v),(w,d),(w),()->(),(d),(d)')
-    d_m, n_m, p_m = vmpr(vw1, vmask1, vw2, vmask2, use_mpr)
-    ok = use_mpr & (d_m >= 0.0)
-    first = jnp.zeros(dist.shape[-1], bool).at[0].set(True)
-    mdist = jnp.where(first, -d_m[..., None], jnp.asarray(1e9, dist.dtype))
-    dist = jnp.where(ok[..., None], mdist, dist)
-    pos = jnp.where(ok[..., None, None], p_m[..., None, :], pos)
-    nrm = jnp.where(ok[..., None, None], n_m[..., None, :], nrm)
+    use_exact = depth_sat > deep_thr
+    if extras is None:
+        return dist, pos, nrm
+    from mujoco_sim_tpu.ops.manifold import exact_pair_contacts
+
+    def take(oh, tab):
+        return (oh @ tab.reshape(tab.shape[0], -1)).reshape(
+            oh.shape[:-1] + tab.shape[1:])
+
+    def body(carry):
+        dist0, pos0, nrm0, _ = carry
+        # full-fidelity hull tables (vert_hi): decimation error rotates
+        # the exact MTV at deep penetration (hsrb4s wheel-well, ~9 mm
+        # lost off the base hull flipped the axis 3 deg off the oracle)
+        keys = ('vert', 'vmask', 'fplane', 'fmask', 'fpoly', 'edir',
+                'emask', 'hedge', 'hemask', 'cyl')
+        selA = [take(extras['ohA'], extras[k]) for k in keys]
+        selB = [take(extras['ohB'], extras[k]) for k in keys]
+        d4, p4, n1, ok = jax.vmap(exact_pair_contacts)(
+            p1, R1, *selA, p2, R2, *selB, use_exact)
+        dist1 = jnp.where(ok[..., None], d4, dist0)
+        pos1 = jnp.where(ok[..., None, None], p4, pos0)
+        nrm1 = jnp.where(ok[..., None, None], n1[..., None, :], nrm0)
+        return dist1, pos1, nrm1, jnp.asarray(True)
+
+    dist, pos, nrm, _ = jax.lax.while_loop(
+        lambda c: use_exact.any() & ~c[-1], body,
+        (dist, pos, nrm, jnp.asarray(False)))
     return dist, pos, nrm
 
 
@@ -1052,11 +1060,30 @@ def collision(m: Model, d: Data) -> Data:
                 return (take(m.mesh_vert_pad), take(m.mesh_face_pad),
                         take(m.mesh_vert_mask))
 
-            verts2, planes2, vmask2 = hull_tables(A2 @ G2H)
+            ohB_hull = A2 @ G2H
+            verts2, planes2, vmask2 = hull_tables(ohB_hull)
             if is_mm:
-                verts1, planes1, vmask1 = hull_tables(A1 @ G2H)
+                ohA_hull = A1 @ G2H
+                verts1, planes1, vmask1 = hull_tables(ohA_hull)
+                # static merged-face/edge tables for the deep-pair exact
+                # manifold; per-pair selection happens INSIDE its gate so
+                # shallow scenes never materialize the (P, F, 16, 3)
+                # polygon tables
+                extras = dict(
+                    vert=jnp.asarray(m.mesh_vert_hi, dtype),
+                    vmask=jnp.asarray(m.mesh_vert_hi_mask, dtype),
+                    fplane=jnp.asarray(m.mesh_fplane, dtype),
+                    fmask=jnp.asarray(m.mesh_fmask, dtype),
+                    fpoly=jnp.asarray(m.mesh_fpoly, dtype),
+                    edir=jnp.asarray(m.mesh_edir, dtype),
+                    emask=jnp.asarray(m.mesh_edir_mask, dtype),
+                    hedge=jnp.asarray(m.mesh_hedge, dtype),
+                    hemask=jnp.asarray(m.mesh_hedge_mask, dtype),
+                    cyl=jnp.asarray(m.mesh_cyl, dtype),
+                    ohA=ohA_hull, ohB=ohB_hull)
                 dist, pos, nrm = fn(p1, R1, verts1, planes1, vmask1,
-                                    p2, R2, verts2, planes2, vmask2)
+                                    p2, R2, verts2, planes2, vmask2,
+                                    extras=extras)
             else:
                 dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts2, planes2,
                                     vmask2)

@@ -1,0 +1,515 @@
+"""Exact-MTV + feature-clip contact manifolds for deep convex pairs.
+
+MuJoCo 3.x's native narrowphase resolves a penetrating convex pair with
+GJK/EPA (exact minimum-translation vector) and emits a multi-point
+manifold by re-running the query under small (~1e-3 rad) tilts of the
+pair ("multiCCD").  Probed on cube fixtures (tests/test_manifold.py)
+that lands on the corners of the CONTACT-FEATURE INTERSECTION:
+
+  face-face   -> up to 4 overlap-polygon corners
+  edge-face   -> the clipped segment endpoints
+  edge-edge   -> crossing point (or overlap endpoints when parallel)
+  vertex-*    -> the single EPA witness point
+
+with every point sharing the unperturbed penetration depth and the EPA
+normal, positioned on the mid-surface plane.  The alignment window that
+decides when a face participates is ~1e-3 rad (a cube face tilted 0.05
+deg keeps the 4-corner manifold, 0.1 deg collapses it to an edge).
+Reference behavior behind mj_step1 (/root/reference/src/mj_main.cpp:83).
+
+TPU-first design: instead of the oracle's sequential EPA polytope loop,
+the exact MTV comes from a COMPLETE separating-axis scan over every
+face normal of the Minkowski difference — hull A's merged-face normals,
+hull B's (negated), and all cross(edgeDirA, edgeDirB) axes (both
+orientations via the max/min trick).  The true MTV direction is always
+one of these, and penetration along any axis upper-bounds the true
+depth, so the min over the candidate set is EXACT — no iteration, no
+convergence tolerance:
+
+    depth = min_d [ max_A(d.a) - min_B(d.b) ],   n = argmin_d
+
+That is a pure batched reduction (broadcast-multiply + min/max trees on
+the VPU — no sequential support loop like MPR/EPA), and the whole query
+sits inside a one-iteration lax.while_loop keyed on `enabled`, so
+shallow-contact scenes (the PR2 bench) pay a single predicate check.
+
+The feature-clip stage classifies each hull's contact feature (verts
+within ~1e-3*rbound of its support plane along the MTV), represents it
+as an ordered polygon (the hull's merged-face polygon when a face
+aligns, a thin rectangle around the extreme-vertex segment otherwise),
+Sutherland-Hodgman-clips the two projected features against each other,
+and reduces the intersection to <= 4 spread points.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# feature window as a fraction of hull bounding radius (the ~1e-3 rad
+# multiCCD tilt; calibrated on the cube probes: 0.05 deg tilt keeps the
+# face feature, 0.1 deg drops it — support spread bounds 1.75e-4 and
+# 3.5e-4 of the 0.173 bounding radius put the fraction in (1.0e-3, 2.0e-3))
+_FEAT_WINDOW = 1.5e-3
+# a hull face only carries the ordered-polygon feature when its normal
+# is within ~5e-3 rad of the MTV axis
+_COS_FACE = 1.0 - 1.25e-5
+_NBUF = 52          # SH working buffer (<= 16 subject + 16 clip + slack)
+
+
+def _rot(R, pts):
+    """local->world rotate (3,3) x (..., 3): broadcast form, not einsum
+    (K=3 dot_general lowers as a slow conv fusion on TPU)."""
+    return (R[None, :, :] * pts[..., None, :]).sum(-1)
+
+
+def _cross2(a, b):
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def _oh_rows(rows, idx):
+    oh = jax.nn.one_hot(idx, rows.shape[0], dtype=rows.dtype)
+    return (rows * oh[:, None]).sum(0)
+
+
+def _masked_max(x, m, axis=-1):
+    return jnp.where(m, x, -jnp.inf).max(axis=axis)
+
+
+def _masked_min(x, m, axis=-1):
+    return jnp.where(m, x, jnp.inf).min(axis=axis)
+
+
+def _cyl_ext(axes, aw, r, hh):
+    """Analytic cylinder support extent along unit axes (C, 3): the
+    cylinder (center-symmetric, axis aw, radius r, half-height hh) spans
+    [c.d - ext, c.d + ext] along each axis d."""
+    da = (axes * aw[None, :]).sum(-1)
+    dperp = jnp.sqrt(jnp.clip(1.0 - da * da, 0.0, None))
+    return hh * jnp.abs(da) + r * dperp
+
+
+def _support_minmax(axes, w, vm, cen, aw, cyl):
+    """Support extents [min, max] of one hull along unit axes (C, 3).
+    Cylinder-flagged hulls (cyl[0] > 0.5) use the exact analytic support
+    instead of their prism vertex cloud — the 16-gon facet quantization
+    both misstates the depth (~2% of r) and rotates the MTV onto facet
+    normals."""
+    p = (axes[:, None, :] * w[None, :, :]).sum(-1)            # (C, V)
+    mx = _masked_max(p, vm[None, :] > 0.5)
+    mn = _masked_min(p, vm[None, :] > 0.5)
+    ext = _cyl_ext(axes, aw, cyl[1], cyl[2])
+    dc = (axes * cen[None, :]).sum(-1)
+    mx = jnp.where(cyl[0] > 0.5, dc + ext, mx)
+    mn = jnp.where(cyl[0] > 0.5, dc - ext, mn)
+    return mn, mx
+
+
+def _best_axis(axes, amask, A, B):
+    """(depth, n) minimizing the support gap over +-axes.  A/B are the
+    (w, vm, cen, aw, cyl) support tuples.  n points from A toward B."""
+    minA, maxA = _support_minmax(axes, *A)
+    minB, maxB = _support_minmax(axes, *B)
+    h_fwd = maxA - minB            # penetration along +axis
+    h_rev = maxB - minA            # penetration along -axis
+    h2 = jnp.stack([jnp.where(amask, h_fwd, jnp.inf),
+                    jnp.where(amask, h_rev, jnp.inf)], axis=-1)  # (C, 2)
+    hflat = h2.reshape(-1)
+    k = jnp.argmin(hflat)
+    depth = hflat[k]
+    axis = _oh_rows(axes, k // 2)
+    n = jnp.where(k % 2 == 0, axis, -axis)
+    return depth, n
+
+
+def _topk_edge_dirs(he_w, hm, n, s, sign, K):
+    """Directions of the K edges nearest one hull's support plane along
+    n.  he_w (E, 2, 3) world endpoints, hm (E,) mask; plane offset s
+    (support extent along n); sign=+1 when the hull supports at max
+    (hull A), -1 at min (hull B).  Serial argmin passes (K is small and
+    the whole query sits behind the deep-pair gate)."""
+    pe = (he_w * n[None, None, :]).sum(-1)                    # (E, 2)
+    dist = jnp.where(sign > 0, s - pe, pe - s)
+    score = jnp.maximum(dist[:, 0], dist[:, 1])
+    score = jnp.where(hm > 0.5, score, jnp.inf)
+    dirs = []
+    for _ in range(K):
+        k = jnp.argmin(score)
+        oh = jax.nn.one_hot(k, score.shape[0], dtype=he_w.dtype)
+        e = (he_w * oh[:, None, None]).sum(0)                 # (2, 3)
+        valid = jnp.isfinite(score.min())
+        dirs.append(jnp.where(valid, e[1] - e[0], 0.0))
+        score = jnp.where(oh > 0.5, jnp.inf, score)
+    return jnp.stack(dirs)                                    # (K, 3)
+
+
+_K_EDGE = 12        # refinement edges per hull per round
+_REFINE_ROUNDS = 2
+
+
+def _mtv(wA, vmA, wB, vmB, nfA, fmA, nfB, fmB, eA, emA, eB, emB,
+         heA, hmA, heB, hmB, cA, awA, cylA, cB, awB, cylB):
+    """Exact MTV by complete SAT + local edge-cross refinement.
+
+    All inputs world-space.  Returns (depth, n) with n unit from A
+    toward B; depth < 0 means a separating axis exists.
+
+    Coarse pass: both hulls' merged-face normals + crosses of the
+    (deduped, capped) global edge-direction tables.  The cap keeps the
+    axis tensor bounded, but a near-miss axis overestimates depth and
+    — worse — shifts the support FEATURES, which at cm-scale
+    penetration moves the emitted contact by cm (armar6 arm pairs: a
+    0.5-degree axis error displaced the witness 5 cm).  Refinement
+    rounds fix that: cross the _K_EDGE edges nearest each hull's
+    support plane along the current axis (endpoint tables, exact
+    geometry) and re-minimize.  The true MTV axis is a face normal or
+    a cross of two edges on the touching features, so once the axis is
+    close the top-K capture closes the gap to exact."""
+    dtype = wA.dtype
+    A = (wA, vmA, cA, awA, cylA)
+    B = (wB, vmB, cB, awB, cylB)
+    # coarse: A faces, B faces (negated), capped-global edge crosses
+    cr = jnp.cross(eA[:, None, :], eB[None, :, :]).reshape(-1, 3)
+    crn = jnp.linalg.norm(cr, axis=-1)
+    em2 = (emA[:, None] > 0.5) & (emB[None, :] > 0.5)
+    cmask = (crn > 1e-8) & em2.reshape(-1)
+    cru = cr / jnp.maximum(crn[:, None], 1e-12)
+    axes = jnp.concatenate([nfA, -nfB, cru], axis=0)          # (C, 3)
+    amask = jnp.concatenate([fmA > 0.5, fmB > 0.5, cmask])
+    depth, n = _best_axis(axes, amask, A, B)
+
+    for _ in range(_REFINE_ROUNDS):
+        minA, maxA = _support_minmax(n[None, :], *A)
+        minB, maxB = _support_minmax(n[None, :], *B)
+        dA = _topk_edge_dirs(heA, hmA, n, maxA[0], 1.0, _K_EDGE)
+        dB = _topk_edge_dirs(heB, hmB, n, minB[0], -1.0, _K_EDGE)
+        crR = jnp.cross(dA[:, None, :], dB[None, :, :]).reshape(-1, 3)
+        crnR = jnp.linalg.norm(crR, axis=-1)
+        mR = crnR > 1e-12
+        cruR = crR / jnp.maximum(crnR[:, None], 1e-12)
+        depthR, nR = _best_axis(cruR, mR, A, B)
+        better = depthR < depth
+        depth = jnp.where(better, depthR, depth)
+        n = jnp.where(better, nR, n)
+    return depth.astype(dtype), n.astype(dtype)
+
+
+def _feature_poly(w, vm, n, s_ext, sign, fpl_w, fm, fpoly_w, rb,
+                  cen, aw, cyl):
+    """Ordered 2D-able feature polygon (16, 3) world for one hull.
+
+    sign=+1: feature maximizes dot(v, n) at s_ext (hull A);
+    sign=-1: feature minimizes it (hull B).  Face feature when the
+    best-aligned merged face is within the face window; otherwise a
+    thin rectangle around the extreme-vertex segment (degenerates to a
+    point for vertex features).
+
+    Cylinder hulls (cyl[0] > 0.5, axis aw, center cen) get analytic
+    features: the smooth side can never be a face, so the feature is
+    the tangent LINE segment (side contact), the cap polygon (cap
+    contact) or the rim point — the prism facet feature would sweep as
+    the cylinder rolls and off-center friction at depth spins wheel
+    joints (ridgeback, r3)."""
+    is_cyl = cyl[0] > 0.5
+    proj = (w * n[None, :]).sum(-1)
+    window = _FEAT_WINDOW * rb
+    feat = (vm > 0.5) & (sign * (proj - s_ext) > -window)
+    cnt = feat.sum()
+
+    # best aligned face: outward normal ~ sign * n
+    nn = sign * n
+    fdot = (fpl_w * nn[None, :]).sum(-1)
+    fbest = jnp.argmax(jnp.where(fm > 0.5, fdot, -jnp.inf))
+    ca = (nn * aw).sum()
+    face_ok = (cnt >= 3) & (_masked_max(fdot, fm > 0.5, axis=0) > _COS_FACE)
+    # cylinders: only a CAP may be a face feature
+    face_ok = jnp.where(is_cyl, jnp.abs(ca) > _COS_FACE, face_ok)
+    poly_face = (fpoly_w * jax.nn.one_hot(
+        fbest, fpoly_w.shape[0], dtype=w.dtype)[:, None, None]).sum(0)
+
+    # segment feature: extremes of the window verts
+    cw = jnp.where(feat, 1.0, 0.0)
+    c = (w * cw[:, None]).sum(0) / jnp.maximum(cw.sum(), 1.0)
+    d2c = jnp.where(feat, ((w - c) ** 2).sum(-1), -1.0)
+    p0 = _oh_rows(w, jnp.argmax(d2c))
+    d2p = jnp.where(feat, ((w - p0) ** 2).sum(-1), -1.0)
+    p1 = _oh_rows(w, jnp.argmax(d2p))
+    # cylinder overrides: tangent segment (side), rim point otherwise
+    u_raw = nn - ca * aw
+    un = jnp.linalg.norm(u_raw)
+    u_rad = jnp.where(un > 1e-9, u_raw / jnp.maximum(un, 1e-12),
+                      _any_perp(aw))
+    tangent = cen + cyl[1] * u_rad
+    is_side = cyl[2] * jnp.abs(ca) < window
+    rim = tangent + cyl[2] * jnp.sign(ca) * aw
+    p0 = jnp.where(is_cyl,
+                   jnp.where(is_side, tangent - cyl[2] * aw, rim), p0)
+    p1 = jnp.where(is_cyl,
+                   jnp.where(is_side, tangent + cyl[2] * aw, rim), p1)
+    # thin rectangle in the contact plane around (p0, p1): cap edges
+    # bound the segment extent when it clips the other feature
+    u = p1 - p0
+    un2 = jnp.linalg.norm(u)
+    uu = jnp.where(un2 > 1e-9, u / jnp.maximum(un2, 1e-12),
+                   jnp.asarray([1.0, 0.0, 0.0], w.dtype))
+    side = jnp.cross(n, uu)
+    delta = 1e-6 * rb
+    rect = jnp.stack([p0 - delta * side, p1 - delta * side,
+                      p1 + delta * side, p0 + delta * side])
+    nfv = poly_face.shape[0]
+    rect16 = jnp.concatenate(
+        [rect, jnp.broadcast_to(rect[3], (nfv - 4, 3))], axis=0)
+    return jnp.where(face_ok, poly_face, rect16)
+
+
+def _any_perp(v):
+    a = jnp.where(jnp.abs(v[0]) < 0.5,
+                  jnp.asarray([1.0, 0.0, 0.0], v.dtype),
+                  jnp.asarray([0.0, 1.0, 0.0], v.dtype))
+    p = jnp.cross(v, a)
+    return p / jnp.maximum(jnp.linalg.norm(p), 1e-12)
+
+
+def _sh_clip(subj, clip, eps):
+    """Sutherland-Hodgman in 2D.  subj/clip (N, 2) CCW, padded by
+    repeating the last real vertex (circular traversal then visits the
+    true closing edge; pad self-edges are zero-length no-ops).
+    Returns (pts (_NBUF, 2), count)."""
+    dtype = subj.dtype
+    B = _NBUF
+    buf = jnp.concatenate(
+        [subj, jnp.broadcast_to(subj[-1], (B - subj.shape[0], 2))], axis=0)
+    cnt = jnp.asarray(subj.shape[0], jnp.int32)
+    nclip = clip.shape[0]
+
+    for i in range(nclip):
+        a = clip[i]
+        b = clip[(i + 1) % nclip]
+        e = b - a
+        # zero-length clip edges (padding) keep everything: cross2 == 0
+        s_in = _cross2(e, buf - a[None, :]) >= -eps
+        nxt = jnp.roll(buf, -1, axis=0)
+        n_in = _cross2(e, nxt - a[None, :]) >= -eps
+        seg = nxt - buf
+        den = _cross2(jnp.broadcast_to(e, seg.shape), seg)
+        t = _cross2(e, (a[None, :] - buf)) / jnp.where(
+            jnp.abs(den) > 1e-30, den, 1e-30)
+        ipt = buf + jnp.clip(t, 0.0, 1.0)[:, None] * seg
+        live = jnp.arange(B) < cnt
+        # vertex emission only for live slots (pads would re-emit the
+        # last vertex); crossing emission is unmasked — pad self-edges
+        # are zero-length and cannot cross, while the ring-CLOSING edge
+        # (last pad slot -> slot 0 after the roll) must stay eligible
+        m1 = s_in & live
+        m2 = s_in != n_in
+        pts2 = jnp.stack([buf, ipt], axis=1).reshape(2 * B, 2)
+        msk2 = jnp.stack([m1, m2], axis=1).reshape(2 * B)
+        # order-preserving compaction back to B slots (+ repeat-pad)
+        mi = msk2.astype(jnp.int32)
+        rank = jnp.cumsum(mi) * mi                       # 1..k for kept
+        oh = (rank[None, :] == jnp.arange(
+            1, B + 1, dtype=jnp.int32)[:, None]).astype(dtype)
+        newbuf = oh @ pts2
+        newcnt = mi.sum()
+        lastpt = (newbuf * jax.nn.one_hot(
+            jnp.maximum(newcnt - 1, 0), B, dtype=dtype)[:, None]).sum(0)
+        buf = jnp.where((jnp.arange(B) < newcnt)[:, None], newbuf,
+                        lastpt[None, :])
+        cnt = newcnt
+    return buf, cnt
+
+
+def _seg_closest2(p1, q1, p2, q2):
+    """Closest points between 2D segments [p1,q1] and [p2,q2]
+    (broadcasting; Ericson 5.1.9 with degenerate guards).
+    Returns (cA, cB, d2)."""
+    d1 = q1 - p1
+    d2s = q2 - p2
+    r = p1 - p2
+    a = (d1 * d1).sum(-1)
+    e = (d2s * d2s).sum(-1)
+    f = (d2s * r).sum(-1)
+    c = (d1 * r).sum(-1)
+    b = (d1 * d2s).sum(-1)
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-30, (b * f - c * e) / jnp.where(
+        denom > 1e-30, denom, 1.0), 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.where(e > 1e-30, (b * s + f) / jnp.where(e > 1e-30, e, 1.0),
+                  0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(a > 1e-30, jnp.clip((b * t - c) / jnp.where(
+        a > 1e-30, a, 1.0), 0.0, 1.0), 0.0)
+    cA = p1 + s[..., None] * d1
+    cB = p2 + t[..., None] * d2s
+    return cA, cB, ((cA - cB) ** 2).sum(-1)
+
+
+def _closest_poly_mid(pa, pb):
+    """Midpoint of the closest boundary points of two (repeat-padded)
+    2D polygons (N, 2) — pad self-edges are zero-length segments the
+    degenerate guards reduce to points."""
+    a0, a1 = pa[:, None, :], jnp.roll(pa, -1, axis=0)[:, None, :]
+    b0, b1 = pb[None, :, :], jnp.roll(pb, -1, axis=0)[None, :, :]
+    cA, cB, d2 = _seg_closest2(a0, a1, b0, b1)
+    k = jnp.argmin(d2.reshape(-1))
+    mid = 0.5 * (cA + cB).reshape(-1, 2)
+    return _oh_rows(mid, k)
+
+
+def _reduce4(pts, cnt, rb):
+    """<=4 spread points from the (ordered, repeat-padded) clip result.
+    Returns (pts4 (4, 2), mask4)."""
+    B = pts.shape[0]
+    m = jnp.arange(B) < cnt
+    w = m.astype(pts.dtype)
+    c = (pts * w[:, None]).sum(0) / jnp.maximum(w.sum(), 1.0)
+    d2c = jnp.where(m, ((pts - c) ** 2).sum(-1), -1.0)
+    p0 = _oh_rows(pts, jnp.argmax(d2c))
+    d2p = jnp.where(m, ((pts - p0) ** 2).sum(-1), -1.0)
+    p1 = _oh_rows(pts, jnp.argmax(d2p))
+    area = _cross2(jnp.broadcast_to(p1 - p0, pts.shape), pts - p0)
+    a_hi = jnp.where(m, area, -jnp.inf)
+    a_lo = jnp.where(m, area, jnp.inf)
+    p2 = _oh_rows(pts, jnp.argmax(a_hi))
+    p3 = _oh_rows(pts, jnp.argmin(a_lo))
+    out = jnp.stack([p0, p1, p2, p3])
+    ok = jnp.stack([cnt > 0, cnt > 0,
+                    a_hi.max() > 1e-12 * rb * rb,
+                    a_lo.min() < -1e-12 * rb * rb])
+    # dedup: later points within 1e-4*rb of an earlier kept point drop
+    # (collapsed features emit coincident corners)
+    tol2 = (1e-4 * rb) ** 2
+    dij = ((out[:, None, :] - out[None, :, :]) ** 2).sum(-1)
+    earlier = jnp.arange(4)[None, :] < jnp.arange(4)[:, None]
+    dup = ((dij < tol2) & earlier & ok[None, :]).any(axis=1)
+    return out, ok & ~dup
+
+
+def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
+                        edirA, emaskA, hedgeA, hmaskA, cylA,
+                        pB, RB, vertsB, vmaskB, fplaneB, fmaskB, fpolyB,
+                        edirB, emaskB, hedgeB, hmaskB, cylB, enabled):
+    """Oracle-form manifold for one (possibly deep) convex pair.
+
+    Local-frame hull tables + world poses; `enabled` gates the whole
+    query behind a one-iteration while_loop (disabled lanes cost one
+    predicate evaluation and return ok=False).
+
+    Returns (dist (4,), pos (4, 3), n (3,), ok): up to 4 active rows
+    (dist < 0, the others 1e9), every active row sharing the exact MTV
+    depth and normal (geom1 -> geom2), positions on the mid-surface
+    plane — the emission convention probed from the mujoco 3.10 oracle
+    (tests/test_manifold.py)."""
+    dtype = vertsA.dtype
+    miss = (jnp.full((4,), 1e9, dtype), jnp.zeros((4, 3), dtype),
+            jnp.asarray([0.0, 0.0, 1.0], dtype), jnp.asarray(False))
+
+    def body(carry):
+        del carry
+        wA = pA[None, :] + _rot(RA, vertsA)
+        wB = pB[None, :] + _rot(RB, vertsB)
+        nfA = _rot(RA, fplaneA[:, :3])
+        nfB = _rot(RB, fplaneB[:, :3])
+        eA = _rot(RA, edirA)
+        eB = _rot(RB, edirB)
+        heA = pA[None, None, :] + (
+            RA[None, None, :, :] * hedgeA[..., None, :]).sum(-1)
+        heB = pB[None, None, :] + (
+            RB[None, None, :, :] * hedgeB[..., None, :]).sum(-1)
+        awA = RA[:, 2]            # cylinder axis = local +z
+        awB = RB[:, 2]
+        depth, n = _mtv(wA, vmaskA, wB, vmaskB, nfA, fmaskA, nfB, fmaskB,
+                        eA, emaskA, eB, emaskB,
+                        heA, hmaskA, heB, hmaskB,
+                        pA, awA, cylA, pB, awB, cylB)
+        ok = enabled & (depth > 0.0) & (depth < 1e8)
+
+        rbA = jnp.sqrt(_masked_max((vertsA ** 2).sum(-1), vmaskA > 0.5,
+                                   axis=0))
+        rbB = jnp.sqrt(_masked_max((vertsB ** 2).sum(-1), vmaskB > 0.5,
+                                   axis=0))
+        rb = jnp.minimum(rbA, rbB)
+
+        projA = (wA * n[None, :]).sum(-1)
+        projB = (wB * n[None, :]).sum(-1)
+        sA = _masked_max(projA, vmaskA > 0.5, axis=0)
+        sB = _masked_min(projB, vmaskB > 0.5, axis=0)
+        extA = _cyl_ext(n[None, :], awA, cylA[1], cylA[2])[0]
+        extB = _cyl_ext(n[None, :], awB, cylB[1], cylB[2])[0]
+        sA = jnp.where(cylA[0] > 0.5, (n * pA).sum() + extA, sA)
+        sB = jnp.where(cylB[0] > 0.5, (n * pB).sum() - extB, sB)
+        c_mid = 0.5 * (sA + sB)
+
+        fpolyA_w = pA[None, None, :] + (
+            RA[None, None, :, :] * fpolyA[..., None, :]).sum(-1)
+        fpolyB_w = pB[None, None, :] + (
+            RB[None, None, :, :] * fpolyB[..., None, :]).sum(-1)
+        polyA = _feature_poly(wA, vmaskA, n, sA, 1.0, nfA, fmaskA,
+                              fpolyA_w, rbA, pA, awA, cylA)
+        polyB = _feature_poly(wB, vmaskB, n, sB, -1.0, nfB, fmaskB,
+                              fpolyB_w, rbB, pB, awB, cylB)
+
+        # 2D frame on the contact plane; A's polygon is CCW about +n
+        # (fpoly winds CCW about the outward face normal ~ +n for A);
+        # B's winds CW — subject orientation is irrelevant to SH
+        a = jnp.where(jnp.abs(n[0]) < 0.5,
+                      jnp.asarray([1.0, 0.0, 0.0], dtype),
+                      jnp.asarray([0.0, 1.0, 0.0], dtype))
+        t1 = jnp.cross(n, a)
+        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-12)
+        t2 = jnp.cross(n, t1)
+
+        def to2d(p):
+            return jnp.stack([(p * t1).sum(-1), (p * t2).sum(-1)], axis=-1)
+
+        # B's feature polygon projects CW about the frame; reverse it so
+        # the SH subject/clip conventions both see CCW rings (reversal
+        # keeps the repeat-pad circular-traversal invariant: the pad
+        # block moves to the front, its self-edges stay zero-length)
+        polyB2 = to2d(polyB)[::-1]
+        polyA2 = to2d(polyA)
+        pts2, cnt = _sh_clip(polyB2, polyA2, 1e-6 * rb)
+        pts4, m4 = _reduce4(pts2, cnt, rb)
+
+        # empty intersection (features laterally disjoint — axis residual
+        # or degenerate geometry): fall back to the midpoint of the two
+        # feature polygons' closest boundary points.  With the exact MTV
+        # the touching features intersect, so this only fires at eps
+        # scale; the midpoint then IS the touching point (the deepest-A
+        # -vertex fallback used before picked the wrong body's vertex on
+        # vertex-B contacts — 5 cm off on the armar6 arm pairs).
+        fall2 = _closest_poly_mid(polyA2, to2d(polyB))
+        empty = ~m4.any()
+        pts4 = jnp.where(empty, fall2[None, :], pts4)
+        m4 = m4 | (empty & (jnp.arange(4) == 0))
+
+        # cylinder SIDE (tangent-line) contacts: the oracle's multiCCD
+        # emits 3 points — the unperturbed EPA witness (somewhere on the
+        # segment) plus the two segment ends from the +-1e-3 tilted
+        # re-queries (probed, scripts/probe_cylmesh.py: side-deep-off ->
+        # 3 points; hsrb4s wheels -> 3 per wheel).  Our clip yields the
+        # two ends; add the midpoint as the interior witness so the
+        # force count (and the wheel push-out total) matches the oracle.
+        window = _FEAT_WINDOW * rb
+        sideA = (cylA[0] > 0.5) & (cylA[2] * jnp.abs((n * awA).sum())
+                                   < window)
+        sideB = (cylB[0] > 0.5) & (cylB[2] * jnp.abs((n * awB).sum())
+                                   < window)
+        cyl_side = (sideA | sideB) & m4[0] & m4[1] & ~empty
+        midp = 0.5 * (pts4[0] + pts4[1])
+        pts4 = jnp.where(cyl_side,
+                         jnp.stack([pts4[0], pts4[1], midp, midp]), pts4)
+        m4 = jnp.where(cyl_side,
+                       jnp.asarray([True, True, True, False]), m4)
+
+        pos = (pts4[:, 0:1] * t1[None, :] + pts4[:, 1:2] * t2[None, :]
+               + c_mid * n[None, :])
+        dist = jnp.where(m4 & ok, -depth, jnp.asarray(1e9, dtype))
+        return (dist, pos, n, ok, jnp.asarray(True))
+
+    init = miss + (jnp.asarray(False),)
+    out = jax.lax.while_loop(
+        lambda c: enabled & ~c[-1], body, init)
+    return out[0], out[1], out[2], out[3]
