@@ -512,10 +512,18 @@ def forward_core(m: Model, d: Data) -> Data:
     return d
 
 
+# inner-jit: RK4 evaluates forward_core four times per step; without this
+# each stage RE-TRACES the whole pipeline (PR2: ~25 s of tracing per
+# stage, 100 s/step program).  As a pjit call the jaxpr traces once and
+# the other calls are trace-cache hits; XLA also dedups the called
+# computation, cutting backend compile similarly.
+_forward_core_jit = jax.jit(forward_core)
+
+
 @_full_precision
 def forward(m: Model, d: Data) -> Data:
     """Full forward dynamics + derived outputs (mj_forward equivalent)."""
-    d = forward_core(m, d)
+    d = _forward_core_jit(m, d)
     d = sensor_energy(m, d)
     return d
 
@@ -659,7 +667,7 @@ def _rk4(m: Model, d: Data) -> Data:
         if m.nu:
             da = sum(a * f[2] for a, f in zip(_RK4_A[i], F) if a)
             dcur = dcur.replace(act=act0 + h * da)
-        dcur = forward_core(m, dcur)
+        dcur = _forward_core_jit(m, dcur)
         F.append((dcur.qvel, dcur.qacc, dcur.act_dot))
     dq = sum(b * f[0] for b, f in zip(_RK4_B, F))
     dv = sum(b * f[1] for b, f in zip(_RK4_B, F))

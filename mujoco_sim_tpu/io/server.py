@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import threading
 import time
 
@@ -193,6 +194,33 @@ class SimServer:
         finally:
             writer.close()
 
+    def _resolve_class(self, info) -> str:
+        """Map an ObjectInfo to a registered spawn class.
+
+        The reference's spawn service accepts `mesh: "../test/cup.xml"`
+        and loads arbitrary assets at runtime
+        (/root/reference/src/mujoco_sim/mj_ros.cpp:1340-1363).  Static
+        shapes forbid loading new assets mid-run, so mesh PATHS resolve
+        by basename against the classes registered at compile
+        (MaskedSim(spawnable={...})); an unregistered path gets a clear
+        error telling the caller how to register it instead of being
+        silently treated as a class name."""
+        mesh = info.mesh or ""
+        if not mesh:
+            return ["cube", "sphere", "cylinder", "mesh"][info.type]
+        key = mesh
+        if "/" in mesh or "." in mesh:
+            key = os.path.splitext(os.path.basename(mesh))[0]
+        if key in self.sim.slots:
+            return key
+        raise KeyError(
+            f"spawn mesh {mesh!r} is not a registered spawn class "
+            f"(have: {sorted(self.sim.slots)}).  Runtime asset loading is "
+            f"incompatible with the static-shape contract: register the "
+            f"model at compile time via MaskedSim(spawnable={{'{key}': "
+            f"[...paths...]}}) / the server's spawnable config, then spawn "
+            f"by class name or mesh basename.")
+
     def _dispatch(self, req: dict) -> dict:
         op = req.get("op")
         try:
@@ -203,9 +231,7 @@ class SimServer:
                         info = ObjectInfo.from_dict(obj.get("info", obj))
                         pose = obj.get("pose")
                         vel = obj.get("velocity")
-                        cls = obj.get("class", info.mesh or
-                                      ["cube", "sphere", "cylinder",
-                                       "mesh"][info.type])
+                        cls = obj.get("class") or self._resolve_class(info)
                         inertial = None
                         if info.inertial is not None and info.inertial.m > 0:
                             inertial = {"m": info.inertial.m,

@@ -13,6 +13,8 @@ frame rows = [normal, tangent1, tangent2], pos = midpoint between surfaces.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -727,10 +729,20 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
     # selection and the query sit behind a one-iteration while_loop:
     # shallow-contact scenes (PR2 bench, fingertips ~1.7 mm) pay one
     # predicate evaluation.
-    depth_sat = -sep
+    # gate on the emitted manifold depth (dist rows), NOT on -sep: the
+    # face-only joint SAT cannot prove separation along edge-cross axes,
+    # so -sep reads "deep" for corner-region SEPARATED pairs (the GJK
+    # kill clears their contact rows but a -sep gate stayed on for the
+    # whole PR2 bench — 6 ms/step of exact-path work with zero deep
+    # contacts).  dist rows carry the GJK-killed, vertex-resolved depth.
+    depth_sat = -dist.min(axis=-1)
     deep_thr = jnp.minimum(5e-3, 0.25 * jnp.minimum(rb1, rb2))
     use_exact = depth_sat > deep_thr
-    if extras is None:
+    if os.environ.get("MST_FORCE_GATE_OFF"):
+        use_exact = jnp.zeros_like(use_exact)
+    if extras is None or os.environ.get("MST_DISABLE_EXACT"):
+        # MST_DISABLE_EXACT=1: A/B kill switch for the deep-pair exact
+        # manifold (compile-time and trajectory comparisons)
         return dist, pos, nrm
     from mujoco_sim_tpu.ops.manifold import exact_pair_contacts
 
@@ -738,20 +750,60 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
         return (oh @ tab.reshape(tab.shape[0], -1)).reshape(
             oh.shape[:-1] + tab.shape[1:])
 
+    P = dist.shape[0]
+    D = min(8, P)   # deep-pair budget: exact query runs on <= D slots
+
     def body(carry):
         dist0, pos0, nrm0, _ = carry
+        # ---- deep-pair COMPACTION: the exact query costs ~C x V support
+        # reductions per lane; running it masked over all P pairs (x env
+        # batch above) measured 37 ms/step on the PR2 bench whenever ONE
+        # env had one deep pair.  Deep pairs are rare, so the deepest
+        # <= D are one-hot-compacted into D slots, queried there, and
+        # scattered back; overflow pairs keep the SAT manifold.
+        score = jnp.where(use_exact, depth_sat, -jnp.inf)
+        # thread a CARRY dependence into the whole computation: without
+        # it nothing in this body depends on the loop carry, XLA's
+        # loop-invariant code motion hoists the entire exact query OUT
+        # of the one-iteration while, and the gate stops gating (the
+        # hoisted query ran unconditionally every PR2 bench step,
+        # 8.5 ms vs 2.6 ms device).  0 * finite-sentinel is exact.
+        score = score + 0.0 * dist0[:, 0]
+        ohs = []
+        sc = score
+        for _ in range(D):
+            k = jnp.argmax(sc)
+            oh = jax.nn.one_hot(k, P, dtype=dist.dtype)
+            valid = jnp.isfinite(sc.max())
+            ohs.append(jnp.where(valid, oh, 0.0))
+            sc = jnp.where(oh > 0.5, -jnp.inf, sc)
+        OH = jnp.stack(ohs)                              # (D, P)
+
+        def sel(x):
+            return (OH @ x.reshape(P, -1)).reshape((D,) + x.shape[1:])
+
         # full-fidelity hull tables (vert_hi): decimation error rotates
         # the exact MTV at deep penetration (hsrb4s wheel-well, ~9 mm
         # lost off the base hull flipped the axis 3 deg off the oracle)
-        keys = ('vert', 'vmask', 'fplane', 'fmask', 'fpoly', 'edir',
-                'emask', 'hedge', 'hemask', 'cyl')
-        selA = [take(extras['ohA'], extras[k]) for k in keys]
-        selB = [take(extras['ohB'], extras[k]) for k in keys]
+        keys = ('vert', 'vmask', 'fplane', 'fmask', 'fpoly',
+                'hedge', 'hemask', 'cyl')
+        ohA = OH @ extras['ohA']                         # (D, nhull)
+        ohB = OH @ extras['ohB']
+        selA = [take(ohA, extras[k]) for k in keys]
+        selB = [take(ohB, extras[k]) for k in keys]
+        en = (OH @ use_exact.astype(dist.dtype)) > 0.5   # (D,)
         d4, p4, n1, ok = jax.vmap(exact_pair_contacts)(
-            p1, R1, *selA, p2, R2, *selB, use_exact)
-        dist1 = jnp.where(ok[..., None], d4, dist0)
-        pos1 = jnp.where(ok[..., None, None], p4, pos0)
-        nrm1 = jnp.where(ok[..., None, None], n1[..., None, :], nrm0)
+            sel(p1), sel(R1), *selA, sel(p2), sel(R2), *selB, en)
+        # scatter back to pair slots
+        okf = ok.astype(dist.dtype)
+        hit = (OH.T @ okf) > 0.5                         # (P,)
+        d_b = OH.T @ (d4 * okf[:, None])
+        p_b = (OH.T @ (p4 * okf[:, None, None]).reshape(D, -1)).reshape(
+            P, 4, 3)
+        n_b = OH.T @ (n1 * okf[:, None])
+        dist1 = jnp.where(hit[:, None], d_b, dist0)
+        pos1 = jnp.where(hit[:, None, None], p_b, pos0)
+        nrm1 = jnp.where(hit[:, None, None], n_b[:, None, :], nrm0)
         return dist1, pos1, nrm1, jnp.asarray(True)
 
     dist, pos, nrm, _ = jax.lax.while_loop(
@@ -1075,8 +1127,6 @@ def collision(m: Model, d: Data) -> Data:
                     fplane=jnp.asarray(m.mesh_fplane, dtype),
                     fmask=jnp.asarray(m.mesh_fmask, dtype),
                     fpoly=jnp.asarray(m.mesh_fpoly, dtype),
-                    edir=jnp.asarray(m.mesh_edir, dtype),
-                    emask=jnp.asarray(m.mesh_edir_mask, dtype),
                     hedge=jnp.asarray(m.mesh_hedge, dtype),
                     hemask=jnp.asarray(m.mesh_hedge_mask, dtype),
                     cyl=jnp.asarray(m.mesh_cyl, dtype),

@@ -127,56 +127,56 @@ def _topk_edge_dirs(he_w, hm, n, s, sign, K):
     """Directions of the K edges nearest one hull's support plane along
     n.  he_w (E, 2, 3) world endpoints, hm (E,) mask; plane offset s
     (support extent along n); sign=+1 when the hull supports at max
-    (hull A), -1 at min (hull B).  Serial argmin passes (K is small and
-    the whole query sits behind the deep-pair gate)."""
+    (hull A), -1 at min (hull B).  ONE lax.top_k + one-hot gather: K
+    serial argmin passes each cost an argmax + one-hot reduction of
+    latency-bound size, and 2 hulls x rounds of them dominated the
+    gated query's device time."""
     pe = (he_w * n[None, None, :]).sum(-1)                    # (E, 2)
     dist = jnp.where(sign > 0, s - pe, pe - s)
     score = jnp.maximum(dist[:, 0], dist[:, 1])
     score = jnp.where(hm > 0.5, score, jnp.inf)
-    dirs = []
-    for _ in range(K):
-        k = jnp.argmin(score)
-        oh = jax.nn.one_hot(k, score.shape[0], dtype=he_w.dtype)
-        e = (he_w * oh[:, None, None]).sum(0)                 # (2, 3)
-        valid = jnp.isfinite(score.min())
-        dirs.append(jnp.where(valid, e[1] - e[0], 0.0))
-        score = jnp.where(oh > 0.5, jnp.inf, score)
-    return jnp.stack(dirs)                                    # (K, 3)
+    kk = min(K, score.shape[0])   # small hulls: fewer edges than K
+    _, idx = jax.lax.top_k(-score, kk)                        # (kk,)
+    oh = jax.nn.one_hot(idx, score.shape[0], dtype=he_w.dtype)  # (kk, E)
+    e = (oh[:, :, None, None] * he_w[None]).sum(1)            # (kk, 2, 3)
+    valid = ((oh * jnp.isfinite(score)[None, :]).sum(-1) > 0.5)
+    d = jnp.where(valid[:, None], e[:, 1] - e[:, 0], 0.0)     # (kk, 3)
+    if kk < K:
+        d = jnp.concatenate([d, jnp.zeros((K - kk, 3), d.dtype)])
+    return d
 
 
-_K_EDGE = 12        # refinement edges per hull per round
+_K_EDGE = 16        # refinement edges per hull per round
 _REFINE_ROUNDS = 2
 
 
-def _mtv(wA, vmA, wB, vmB, nfA, fmA, nfB, fmB, eA, emA, eB, emB,
+def _mtv(wA, vmA, wB, vmB, nfA, fmA, nfB, fmB,
          heA, hmA, heB, hmB, cA, awA, cylA, cB, awB, cylB):
-    """Exact MTV by complete SAT + local edge-cross refinement.
+    """Exact MTV: face-normal SAT + local edge-cross refinement rounds.
 
     All inputs world-space.  Returns (depth, n) with n unit from A
     toward B; depth < 0 means a separating axis exists.
 
-    Coarse pass: both hulls' merged-face normals + crosses of the
-    (deduped, capped) global edge-direction tables.  The cap keeps the
-    axis tensor bounded, but a near-miss axis overestimates depth and
-    — worse — shifts the support FEATURES, which at cm-scale
-    penetration moves the emitted contact by cm (armar6 arm pairs: a
-    0.5-degree axis error displaced the witness 5 cm).  Refinement
-    rounds fix that: cross the _K_EDGE edges nearest each hull's
-    support plane along the current axis (endpoint tables, exact
-    geometry) and re-minimize.  The true MTV axis is a face normal or
-    a cross of two edges on the touching features, so once the axis is
-    close the top-K capture closes the gap to exact."""
+    Coarse pass: both hulls' merged-face normals only.  A global
+    edge-cross sweep would be exact in one shot but costs |EA|x|EB|xV
+    per pair — measured 53 ms/step on the PR2 bench when a deep pair
+    activates the gate (the capped-48-direction variant).  Instead,
+    _REFINE_ROUNDS rounds each cross the _K_EDGE edges nearest each
+    hull's support plane along the CURRENT axis (endpoint tables,
+    exact geometry, 256 axes/round) and re-minimize.  The true MTV
+    axis is a face normal or a cross of two edges on the touching
+    features, and those edges converge into the top-K window as the
+    axis improves — armar6's witness lands on the oracle EPA point to
+    1e-7 (tests/test_manifold.py, scripts/probe_armar_pair.py).  A
+    near-miss axis overestimates depth and — worse — shifts the
+    support FEATURES, which at cm-scale penetration moves the emitted
+    contact by cm (armar6 arm pairs: 0.5 deg of axis error displaced
+    the witness 5 cm)."""
     dtype = wA.dtype
     A = (wA, vmA, cA, awA, cylA)
     B = (wB, vmB, cB, awB, cylB)
-    # coarse: A faces, B faces (negated), capped-global edge crosses
-    cr = jnp.cross(eA[:, None, :], eB[None, :, :]).reshape(-1, 3)
-    crn = jnp.linalg.norm(cr, axis=-1)
-    em2 = (emA[:, None] > 0.5) & (emB[None, :] > 0.5)
-    cmask = (crn > 1e-8) & em2.reshape(-1)
-    cru = cr / jnp.maximum(crn[:, None], 1e-12)
-    axes = jnp.concatenate([nfA, -nfB, cru], axis=0)          # (C, 3)
-    amask = jnp.concatenate([fmA > 0.5, fmB > 0.5, cmask])
+    axes = jnp.concatenate([nfA, -nfB], axis=0)               # (C, 3)
+    amask = jnp.concatenate([fmA > 0.5, fmB > 0.5])
     depth, n = _best_axis(axes, amask, A, B)
 
     for _ in range(_REFINE_ROUNDS):
@@ -388,9 +388,9 @@ def _reduce4(pts, cnt, rb):
 
 
 def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
-                        edirA, emaskA, hedgeA, hmaskA, cylA,
+                        hedgeA, hmaskA, cylA,
                         pB, RB, vertsB, vmaskB, fplaneB, fmaskB, fpolyB,
-                        edirB, emaskB, hedgeB, hmaskB, cylB, enabled):
+                        hedgeB, hmaskB, cylB, enabled):
     """Oracle-form manifold for one (possibly deep) convex pair.
 
     Local-frame hull tables + world poses; `enabled` gates the whole
@@ -412,8 +412,6 @@ def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
         wB = pB[None, :] + _rot(RB, vertsB)
         nfA = _rot(RA, fplaneA[:, :3])
         nfB = _rot(RB, fplaneB[:, :3])
-        eA = _rot(RA, edirA)
-        eB = _rot(RB, edirB)
         heA = pA[None, None, :] + (
             RA[None, None, :, :] * hedgeA[..., None, :]).sum(-1)
         heB = pB[None, None, :] + (
@@ -421,7 +419,6 @@ def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
         awA = RA[:, 2]            # cylinder axis = local +z
         awB = RB[:, 2]
         depth, n = _mtv(wA, vmaskA, wB, vmaskB, nfA, fmaskA, nfB, fmaskB,
-                        eA, emaskA, eB, emaskB,
                         heA, hmaskA, heB, hmaskB,
                         pA, awA, cylA, pB, awB, cylB)
         ok = enabled & (depth > 0.0) & (depth < 1e8)

@@ -45,16 +45,15 @@ def tabs(h):
     return dict(
         v=np.asarray(m.mesh_vert_hi[h], dt), vm=np.asarray(m.mesh_vert_hi_mask[h], dt),
         fp=np.asarray(m.mesh_fplane[h], dt), fm=np.asarray(m.mesh_fmask[h], dt),
-        poly=np.asarray(m.mesh_fpoly[h], dt), ed=np.asarray(m.mesh_edir[h], dt),
-        em=np.asarray(m.mesh_edir_mask[h], dt),
+        poly=np.asarray(m.mesh_fpoly[h], dt),
         he=np.asarray(m.mesh_hedge[h], dt),
         hm=np.asarray(m.mesh_hedge_mask[h], dt),
         cyl=np.asarray(m.mesh_cyl[h], dt))
 
 A, B = tabs(h1), tabs(h2)
 d4, p4, n1, ok = exact = jax.jit(MF.exact_pair_contacts)(
-    pA, RA, A['v'], A['vm'], A['fp'], A['fm'], A['poly'], A['ed'], A['em'], A['he'], A['hm'], A['cyl'],
-    pB, RB, B['v'], B['vm'], B['fp'], B['fm'], B['poly'], B['ed'], B['em'], B['he'], B['hm'], B['cyl'],
+    pA, RA, A['v'], A['vm'], A['fp'], A['fm'], A['poly'], A['he'], A['hm'], A['cyl'],
+    pB, RB, B['v'], B['vm'], B['fp'], B['fm'], B['poly'], B['he'], B['hm'], B['cyl'],
     np.asarray(True))
 print("ours ok", bool(ok), "n", np.round(np.asarray(n1), 4))
 for i in range(4):

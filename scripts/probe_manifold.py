@@ -67,8 +67,6 @@ def run_case(name, pos, quat):
                 np.asarray(m.mesh_fplane[h], dtype),
                 np.asarray(m.mesh_fmask[h], dtype),
                 np.asarray(m.mesh_fpoly[h], dtype),
-                np.asarray(m.mesh_edir[h], dtype),
-                np.asarray(m.mesh_edir_mask[h], dtype),
                 np.asarray(m.mesh_hedge[h], dtype),
                 np.asarray(m.mesh_hedge_mask[h], dtype),
                 np.asarray(m.mesh_cyl[h], dtype))

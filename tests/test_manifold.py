@@ -56,8 +56,6 @@ def _tabs(m, h):
             np.asarray(m.mesh_fplane[h], dt),
             np.asarray(m.mesh_fmask[h], dt),
             np.asarray(m.mesh_fpoly[h], dt),
-            np.asarray(m.mesh_edir[h], dt),
-            np.asarray(m.mesh_edir_mask[h], dt),
             np.asarray(m.mesh_hedge[h], dt),
             np.asarray(m.mesh_hedge_mask[h], dt),
             np.asarray(m.mesh_cyl[h], dt))

@@ -226,3 +226,26 @@ def test_spawn_with_size_rgba_over_tcp(server):
     assert z is not None and abs(z - 0.17) < 0.02, z
     c.destroy_objects(names)
     c.close()
+
+
+def test_spawn_by_mesh_path_bridge(server):
+    """The reference's spawn accepts mesh paths (mj_ros.cpp:1340-1363);
+    static shapes resolve the path by basename against the classes
+    registered at compile, and unregistered paths error with guidance
+    instead of silently mapping to a class name."""
+    c = SimClient(port=PORT)
+    got = c.spawn_objects([{
+        "info": {"name": "meshspawn", "type": 3,
+                 "mesh": "../model/objects/sball.xml"},
+        "pose": [0, 0, 1.5, 1, 0, 0, 0]}])
+    assert len(got) == 1
+    c.destroy_objects(got)
+
+    resp = c.call("spawn_objects", objects=[{
+        "info": {"name": "nope", "type": 3,
+                 "mesh": "../test/cup.xml"},
+        "pose": [0, 0, 1, 1, 0, 0, 0]}])
+    assert "error" in resp
+    assert "registered spawn class" in resp["error"]
+    assert "spawnable" in resp["error"]
+    c.close()

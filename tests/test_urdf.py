@@ -128,3 +128,57 @@ def test_urdf_steps():
     for _ in range(20):
         d = step(m, d)
     assert np.isfinite(np.asarray(d.qpos)).all()
+
+
+def test_compile_output_is_relocatable(tmp_path):
+    """`python -m mujoco_sim_tpu compile` output: meshes are COPIED next
+    to the emitted MJCF (assets/) and referenced relatively, so the whole
+    output directory can be moved and still load — mirroring the
+    reference compiler's stl/ copy step
+    (/root/reference/src/mujoco_compile.cpp:317-399)."""
+    import os
+    import shutil
+    import jax
+    from mujoco_sim_tpu.models.compile import load_model
+    from mujoco_sim_tpu import engine
+    from tests.test_mesh_contacts import write_box_stl
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_box_stl(str(src / "part.stl"))
+    with open(src / "meshbot.urdf", "w") as f:
+        f.write("""<?xml version="1.0"?>
+<robot name="meshbot">
+  <link name="base">
+    <inertial><mass value="1.0"/>
+      <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+    <collision><geometry><box size="0.1 0.1 0.1"/></geometry></collision>
+  </link>
+  <link name="tool">
+    <inertial><mass value="0.5"/>
+      <inertia ixx="0.005" iyy="0.005" izz="0.005" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+    <collision><geometry><mesh filename="package://pkg/part.stl"/></geometry>
+    </collision>
+  </link>
+  <joint name="wrist" type="revolute">
+    <parent link="base"/><child link="tool"/>
+    <origin xyz="0 0 0.2"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="5" velocity="2"/>
+  </joint>
+</robot>""")
+
+    out = tmp_path / "out"
+    out.mkdir()
+    from mujoco_sim_tpu.__main__ import _compile
+    _compile([str(src / "meshbot.urdf"), str(out / "meshbot.xml")])
+    assert (out / "assets" / "part.stl").exists()
+
+    # move the whole output dir; the original source tree goes away
+    moved = tmp_path / "moved"
+    shutil.move(str(out), str(moved))
+    shutil.rmtree(src)
+    m = load_model(str(moved / "meshbot.xml"))
+    d = jax.jit(engine.step)(m, engine.make_data(m))
+    assert np.isfinite(np.asarray(d.qpos)).all()
