@@ -8,10 +8,11 @@ vs_baseline = fraction of the 1M env-steps/s aggregate target (BASELINE.md)
 achieved on this single chip at 4096 envs.
 
 Scenarios (BENCH_SCENARIO env var):
-  box    (default) contact-rich free box on the floor, 4096 envs — headline
+  box    (default) free box on the floor (SMOKE), 4096 envs — headline
   mobile mobile base (odom-driven) + 3-dof PD arm, 1024 envs   — config 3
   pr2    PR2 robot in the world, 256 envs                       — config 2
   spawn  4 spawnable robots/env, half the slots active, 4096    — config 4
+  manip  3-dof arm stirring 3 mesh cubes in a bin, 4096          — config 5
   all    run everything (headline line printed first)
 """
 
@@ -56,6 +57,9 @@ def _time_rollout(run, m, dB, nenv, nsteps, reps=3):
 
 
 def bench_box(nenv=None, nsteps=1000):
+    """Headline smoke scenario: ONE free box on a plane (<= 1 contact
+    pair) at 4096 envs — measures the raw step pipeline, not contact
+    richness; bench_manip is the contact-rich manipulation number."""
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.models.compile import load_model
     from mujoco_sim_tpu.parallel import mesh as pmesh
@@ -212,6 +216,82 @@ def bench_spawn(nenv=4096, nsteps=500, reps=5):
     return {"scenario": "spawn", "nenv": nenv, "rate": rate}
 
 
+def bench_manip(nenv=4096, nsteps=300, reps=5):
+    """Config 5 single-chip analogue (BASELINE.md contact-rich
+    manipulation): a 3-dof arm stirring 3 free mesh cubes inside a bin —
+    mesh-mesh cube pairs, cube-bin, cube-arm and floor contacts all live
+    at once.  The box scenario is a SMOKE test by comparison (<= 1
+    contact pair); this is the number that reflects manipulation
+    workloads."""
+    from mujoco_sim_tpu import engine
+    from mujoco_sim_tpu.models.compile import load_model
+    from mujoco_sim_tpu.models.model import Integrator
+    from mujoco_sim_tpu.parallel import mesh as pmesh
+
+    fx = os.path.join(_REPO, "tests/fixtures/manip_bin.xml")
+    if not os.path.exists(fx):
+        h = 0.03
+        corners = " ".join(f"{x} {y} {z}" for x in (-h, h) for y in (-h, h)
+                           for z in (-h, h))
+        with open(fx, "w") as f:
+            f.write(f"""
+<mujoco model="manip">
+  <option timestep="0.004" gravity="0 0 -9.81"/>
+  <asset><mesh name="cube" vertex="{corners}"/></asset>
+  <worldbody>
+    <geom type="plane" size="0 0 .05"/>
+    <geom type="box" size=".02 .18 .08" pos=" .2 0 .08"/>
+    <geom type="box" size=".02 .18 .08" pos="-.2 0 .08"/>
+    <geom type="box" size=".18 .02 .08" pos="0  .2 .08"/>
+    <geom type="box" size=".18 .02 .08" pos="0 -.2 .08"/>
+    <body name="shoulder" pos="0 0 0.42">
+      <joint name="a1" type="hinge" axis="0 0 1" damping="0.5"/>
+      <geom type="capsule" size=".02" fromto="0 0 0 .12 0 -.05" mass="1"/>
+      <body name="elbow" pos=".12 0 -.05">
+        <joint name="a2" type="hinge" axis="0 1 0" damping="0.5"/>
+        <geom type="capsule" size=".018" fromto="0 0 0 0 0 -.16" mass="0.7"/>
+        <body name="paddle" pos="0 0 -.2">
+          <joint name="a3" type="hinge" axis="0 0 1" damping="0.3"/>
+          <geom type="box" size=".06 .015 .04" mass="0.3"/>
+        </body>
+      </body>
+    </body>
+    <body name="c1" pos="0.05 0.05 0.031"><freejoint/>
+      <geom type="mesh" mesh="cube" mass="0.2"/></body>
+    <body name="c2" pos="-0.06 0.02 0.031"><freejoint/>
+      <geom type="mesh" mesh="cube" mass="0.2"/></body>
+    <body name="c3" pos="0.01 -0.07 0.031"><freejoint/>
+      <geom type="mesh" mesh="cube" mass="0.2"/></body>
+  </worldbody>
+  <actuator>
+    <motor joint="a1" gear="2"/><motor joint="a2" gear="2"/>
+    <motor joint="a3" gear="1"/>
+  </actuator>
+</mujoco>""")
+    m = load_model(fx)
+    m = m.replace(opt=m.opt.replace(integrator=int(Integrator.EULER)))
+    m32 = engine.put_model(m, jnp.float32)
+    d = engine.make_data(m32, jnp.float32)
+    dB = _batch(m32, d, nenv, jitter=False)
+    key = jax.random.PRNGKey(1)
+    phase = jax.random.uniform(key, (nenv, 3), maxval=6.28)
+
+    def one_step(m_, d_, ph):
+        ctrl = jnp.sin(4.0 * d_.time + ph)  # stir
+        return engine.step(m_, d_.replace(ctrl=ctrl))
+
+    @jax.jit
+    def run(m_, dB_):
+        step = jax.vmap(lambda dd, ph: one_step(m_, dd, ph),
+                        in_axes=(0, 0))
+        dB_, _ = pmesh.scan_reduced(lambda c: (step(c[0], phase), c[1]),
+                                    (dB_, 0), nsteps)
+        return dB_
+
+    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
+    return {"scenario": "manip", "nenv": nenv, "rate": rate}
+
+
 _CACHE = os.path.join(_REPO, ".bench_cache.json")
 
 
@@ -231,7 +311,7 @@ def _run_measured():
         pass
     print(json.dumps(headline), flush=True)
     if scenario == "all":
-        for fn in (bench_mobile, bench_pr2, bench_spawn):
+        for fn in (bench_mobile, bench_pr2, bench_spawn, bench_manip):
             try:
                 r = fn()
                 print(f"# {r['scenario']}: nenv={r['nenv']} "

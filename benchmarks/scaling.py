@@ -63,12 +63,24 @@ def mk(i):
 dB = D.host_local_batch(mk, nenv, mesh)
 ro = pmesh.make_sharded_rollout(m, mesh, %(nsteps)d)
 out = ro(m, dB); jax.block_until_ready(out.qpos)
+# spawn-mask flip mid-run: masked-slot mutation is plain sharded data and
+# must not retrace or desync processes (VERDICT r2 #7)
+ba = out.body_active.at[:, -1].set(False)
+out = out.replace(body_active=ba)
 best = 0.0
 for _ in range(3):
     t0 = time.perf_counter()
     out = ro(m, out); jax.block_until_ready(out.qpos)
     best = max(best, nenv * %(nsteps)d / (time.perf_counter() - t0))
 print(f"RATE {best:.1f}", flush=True)
+# egress overlap under jax.distributed: per-host trajectory collection
+from mujoco_sim_tpu.parallel.egress import rollout_collect
+cache = {}
+rollout_collect(m, dB, %(nsteps)d, chunk=%(nsteps)d // 4, jit_cache=cache)
+t0 = time.perf_counter()
+rollout_collect(m, dB, %(nsteps)d, chunk=%(nsteps)d // 4, jit_cache=cache)
+print(f"EGRESS {nenv * %(nsteps)d / (time.perf_counter() - t0):.1f}",
+      flush=True)
 '''
 
 
@@ -116,7 +128,7 @@ def measure_single_process():
     return results
 
 
-def measure_two_process(port=9923):
+def measure_multi_process(nprocs=(1, 2, 4), port=9923):
     script = "/tmp/scaling_dist_worker.py"
     with open(script, "w") as f:
         f.write(_DIST_WORKER % {"repo": _REPO, "port": port,
@@ -131,16 +143,19 @@ def measure_two_process(port=9923):
             [sys.executable, script, str(i), str(nproc)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True) for i in range(nproc)]
-        rates = []
+        rates, egress = [], []
         for p in procs:
             out, _ = p.communicate(timeout=600)
             if p.returncode != 0:
                 raise RuntimeError(out[-2000:])
             rates += [float(l.split()[1]) for l in out.splitlines()
                       if l.startswith("RATE")]
-        return rates[0]  # aggregate rate, printed identically by each proc
+            egress += [float(l.split()[1]) for l in out.splitlines()
+                       if l.startswith("EGRESS")]
+        # every process prints the identical aggregate rate
+        return rates[0], (egress[0] if egress else 0.0)
 
-    return {"1proc": run(1), "2proc": run(2)}
+    return {f"{n}proc": run(n) for n in nprocs}
 
 
 def main():
@@ -161,11 +176,13 @@ def main():
     }
     if os.environ.get("SCALING_DISTRIBUTED", "1") == "1":
         try:
-            dist = measure_two_process()
-            out["rate_1proc"] = round(dist["1proc"], 1)
-            out["rate_2proc"] = round(dist["2proc"], 1)
+            dist = measure_multi_process()
+            for k, (rate, eg) in dist.items():
+                out[f"rate_{k}"] = round(rate, 1)
+                if eg:
+                    out[f"rate_egress_{k}"] = round(eg, 1)
             out["scaling_efficiency_processes"] = round(
-                dist["2proc"] / dist["1proc"], 4)
+                dist["4proc"][0] / dist["1proc"][0], 4)
         except Exception as e:  # distributed CPU quirks shouldn't kill CI
             out["distributed_error"] = str(e)[:300]
     print(json.dumps(out, indent=1))

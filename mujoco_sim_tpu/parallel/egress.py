@@ -36,10 +36,20 @@ def rollout_collect(m: Model, dB: Data, nsteps: int, chunk: int = 64,
             mm, dd, chunk, extract))
         if jit_cache is not None:
             jit_cache[key] = roll
+    def start_copy(t):
+        # kick the device->host DMA without blocking dispatch: device_get
+        # alone would first WAIT for the value, serializing the copy with
+        # the next chunk's compute (measured 15% egress overhead r2; the
+        # async copy starts as soon as the chunk finishes on device)
+        jax.tree.map(lambda x: x.copy_to_host_async(), t)
+        return t
+
     host_chunks = []
     dB, traj = roll(m, dB)               # dispatch chunk 0 (async)
+    start_copy(traj)
     for _ in range(1, nchunks):
         dB_next, traj_next = roll(m, dB)  # dispatch k+1 before fetching k
+        start_copy(traj_next)
         host_chunks.append(jax.device_get(traj))
         dB, traj = dB_next, traj_next
     host_chunks.append(jax.device_get(traj))
