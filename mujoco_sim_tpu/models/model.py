@@ -171,6 +171,12 @@ class Option:
     disableflags: int = static(default=0)
     has_fluid: int = static(default=0)  # density/viscosity/wind nonzero
     override_contacts: int = static(default=0)  # mjENBL_OVERRIDE
+    # oracle-form exact manifolds for ALL contacting mesh pairs instead
+    # of only deep ones: PR2 err50 vs mujoco 3.10 drops 1.7e-4 -> 7.7e-6
+    # (the default SAT manifolds emit 2+2 points where the oracle's EPA
+    # emits one witness); costs the gated exact query whenever any mesh
+    # pair touches.  m.replace(opt=m.opt.replace(exact_meshcollide=1)).
+    exact_meshcollide: int = static(default=0)
 
 
 @pytree

@@ -737,6 +737,16 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
     # contacts).  dist rows carry the GJK-killed, vertex-resolved depth.
     depth_sat = -dist.min(axis=-1)
     deep_thr = jnp.minimum(5e-3, 0.25 * jnp.minimum(rb1, rb2))
+    exact_all = (extras is not None and extras.get("exact_all")) or \
+        os.environ.get("MST_EXACT_ALL")
+    if exact_all:
+        # accuracy mode (opt.exact_meshcollide / MST_EXACT_ALL=1):
+        # oracle-form manifolds for EVERY contacting mesh pair, not just
+        # deep ones — PR2 err50 vs the oracle drops 1.7e-4 -> 7.7e-6
+        # (the SAT 2+2 manifolds vs the oracle's single EPA witness on
+        # non-aligned shallow pairs); costs the gated exact query
+        # whenever any mesh pair touches
+        deep_thr = jnp.zeros_like(deep_thr)
     use_exact = depth_sat > deep_thr
     if os.environ.get("MST_FORCE_GATE_OFF"):
         use_exact = jnp.zeros_like(use_exact)
@@ -1130,7 +1140,8 @@ def collision(m: Model, d: Data) -> Data:
                     hedge=jnp.asarray(m.mesh_hedge, dtype),
                     hemask=jnp.asarray(m.mesh_hedge_mask, dtype),
                     cyl=jnp.asarray(m.mesh_cyl, dtype),
-                    ohA=ohA_hull, ohB=ohB_hull)
+                    ohA=ohA_hull, ohB=ohB_hull,
+                    exact_all=bool(m.opt.exact_meshcollide))
                 dist, pos, nrm = fn(p1, R1, verts1, planes1, vmask1,
                                     p2, R2, verts2, planes2, vmask2,
                                     extras=extras)

@@ -103,13 +103,24 @@ def render_frame(m, d, path: str, *, rtf: float | None = None,
                 edgecolor="k"))
             centers.append(p)
         elif t == GeomType.MESH:
-            mid = int(lay.geom_dataid[g])
-            adr = int(lay.mesh_vertadr[mid])
-            cnt = int(lay.mesh_vertnum[mid])
-            verts = np.asarray(m.mesh_vert[adr:adr + cnt])
-            world = (R @ verts.T).T + p
-            ax.scatter(world[:, 0], world[:, 1], world[:, 2],
-                       s=1, c=[color], alpha=alpha)
+            # full hull-face render (reference renders the real mesh via
+            # GL, mj_visual.cpp:141-189; scatter was the r2 placeholder).
+            # mesh_fpoly carries each merged hull face as an ordered ring
+            # padded by repeating its last vertex — strip the pad.
+            hid = int(lay.geom_hullid[g])
+            fpoly = np.asarray(m.mesh_fpoly[hid])
+            fmask = np.asarray(m.mesh_fmask[hid]) > 0.5
+            faces = []
+            for ring in fpoly[fmask]:
+                keep = [ring[0]]
+                for v in ring[1:]:
+                    if not np.allclose(v, keep[-1]):
+                        keep.append(v)
+                world = (R @ np.asarray(keep).T).T + p
+                faces.append(list(world))
+            ax.add_collection3d(Poly3DCollection(
+                faces, facecolor=color, alpha=alpha, linewidths=0.2,
+                edgecolor="k"))
             centers.append(p)
 
     if lim is None:
