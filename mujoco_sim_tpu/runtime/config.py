@@ -101,6 +101,25 @@ def build(cfg: dict | str, base_dir: str = "."):
                            if not jn.endswith("_odom_x_joint")
                            and not jn.endswith("_odom_y_joint")
                            and not jn.endswith("_odom_z_joint")]}
+        # controller claims narrow the controlled-joint set, mirroring the
+        # reference's controller_manager scan: standard
+        # position/velocity/effort controller types always claim their
+        # joints; `custom_controller_type` allowlists one extra type
+        # substring (mj_ros.cpp:456-458,640-666; robot.yaml:60)
+        controllers = robots_cfg[name].get(
+            "controllers", cfg.get("controllers", {}).get(name))
+        if controllers:
+            custom = str(cfg.get("custom_controller_type", ""))
+            claimed = []
+            for cc in controllers.values():
+                ctype = str(cc.get("type", ""))
+                ok = any(t in ctype for t in ("position_controllers",
+                                              "velocity_controllers",
+                                              "effort_controllers"))
+                ok = ok or (custom and custom in ctype)
+                if ok:
+                    claimed += [j for j in cc.get("joints", [])]
+            meta["joints"] = [jn for jn in meta["joints"] if jn in claimed]
         if any(rc.add_odom_joints.values()):
             meta["odom"] = odom_config(m, name)
         robots_meta[name] = meta
