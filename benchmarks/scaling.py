@@ -119,11 +119,15 @@ def measure_single_process():
             cache = {}
             _, _ = rollout_collect(mR, dB, NSTEPS, chunk=NSTEPS // 4,
                                    jit_cache=cache)
-            t0 = time.perf_counter()
-            _, traj = rollout_collect(mR, dB, NSTEPS, chunk=NSTEPS // 4,
-                                      jit_cache=cache)
-            dt_e = time.perf_counter() - t0
-            results["egress"] = nenv * NSTEPS / dt_e
+            best_e = 0.0
+            for _ in range(3):  # best-of-3, same methodology as the base
+                t0 = time.perf_counter()
+                _, traj = rollout_collect(mR, dB, NSTEPS,
+                                          chunk=NSTEPS // 4,
+                                          jit_cache=cache)
+                dt_e = time.perf_counter() - t0
+                best_e = max(best_e, nenv * NSTEPS / dt_e)
+            results["egress"] = best_e
             results["egress_traj_shape"] = list(np.asarray(traj).shape)
     return results
 

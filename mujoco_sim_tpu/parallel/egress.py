@@ -36,6 +36,26 @@ def rollout_collect(m: Model, dB: Data, nsteps: int, chunk: int = 64,
             mm, dd, chunk, extract))
         if jit_cache is not None:
             jit_cache[key] = roll
+    def _host_local(x):
+        """Fetch the HOST-ADDRESSABLE part of a (possibly multi-process
+        global) array: each host egresses only its own shards — fetching
+        a global array from one host is both an error under
+        jax.distributed and the wrong data motion on a pod."""
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: tuple(sl.start or 0 for sl in s.index))
+        datas = [np.asarray(s.data) for s in shards]
+        idx0 = shards[0].index
+        axis = next((i for i, sl in enumerate(idx0)
+                     if ((sl.stop or 0) - (sl.start or 0)) != x.shape[i]),
+                    0)
+        return np.concatenate(datas, axis=axis) if len(datas) > 1 \
+            else datas[0]
+
+    def fetch(t):
+        return jax.tree.map(_host_local, t)
+
     def start_copy(t):
         # kick the device->host DMA without blocking dispatch: device_get
         # alone would first WAIT for the value, serializing the copy with
@@ -50,9 +70,9 @@ def rollout_collect(m: Model, dB: Data, nsteps: int, chunk: int = 64,
     for _ in range(1, nchunks):
         dB_next, traj_next = roll(m, dB)  # dispatch k+1 before fetching k
         start_copy(traj_next)
-        host_chunks.append(jax.device_get(traj))
+        host_chunks.append(fetch(traj))
         dB, traj = dB_next, traj_next
-    host_chunks.append(jax.device_get(traj))
+    host_chunks.append(fetch(traj))
     stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0),
                            *host_chunks)
     return dB, stacked
