@@ -1,19 +1,29 @@
 """Benchmarks on the attached TPU chip (BASELINE.md configs).
 
-Default prints ONE JSON line (the driver's headline metric):
-  {"metric": "env_steps_per_sec_per_chip", "value": N, "unit": "env-steps/s",
-   "vs_baseline": N/1e6}
+Prints ONE JSON line on stdout (the driver's headline metric) carrying
+EVERY scenario's rate as extra keys:
+  {"metric": "env_steps_per_sec_per_chip", "value": <box rate>,
+   "unit": "env-steps/s", "vs_baseline": N/1e6,
+   "mobile": R, "pr2": R, "pr2_ms_wall": M, "spawn": R, "manip": R,
+   "manip_65k": R, "stale": [names...]}
 
 vs_baseline = fraction of the 1M env-steps/s aggregate target (BASELINE.md)
 achieved on this single chip at 4096 envs.
 
-Scenarios (BENCH_SCENARIO env var):
-  box    (default) free box on the floor (SMOKE), 4096 envs — headline
+Scenarios (BENCH_SCENARIO env var; default "all"):
+  box    free box on the floor (SMOKE), 4096 envs — headline `value`
   mobile mobile base (odom-driven) + 3-dof PD arm, 1024 envs   — config 3
   pr2    PR2 robot in the world, 256 envs                       — config 2
   spawn  4 spawnable robots/env, half the slots active, 4096    — config 4
-  manip  3-dof arm stirring 3 mesh cubes in a bin, 4096          — config 5
-  all    run everything (headline line printed first)
+  manip  6-dof arm stirring mesh objects in a bin, 4096         — config 5
+  manip_65k  the manip scene at 65536 envs (BASELINE config-5 scale)
+  all    (default) run everything
+
+Each scenario runs in its own watchdogged subprocess and writes its
+result into .bench_cache.json as it lands; the final headline line is
+assembled from the cache, so a hang or timeout in one scenario cannot
+blank the others — missing/old entries fall back to the last good
+measurement and are named in the "stale" list.
 """
 
 import json
@@ -27,6 +37,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
 import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache"))
+
 import jax.numpy as jnp  # noqa: E402
 
 
@@ -294,67 +308,112 @@ def bench_manip(nenv=4096, nsteps=300, reps=5):
 
 _CACHE = os.path.join(_REPO, ".bench_cache.json")
 
+_SCEN_FNS = {
+    "box": lambda: bench_box(),
+    "mobile": lambda: bench_mobile(),
+    "pr2": lambda: bench_pr2(),
+    "spawn": lambda: bench_spawn(),
+    "manip": lambda: bench_manip(),
+    "manip_65k": lambda: bench_manip(nenv=65536, nsteps=100, reps=3),
+}
+_ALL = list(_SCEN_FNS)
 
-def _run_measured():
-    scenario = os.environ.get("BENCH_SCENARIO", "box")
-    res = bench_box()
-    headline = {
-        "metric": "env_steps_per_sec_per_chip",
-        "value": round(res["rate"], 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(res["rate"] / 1_000_000.0, 4),
-    }
+
+def _load_cache():
     try:
-        with open(_CACHE, "w") as f:
-            json.dump(dict(headline, cached_at=time.time()), f)
+        with open(_CACHE) as f:
+            c = json.load(f)
+        # r3 cache format was a flat headline dict; discard it
+        return c if all(isinstance(v, dict) for v in c.values()) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_scenario(res):
+    cache = _load_cache()
+    cache[res["scenario"]] = dict(res, at=time.time())
+    tmp = _CACHE + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(cache, f)
+        os.replace(tmp, _CACHE)
     except OSError:
         pass
-    print(json.dumps(headline), flush=True)
-    if scenario == "all":
-        for fn in (bench_mobile, bench_pr2, bench_spawn, bench_manip):
-            try:
-                r = fn()
-                print(f"# {r['scenario']}: nenv={r['nenv']} "
-                      f"{r['rate']:.0f} env-steps/s", file=sys.stderr,
-                      flush=True)
-            except Exception as e:
-                print(f"# {fn.__name__} failed: {e}", file=sys.stderr)
+
+
+def _headline(cache, fresh):
+    """Assemble the single driver-parsed JSON line from per-scenario
+    results; scenarios not measured this run fall back to the cache and
+    are named in `stale`."""
+    stale = [n for n in _ALL if n not in fresh and n in cache]
+    missing = [n for n in _ALL if n not in cache]
+    box = cache.get("box", {})
+    line = {
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(box.get("rate", 0.0), 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(box.get("rate", 0.0) / 1_000_000.0, 4),
+    }
+    for name in _ALL[1:]:
+        r = cache.get(name)
+        if r:
+            line[name] = round(r["rate"], 1)
+    pr2 = cache.get("pr2")
+    if pr2:
+        # wall ms per batched step at the benched env count (device step
+        # is lower: tunnel RTT amortizes over the rollout but not to 0;
+        # benchmarks/profile_step.py pr2 gives the device-only number)
+        line["pr2_ms_wall"] = round(1000.0 * pr2["nenv"] / pr2["rate"], 3)
+    if stale:
+        line["stale"] = stale
+    if missing:
+        line["missing"] = missing
+    return line
+
+
+def _run_measured(name):
+    res = _SCEN_FNS[name]()
+    _save_scenario(res)
+    print(f"# {name}: nenv={res['nenv']} {res['rate']:.0f} env-steps/s",
+          file=sys.stderr, flush=True)
 
 
 def main():
-    """Run the measurement in a watchdogged subprocess: the tunneled chip
+    """Per-scenario watchdogged subprocesses: the tunneled chip
     occasionally wedges its COMPILE path (jit hangs indefinitely while
-    tiny cached ops still work — observed r3 for multi-hour windows).  On
-    timeout, reprint the last good measurement clearly marked stale
-    rather than hanging the caller forever."""
+    tiny cached ops still work — observed r3 for multi-hour windows), and
+    one wedged scenario must not blank the rest.  Each subprocess writes
+    its result to the cache; the headline line is assembled at the end
+    with per-scenario stale fallback."""
     if os.environ.get("BENCH_INNER"):
-        _run_measured()
+        _run_measured(os.environ["BENCH_INNER"])
         return
     import subprocess
-    budget = int(os.environ.get("BENCH_TIMEOUT_S", "480"))
-    env = dict(os.environ, BENCH_INNER="1")
-    try:
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, timeout=budget)
-        if proc.returncode == 0:
-            return
-    except subprocess.TimeoutExpired:
-        pass
-    try:
-        with open(_CACHE) as f:
-            cached = json.load(f)
-        cached["stale"] = True
-        cached["note"] = ("TPU compile path unreachable within "
-                          f"{budget}s; last good measurement "
-                          f"({time.time() - cached.pop('cached_at'):.0f}s "
-                          "old)")
-        print(json.dumps(cached), flush=True)
-    except (OSError, ValueError):
-        print(json.dumps({"metric": "env_steps_per_sec_per_chip",
-                          "value": 0, "unit": "env-steps/s",
-                          "vs_baseline": 0.0, "stale": True,
-                          "note": "TPU unreachable and no cached result"}),
-              flush=True)
+    scenario = os.environ.get("BENCH_SCENARIO", "all")
+    names = _ALL if scenario in ("all", "") else [scenario]
+    per_budget = int(os.environ.get("BENCH_SCEN_TIMEOUT_S", "420"))
+    deadline = time.time() + int(os.environ.get("BENCH_TIMEOUT_S", "1800"))
+    fresh = set()
+    for name in names:
+        left = deadline - time.time()
+        if left <= 10:
+            print(f"# overall deadline hit; {name} falls back to cache",
+                  file=sys.stderr, flush=True)
+            continue
+        env = dict(os.environ, BENCH_INNER=name)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=min(per_budget, left))
+            if proc.returncode == 0:
+                fresh.add(name)
+            else:
+                print(f"# {name} exited rc={proc.returncode}",
+                      file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# {name} timed out; using cached value",
+                  file=sys.stderr, flush=True)
+    print(json.dumps(_headline(_load_cache(), fresh)), flush=True)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ with hard iteration caps so the jitted step keeps static shapes.
 
 Reference behavior: libccd ccdMPRPenetration (portal discovery +
 refinement + barycentric position), validated against analytic MTVs and
-the mujoco 3.10 oracle in tests/test_mpr.py.
+the mujoco 3.10 oracle in benchmarks/test_mpr.py.
 """
 
 from __future__ import annotations

@@ -1,6 +1,6 @@
 """Batched MPR penetration vs analytic MTVs and the oracle's GJK/EPA.
 
-ops/mpr.py re-implements libccd's ccdMPRPenetration (the narrowphase the
+benchmarks/mpr.py re-implements libccd's ccdMPRPenetration (the narrowphase the
 reference's MuJoCo 2.3.7 backend used for convex pairs) with fixed
 -iteration while_loops and one-hot supports.  MPR's depth/direction is
 the exact MTV for vertex-face dominated contact; edge-edge MTVs can be
@@ -14,7 +14,7 @@ import pytest
 
 import mujoco
 
-from mujoco_sim_tpu.ops.mpr import mpr_penetration
+from benchmarks.mpr import mpr_penetration
 
 CUBE = np.array([[sx, sy, sz] for sx in (-.5, .5) for sy in (-.5, .5)
                  for sz in (-.5, .5)])

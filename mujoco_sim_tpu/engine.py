@@ -216,10 +216,16 @@ def _com_dict(m: Model, d: Data) -> dict:
 
 
 def fwd_position(m: Model, d: Data) -> Data:
-    kin = smooth.kinematics(m, d.qpos, d.mocap_pos, d.mocap_quat)
-    com = smooth.com_pos(m, kin, d.body_mass, d.body_inertia)
-    qM = smooth.crb(m, com)
-    qLD = smooth.factor_chol(qM)
+    # named scopes tag the emitted ops per phase — they show up in the
+    # HLO op_name metadata (scripts/hlo_opcount.py) and the on-chip
+    # profiler trace, turning "4.7k anonymous fusions" into a phase
+    # breakdown
+    with jax.named_scope("kinematics"):
+        kin = smooth.kinematics(m, d.qpos, d.mocap_pos, d.mocap_quat)
+        com = smooth.com_pos(m, kin, d.body_mass, d.body_inertia)
+    with jax.named_scope("crb"):
+        qM = smooth.crb(m, com)
+        qLD = smooth.factor_chol(qM)
     d = d.replace(
         xpos=kin["xpos"], xquat=kin["xquat"], xipos=kin["xipos"],
         ximat=kin["ximat"], xanchor=kin["xanchor"], xaxis=kin["xaxis"],
@@ -230,16 +236,20 @@ def fwd_position(m: Model, d: Data) -> Data:
     )
     if m.ntendon:
         from mujoco_sim_tpu.ops import tendon as tendon_mod
-        origin_body = d.subtree_com[m.layout.body_rootid]
-        tlen, tJ = tendon_mod.tendon_quantities(
-            m, d.qpos, d.site_xpos, d.cdof, origin_body,
-            d.geom_xpos, d.geom_xmat, d.geom_size)
-        d = d.replace(ten_length=tlen, ten_J=tJ, ten_velocity=tJ @ d.qvel)
+        with jax.named_scope("tendon"):
+            origin_body = d.subtree_com[m.layout.body_rootid]
+            tlen, tJ = tendon_mod.tendon_quantities(
+                m, d.qpos, d.site_xpos, d.cdof, origin_body,
+                d.geom_xpos, d.geom_xmat, d.geom_size)
+            d = d.replace(ten_length=tlen, ten_J=tJ,
+                          ten_velocity=tJ @ d.qvel)
     # collision + constraint assembly
     from mujoco_sim_tpu.ops import collision as collision_mod
     from mujoco_sim_tpu.ops import constraint as constraint_mod
-    d = collision_mod.collision(m, d)
-    d = constraint_mod.make_constraint(m, d, com)
+    with jax.named_scope("collision"):
+        d = collision_mod.collision(m, d)
+    with jax.named_scope("constraint"):
+        d = constraint_mod.make_constraint(m, d, com)
     return d
 
 

@@ -507,17 +507,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
             # repeating the last vertex, so poly.shape[1] == maxfv
             assert poly.shape[1] == maxfv
             mesh_fpoly[hi, :len(fpl)] = poly
-        # deduped unit edge directions (exact-MTV edge-cross axes);
-        # capped: the cross-axis set is |EA| x |EB| per pair, so a greedy
-        # farthest-direction cap bounds the gated query's axis count
-        from mujoco_sim_tpu.models.mesh_io import edge_directions, hull_edges
-        ed_list = [edge_directions(p, n, max_dirs=48) for _, p, n in fp_list]
-        maxedir = max(len(e) for e in ed_list)
-        mesh_edir = np.zeros((nhull, maxedir, 3))
-        mesh_edir_mask = np.zeros((nhull, maxedir))
-        for hi, ed in enumerate(ed_list):
-            mesh_edir[hi, :len(ed)] = ed
-            mesh_edir_mask[hi, :len(ed)] = 1.0
+        from mujoco_sim_tpu.models.mesh_io import hull_edges
         # full edge endpoint tables (exact-MTV top-K edge refinement)
         he_list = [hull_edges(p, n) for _, p, n in fp_list]
         maxhe = max(len(e) for e in he_list)
@@ -534,8 +524,6 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         mesh_fplane = np.zeros((0, 1, 4))
         mesh_fmask = np.zeros((0, 1))
         mesh_fpoly = np.zeros((0, 1, 1, 3))
-        mesh_edir = np.zeros((0, 1, 3))
-        mesh_edir_mask = np.zeros((0, 1))
         mesh_cyl = np.zeros((0, 3))
         mesh_vert_hi = np.zeros((0, 1, 3))
         mesh_vert_hi_mask = np.zeros((0, 1))
@@ -1381,8 +1369,6 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         mesh_fplane=np_f(mesh_fplane),
         mesh_fmask=np_f(mesh_fmask),
         mesh_fpoly=np_f(mesh_fpoly),
-        mesh_edir=np_f(mesh_edir),
-        mesh_edir_mask=np_f(mesh_edir_mask),
         mesh_cyl=np_f(mesh_cyl),
         mesh_vert_hi=np_f(mesh_vert_hi),
         mesh_vert_hi_mask=np_f(mesh_vert_hi_mask),

@@ -275,10 +275,6 @@ class Model:
     mesh_fplane: jax.Array        # (nhull, maxmface, 4)
     mesh_fmask: jax.Array         # (nhull, maxmface) 1.0 for real faces
     mesh_fpoly: jax.Array         # (nhull, maxmface, maxfv, 3)
-    # deduped edge DIRECTIONS (unit, local; parallel/antiparallel merged)
-    # for the complete-SAT exact-MTV edge-cross axes (ops/manifold.py)
-    mesh_edir: jax.Array          # (nhull, maxedir, 3)
-    mesh_edir_mask: jax.Array     # (nhull, maxedir)
     # [is_cyl, radius, half_height]: prism hulls the exact manifold
     # treats as true cylinders (analytic support, axis = local +z)
     mesh_cyl: jax.Array           # (nhull, 3)

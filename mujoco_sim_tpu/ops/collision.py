@@ -731,10 +731,16 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
     # predicate evaluation.
     # gate on the emitted manifold depth (dist rows), NOT on -sep: the
     # face-only joint SAT cannot prove separation along edge-cross axes,
-    # so -sep reads "deep" for corner-region SEPARATED pairs (the GJK
-    # kill clears their contact rows but a -sep gate stayed on for the
-    # whole PR2 bench — 6 ms/step of exact-path work with zero deep
-    # contacts).  dist rows carry the GJK-killed, vertex-resolved depth.
+    # so -sep reads "deep" for corner-region SEPARATED pairs (a -sep
+    # gate stayed on for the whole PR2 bench — 6 ms/step of exact-path
+    # work with zero deep contacts).  The dist rows are the laterally-
+    # contained vertex depths: a separated corner pair has no contained
+    # verts, so its rows read 1e9 and the gate stays off.  Pairs that DO
+    # read deep but are edge-cross-separated still fire the query; the
+    # query's complete-SAT separation certificate (sepd > 0) then CLEARS
+    # their phantom SAT rows below — both a parity fix (no phantom
+    # contacts) and self-limiting cost (cleared rows read shallow next
+    # step only if the bodies actually approach).
     depth_sat = -dist.min(axis=-1)
     deep_thr = jnp.minimum(5e-3, 0.25 * jnp.minimum(rb1, rb2))
     exact_all = (extras is not None and extras.get("exact_all")) or \
@@ -802,7 +808,7 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
         selA = [take(ohA, extras[k]) for k in keys]
         selB = [take(ohB, extras[k]) for k in keys]
         en = (OH @ use_exact.astype(dist.dtype)) > 0.5   # (D,)
-        d4, p4, n1, ok = jax.vmap(exact_pair_contacts)(
+        d4, p4, n1, ok, sepd = jax.vmap(exact_pair_contacts)(
             sel(p1), sel(R1), *selA, sel(p2), sel(R2), *selB, en)
         # scatter back to pair slots
         okf = ok.astype(dist.dtype)
@@ -811,6 +817,14 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
         p_b = (OH.T @ (p4 * okf[:, None, None]).reshape(D, -1)).reshape(
             P, 4, 3)
         n_b = OH.T @ (n1 * okf[:, None])
+        # separation certificate: the complete SAT proved the pair
+        # separated even though the contained-vertex rows read deep
+        # (edge-cross-region phantoms) — raise the phantom rows to the
+        # certified separation lower bound (positive => inactive; a
+        # margin-activated row keeps a sound positive dist)
+        sep_b = OH.T @ sepd                              # (P,)
+        dist0 = jnp.where((sep_b > 0.0)[:, None],
+                          jnp.maximum(dist0, sep_b[:, None]), dist0)
         dist1 = jnp.where(hit[:, None], d_b, dist0)
         pos1 = jnp.where(hit[:, None, None], p_b, pos0)
         nrm1 = jnp.where(hit[:, None, None], n_b[:, None, :], nrm0)

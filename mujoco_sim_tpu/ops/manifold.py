@@ -397,18 +397,28 @@ def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
     query behind a one-iteration while_loop (disabled lanes cost one
     predicate evaluation and return ok=False).
 
-    Returns (dist (4,), pos (4, 3), n (3,), ok): up to 4 active rows
-    (dist < 0, the others 1e9), every active row sharing the exact MTV
-    depth and normal (geom1 -> geom2), positions on the mid-surface
+    Returns (dist (4,), pos (4, 3), n (3,), ok, sepd): up to 4 active
+    rows (dist < 0, the others 1e9), every active row sharing the exact
+    MTV depth and normal (geom1 -> geom2), positions on the mid-surface
     plane — the emission convention probed from the mujoco 3.10 oracle
-    (tests/test_manifold.py)."""
+    (tests/test_manifold.py).  `sepd` is a SEPARATION CERTIFICATE: > 0
+    iff the query ran and proved the pair separated (max SAT separation,
+    a lower bound on the true distance; support evaluations are exact
+    even for the analytic-cylinder lanes, so the certificate direction
+    is sound even where the axis set is incomplete)."""
     dtype = vertsA.dtype
     miss = (jnp.full((4,), 1e9, dtype), jnp.zeros((4, 3), dtype),
-            jnp.asarray([0.0, 0.0, 1.0], dtype), jnp.asarray(False))
+            jnp.asarray([0.0, 0.0, 1.0], dtype), jnp.asarray(False),
+            jnp.asarray(0.0, dtype))
 
     def body(carry):
-        del carry
-        wA = pA[None, :] + _rot(RA, vertsA)
+        # thread a CARRY dependence into the computation: a body with no
+        # carry dependence gets hoisted out of the one-iteration while by
+        # XLA LICM and runs unconditionally, defeating `enabled` (repo
+        # hazard — see collision.py's outer gate).  0 * finite-sentinel
+        # (carry dist row, init 1e9) is exact.
+        zero = 0.0 * carry[0][0]
+        wA = (pA[None, :] + zero) + _rot(RA, vertsA)
         wB = pB[None, :] + _rot(RB, vertsB)
         nfA = _rot(RA, fplaneA[:, :3])
         nfB = _rot(RB, fplaneB[:, :3])
@@ -504,9 +514,11 @@ def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
         pos = (pts4[:, 0:1] * t1[None, :] + pts4[:, 1:2] * t2[None, :]
                + c_mid * n[None, :])
         dist = jnp.where(m4 & ok, -depth, jnp.asarray(1e9, dtype))
-        return (dist, pos, n, ok, jnp.asarray(True))
+        sepd = jnp.where(enabled & (depth <= 0.0) & (depth > -1e8),
+                         -depth, jnp.asarray(0.0, dtype))
+        return (dist, pos, n, ok, sepd, jnp.asarray(True))
 
     init = miss + (jnp.asarray(False),)
     out = jax.lax.while_loop(
         lambda c: enabled & ~c[-1], body, init)
-    return out[0], out[1], out[2], out[3]
+    return out[0], out[1], out[2], out[3], out[4]

@@ -51,7 +51,7 @@ def tabs(h):
         cyl=np.asarray(m.mesh_cyl[h], dt))
 
 A, B = tabs(h1), tabs(h2)
-d4, p4, n1, ok = exact = jax.jit(MF.exact_pair_contacts)(
+d4, p4, n1, ok, _sep = exact = jax.jit(MF.exact_pair_contacts)(
     pA, RA, A['v'], A['vm'], A['fp'], A['fm'], A['poly'], A['he'], A['hm'], A['cyl'],
     pB, RB, B['v'], B['vm'], B['fp'], B['fm'], B['poly'], B['he'], B['hm'], B['cyl'],
     np.asarray(True))

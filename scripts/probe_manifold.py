@@ -84,7 +84,7 @@ def run_case(name, pos, quat):
     RB = rot(np.asarray(quat, dtype) / np.linalg.norm(quat))
     TA = tabs(h1)
     TB = tabs(h2)
-    d4, p4, n1, ok = jax.jit(exact_pair_contacts)(
+    d4, p4, n1, ok, _sep = jax.jit(exact_pair_contacts)(
         pA, RA, *TA, pB, RB, *TB, np.asarray(True))
     d4, p4, n1 = np.asarray(d4), np.asarray(p4), np.asarray(n1)
     print(f"ours ok={bool(ok)} n={np.round(n1,4)}")

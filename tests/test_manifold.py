@@ -78,7 +78,7 @@ def _case(tmp_path, pos, quat):
     lay = m.layout
     TA = _tabs(m, int(lay.geom_hullid[0]))
     TB = _tabs(m, int(lay.geom_hullid[1]))
-    d4, p4, n1, ok = _jit_pair(
+    d4, p4, n1, ok, _sep = _jit_pair(
         np.zeros(3), np.eye(3), *TA,
         np.asarray(pos, np.float64), _rotm(np.asarray(quat, np.float64)),
         *TB, np.asarray(True))
@@ -159,7 +159,7 @@ def test_cylinder_side_deep_three_points():
     TA = _tabs(m, int(lay.geom_hullid[0]))
     TB = _tabs(m, int(lay.geom_hullid[1]))
     RB = dd.geom_xmat[1].reshape(3, 3)
-    d4, p4, n1, ok = _jit_pair(
+    d4, p4, n1, ok, _sep = _jit_pair(
         np.zeros(3), np.eye(3), *TA,
         dd.geom_xpos[1].copy(), RB.copy(), *TB, np.asarray(True))
     pts = np.asarray(p4)[np.asarray(d4) < 1e8]
