@@ -140,7 +140,12 @@ def set_const(m: Model) -> Model:
 
     These feed the constraint regularization diagApprox (ops/constraint.py).
     """
+    # _full_precision is load-bearing here: set_const runs on the default
+    # backend (TPU under axon) and bf16 default matmuls through the FK/CRB
+    # mask-matmul kernels corrupt qM -> inv(qM) -> invweight0 -> efc_D
+    # exploded to 1e12 (r4 diagnosis: Newton cholesky breakdown + qvel 1e7)
     @jax.jit
+    @_full_precision
     def _compute(m):
         qpos0 = jnp.asarray(m.qpos0)
         kin = smooth.kinematics(m, qpos0)

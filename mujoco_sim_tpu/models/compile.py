@@ -517,6 +517,14 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
             mesh_hedge[hi, :len(he)] = he
             mesh_hedge_mask[hi, :len(he)] = 1.0
         mesh_cyl = np.asarray(hull_cyl_list)
+        # static local AABB per hull (FULL verts: conservative for the
+        # decimated-SAT candidates) — the mesh-group AABB prefilter
+        # (ops/collision._geom_aabb_static) reads this off the Layout
+        hull_aabb = np.zeros((nhull, 2, 3))
+        for hi, (verts, _) in enumerate(hull_hi_entries):
+            v = np.asarray(verts)
+            hull_aabb[hi, 0] = 0.5 * (v.min(0) + v.max(0))
+            hull_aabb[hi, 1] = 0.5 * (v.max(0) - v.min(0))
     else:
         mesh_vert_pad = np.zeros((0, 1, 3))
         mesh_vert_mask = np.zeros((0, 1))
@@ -529,6 +537,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         mesh_vert_hi_mask = np.zeros((0, 1))
         mesh_hedge = np.full((0, 1, 2, 3), 1e6)
         mesh_hedge_mask = np.zeros((0, 1))
+        hull_aabb = np.zeros((0, 2, 3))
 
     # mesh geoms inherit the recentered hull's AABB half-extents as size
     # (matches mjModel.geom_size semantics for meshes)
@@ -1175,6 +1184,7 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         geom_dataid=geom_dataid,
         geom_hullid=geom_hullid,
         geom_hfieldid=geom_hfieldid,
+        hull_aabb=hull_aabb,
         geom_invisible=np.asarray(
             [g.rgba[3] <= 0.0 for g in geom_specs], dtype=bool),
         hf_nrow=hf_nrow,

@@ -984,6 +984,52 @@ _DISPATCH_MESH = {
 }
 
 
+_AABB_CACHE: dict = {}
+
+
+def _geom_aabb_static(m: Model):
+    """Static per-geom local AABB pieces for the mesh-group prefilter.
+
+    Returns numpy (aabb_c (ngeom, 3) local center, C (ngeom, 3, 3) such
+    that the dynamic half extents are C @ geom_size + base (spawn-time
+    size overrides ride through d.geom_size), base (ngeom, 3)).  Hull-
+    backed geoms (mesh, cylinder prisms) take the FULL undecimated hull
+    AABB (mesh_vert_hi): the candidate SAT runs on the decimated hulls
+    (subsets), so a full-hull AABB prune can never drop a pair the SAT
+    could activate.  Types that never reach a mesh group (plane, hfield)
+    get +inf extents.
+    """
+    lay = m.layout
+    got = _AABB_CACHE.get(lay)
+    if got is not None:
+        return got
+    ngeom = m.ngeom
+    aabb_c = np.zeros((ngeom, 3))
+    C = np.zeros((ngeom, 3, 3))
+    base = np.zeros((ngeom, 3))
+    hull_aabb = np.asarray(lay.hull_aabb)      # static (nhull, 2, 3)
+    for g0 in range(ngeom):
+        t = GeomType(int(lay.geom_type[g0]))
+        h = int(lay.geom_hullid[g0])
+        if t in (GeomType.MESH, GeomType.CYLINDER) and h >= 0:
+            aabb_c[g0] = hull_aabb[h, 0]
+            base[g0] = hull_aabb[h, 1]
+        elif t == GeomType.SPHERE:
+            C[g0, :, 0] = 1.0
+        elif t == GeomType.CAPSULE:
+            C[g0, :, 0] = 1.0
+            C[g0, 2, 1] = 1.0
+        elif t == GeomType.CYLINDER:
+            C[g0, 0, 0] = C[g0, 1, 0] = C[g0, 2, 1] = 1.0
+        elif t in (GeomType.BOX, GeomType.ELLIPSOID):
+            C[g0] = np.eye(3)
+        else:
+            base[g0] = 1e9
+    got = (aabb_c, C, base)
+    _AABB_CACHE[lay] = got
+    return got
+
+
 def collision(m: Model, d: Data) -> Data:
     """Narrowphase -> candidates -> top-K compaction into the fixed contact
     budget.  Primitive groups process all pairs; mesh groups prefilter to
@@ -1027,6 +1073,17 @@ def collision(m: Model, d: Data) -> Data:
         sizes,
         body_act[lay.geom_bodyid].astype(dtype)[:, None],
     ], axis=1)
+
+    # per-geom world AABB for the mesh-group prefilter (shared by all
+    # expensive groups; ~3 ops total)
+    if any(k in EXPENSIVE for k in keys):
+        aabb_c, aabb_C, aabb_base = _geom_aabb_static(m)
+        xmat = d.geom_xmat.astype(dtype)
+        half = ((jnp.asarray(aabb_C, dtype)
+                 * sizes[:, None, :]).sum(-1) + jnp.asarray(aabb_base, dtype))
+        geom_ew = (jnp.abs(xmat) * half[:, None, :]).sum(-1)       # (ngeom,3)
+        geom_cw = d.geom_xpos.astype(dtype) + (
+            xmat * jnp.asarray(aabb_c, dtype)[:, None, :]).sum(-1)
 
     for g in groups:
         assert g.cand_adr == cursor, (g.cand_adr, cursor)
@@ -1080,19 +1137,51 @@ def collision(m: Model, d: Data) -> Data:
             npg = len(sel)
             pg1 = lay.pair_geom1[sel]
             pg2 = lay.pair_geom2[sel]
-            c1 = d.geom_xpos[pg1]
-            c2 = d.geom_xpos[pg2]
-            bd = (jnp.linalg.norm(c2 - c1, axis=-1)
-                  - rbound[pg1] - rbound[pg2] - margin_all[sel])
-            alive = (body_act[lay.geom_bodyid[pg1]]
-                     & body_act[lay.geom_bodyid[pg2]])
-            score = jnp.where(alive, bd, BIG)
-            # top-P selection: P serial argmax passes (~105us on the r2 PR2
-            # trace).  The r3 rank-matrix form (one (npg,npg) lt|tie + row
-            # -sum) measured 343us on-chip at npg=883 — the O(npg^2) compare
-            # fusion is VPU-bound and LOSES to the serial passes; reverted.
-            _, selp = _top_k_small(-score, P)
-            ohp = jax.nn.one_hot(selp, npg, dtype=dtype)    # (P, npairs_g)
+            if P >= npg:
+                # every pair owns a slot: selection is the identity constant
+                ohp = jnp.asarray(np.eye(npg), dtype)
+            else:
+                # ---- candidate selection, r4 redesign.  A pair can only
+                # activate if its TRUE distance < margin; the world-AABB
+                # per-axis gap lower-bounds true distance, so AABB-separated
+                # pairs are pruned outright (the r3 bounding-sphere test
+                # left 42-66 of 883 PR2 mesh-mesh pairs "close" at all
+                # times — elongated link hulls make spheres hopeless).  The
+                # survivors (typically << P) are rank-compacted into the P
+                # slots with one cumsum (candidate order; the solver is
+                # order-invariant).  Only when MORE than P survive does the
+                # deepest-first serial-argmax top-P run, inside a gated
+                # one-iteration while (the former always-on 32-pass chain
+                # was ~105us/step + ~130 dispatch-bound HLO ops per group).
+                c1 = geom_cw[pg1]
+                c2 = geom_cw[pg2]
+                mrg = margin_all[sel]
+                gap = jnp.abs(c2 - c1) - (geom_ew[pg1] + geom_ew[pg2])
+                alive = (body_act[lay.geom_bodyid[pg1]]
+                         & body_act[lay.geom_bodyid[pg2]])
+                active = (gap < mrg[:, None]).all(-1) & alive
+                cnt = active.sum()
+                ranks = jnp.cumsum(active.astype(jnp.int32)) * active
+                oh_fast = (ranks[None, :] ==
+                           jnp.arange(1, P + 1, dtype=jnp.int32)[:, None]
+                           ).astype(dtype)
+                bd = (jnp.linalg.norm(c2 - c1, axis=-1)
+                      - rbound[pg1] - rbound[pg2] - mrg)
+                score = jnp.where(active, bd, BIG)
+
+                def fb_body(carry):
+                    oh0, _ = carry
+                    # carry term defeats XLA LICM (a carry-independent body
+                    # is hoisted out of the one-iteration while and runs
+                    # unconditionally — see the deep-pair gate below)
+                    sc = score + 0.0 * oh0[0, 0]
+                    _, selp = _top_k_small(-sc, P)
+                    return (jax.nn.one_hot(selp, npg, dtype=dtype),
+                            jnp.asarray(True))
+
+                ohp, _ = jax.lax.while_loop(
+                    lambda c: (cnt > P) & ~c[1], fb_body,
+                    (oh_fast, jnp.asarray(False)))
             # The selected pairs' payload comes from chained one-hot
             # matmuls, all with STATIC 0/1 right-hand sides:
             #   ohp (P, npairs_g)         traced top-P selection

