@@ -79,6 +79,34 @@ def main():
         print(f"  [container] {us / nsteps:8.1f}us/step  {name[:60]}")
     for name, us in per.most_common(int(os.environ.get("TOP", 15))):
         print(f"  {us / nsteps:8.1f}us/step  {name[:70]}")
+    if os.environ.get("GROUP"):
+        # attribute leaves to their innermost while container by timestamp
+        # nesting (each leaf event lies inside its container's [ts, ts+dur))
+        spans = sorted(((e["ts"], e["ts"] + e["dur"], e["name"])
+                        for e in dev if e["name"].startswith("while")),
+                       key=lambda s: s[1] - s[0])
+        bycont = collections.defaultdict(collections.Counter)
+        nleaf = collections.defaultdict(collections.Counter)
+        for e in dev:
+            if is_cont(e["name"]):
+                continue
+            t0 = e["ts"]
+            for a, b, nm in spans:
+                if a <= t0 < b:
+                    bycont[nm][e["name"]] += e.get("dur", 0)
+                    nleaf[nm][e["name"]] += 1
+                    break
+            else:
+                bycont["<top>"][e["name"]] += e.get("dur", 0)
+                nleaf["<top>"][e["name"]] += 1
+        for cont, ctr in sorted(bycont.items(),
+                                key=lambda kv: -sum(kv[1].values())):
+            tot = sum(ctr.values())
+            nops = sum(len(v) for v in [ctr])
+            print(f"  == {cont}: {tot / 1e3 / nsteps:.3f} ms/step, "
+                  f"{len(ctr)} distinct leaf ops ==")
+            for name, us in ctr.most_common(int(os.environ.get("GTOP", 8))):
+                print(f"     {us / nsteps:8.1f}us/step x{nleaf[cont][name] // nsteps:4d}  {name[:60]}")
 
 
 if __name__ == "__main__":

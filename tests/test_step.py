@@ -41,17 +41,24 @@ def run_ours(m, nsteps, qpos=None, qvel=None):
 
 
 def test_pendulum_trajectory():
-    """Swinging ball-joint bodies, RK4, no contact: tight match."""
+    """Swinging ball-joint bodies, RK4, no contact: BIT-LEVEL match.
+
+    BASELINE.md config 1 (bit-matching single-env trajectories): the
+    contact-free pipeline (FK -> com -> CRB -> RNE -> RK4) tracks the
+    oracle at accumulated-rounding level — measured 1.1e-15 qpos error
+    over 1000 steps (r4; the r1-r3 level-loop FK sat at ~1e-8/200).
+    See RESIDUALS.md for the per-term residual attribution across
+    configs."""
     path = f"{REF}/test/pendulum.xml"
     mm = oracle_model(path)
     m = load_model(path)
-    n = 200
+    n = 1000
     ours = run_ours(m, n)
     theirs = run_oracle(mm, n)
     qpos_err = max(np.max(np.abs(a[0] - b[0])) for a, b in zip(ours, theirs))
     qvel_err = max(np.max(np.abs(a[1] - b[1])) for a, b in zip(ours, theirs))
-    assert qpos_err < 1e-8, f"qpos err {qpos_err}"
-    assert qvel_err < 1e-7, f"qvel err {qvel_err}"
+    assert qpos_err < 1e-12, f"qpos err {qpos_err}"
+    assert qvel_err < 1e-12, f"qvel err {qvel_err}"
 
 
 def test_ball_drop_contact():
