@@ -232,63 +232,26 @@ def bench_spawn(nenv=4096, nsteps=500, reps=5):
 
 def bench_manip(nenv=4096, nsteps=300, reps=5):
     """Config 5 single-chip analogue (BASELINE.md contact-rich
-    manipulation): a 3-dof arm stirring 3 free mesh cubes inside a bin —
-    mesh-mesh cube pairs, cube-bin, cube-arm and floor contacts all live
-    at once.  The box scenario is a SMOKE test by comparison (<= 1
-    contact pair); this is the number that reflects manipulation
-    workloads."""
+    manipulation): a 6-dof arm stirring 6 free convex-mesh objects
+    (24-vert tumblers, 20-vert rock dodecahedra, cubes) inside a bin —
+    mesh-mesh object pairs, object-bin, object-arm and floor contacts all
+    live at once, on real >=20-vert hulls (tests/fixtures/manip_bin6.xml;
+    the r3 scene's 8-vert cubes barely stressed the hull narrowphase).
+    The box scenario is a SMOKE test by comparison (<= 1 contact pair);
+    this is the number that reflects manipulation workloads."""
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.models.compile import load_model
     from mujoco_sim_tpu.models.model import Integrator
     from mujoco_sim_tpu.parallel import mesh as pmesh
 
-    fx = os.path.join(_REPO, "tests/fixtures/manip_bin.xml")
-    if not os.path.exists(fx):
-        h = 0.03
-        corners = " ".join(f"{x} {y} {z}" for x in (-h, h) for y in (-h, h)
-                           for z in (-h, h))
-        with open(fx, "w") as f:
-            f.write(f"""
-<mujoco model="manip">
-  <option timestep="0.004" gravity="0 0 -9.81"/>
-  <asset><mesh name="cube" vertex="{corners}"/></asset>
-  <worldbody>
-    <geom type="plane" size="0 0 .05"/>
-    <geom type="box" size=".02 .18 .08" pos=" .2 0 .08"/>
-    <geom type="box" size=".02 .18 .08" pos="-.2 0 .08"/>
-    <geom type="box" size=".18 .02 .08" pos="0  .2 .08"/>
-    <geom type="box" size=".18 .02 .08" pos="0 -.2 .08"/>
-    <body name="shoulder" pos="0 0 0.42">
-      <joint name="a1" type="hinge" axis="0 0 1" damping="0.5"/>
-      <geom type="capsule" size=".02" fromto="0 0 0 .12 0 -.05" mass="1"/>
-      <body name="elbow" pos=".12 0 -.05">
-        <joint name="a2" type="hinge" axis="0 1 0" damping="0.5"/>
-        <geom type="capsule" size=".018" fromto="0 0 0 0 0 -.16" mass="0.7"/>
-        <body name="paddle" pos="0 0 -.2">
-          <joint name="a3" type="hinge" axis="0 0 1" damping="0.3"/>
-          <geom type="box" size=".06 .015 .04" mass="0.3"/>
-        </body>
-      </body>
-    </body>
-    <body name="c1" pos="0.05 0.05 0.031"><freejoint/>
-      <geom type="mesh" mesh="cube" mass="0.2"/></body>
-    <body name="c2" pos="-0.06 0.02 0.031"><freejoint/>
-      <geom type="mesh" mesh="cube" mass="0.2"/></body>
-    <body name="c3" pos="0.01 -0.07 0.031"><freejoint/>
-      <geom type="mesh" mesh="cube" mass="0.2"/></body>
-  </worldbody>
-  <actuator>
-    <motor joint="a1" gear="2"/><motor joint="a2" gear="2"/>
-    <motor joint="a3" gear="1"/>
-  </actuator>
-</mujoco>""")
+    fx = os.path.join(_REPO, "tests/fixtures/manip_bin6.xml")
     m = load_model(fx)
     m = m.replace(opt=m.opt.replace(integrator=int(Integrator.EULER)))
     m32 = engine.put_model(m, jnp.float32)
     d = engine.make_data(m32, jnp.float32)
     dB = _batch(m32, d, nenv, jitter=False)
     key = jax.random.PRNGKey(1)
-    phase = jax.random.uniform(key, (nenv, 3), maxval=6.28)
+    phase = jax.random.uniform(key, (nenv, m.nu), maxval=6.28)
 
     def one_step(m_, d_, ph):
         ctrl = jnp.sin(4.0 * d_.time + ph)  # stir

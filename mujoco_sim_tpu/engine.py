@@ -230,7 +230,16 @@ def fwd_position(m: Model, d: Data) -> Data:
         com = smooth.com_pos(m, kin, d.body_mass, d.body_inertia)
     with jax.named_scope("crb"):
         qM = smooth.crb(m, com)
-        qLD = smooth.factor_chol(qM)
+        from mujoco_sim_tpu.ops.pallas_chol import use_pallas_chol
+        if use_pallas_chol() and m.opt.noslip_iterations == 0:
+            # TPU: the factor is fused into each solve (pallas chol_solve
+            # at fwd_acceleration / Euler / Newton); the standalone XLA
+            # blocked factor (~400 ops) only pays off for noslip's
+            # matrix-RHS solve.  qLD stays ZERO — any consumer that needs
+            # the factor must check (noslip does, gated above).
+            qLD = jnp.zeros_like(qM)
+        else:
+            qLD = smooth.factor_chol(qM)
     d = d.replace(
         xpos=kin["xpos"], xquat=kin["xquat"], xipos=kin["xipos"],
         ximat=kin["ximat"], xanchor=kin["xanchor"], xaxis=kin["xaxis"],
@@ -501,7 +510,11 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
     qfrc_x = support.xfrc_accumulate(m, com, d.xipos, d.xfrc_applied)
     qfrc_smooth = (d.qfrc_passive + d.qfrc_actuator + d.qfrc_applied
                    + qfrc_x - d.qfrc_bias)
-    qacc_smooth = smooth.solve_chol(d.qLD, qfrc_smooth)
+    from mujoco_sim_tpu.ops.pallas_chol import chol_solve, use_pallas_chol
+    if use_pallas_chol() and m.opt.noslip_iterations == 0:
+        qacc_smooth = chol_solve(d.qM, qfrc_smooth)
+    else:
+        qacc_smooth = smooth.solve_chol(d.qLD, qfrc_smooth)
     return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
 
@@ -589,9 +602,13 @@ def _euler(m: Model, d: Data) -> Data:
     # (matches mj_Euler; qfrc_smooth already contains the explicit -B qvel)
     MhB = d.qM + jnp.diag(h * damping)
     rhs = d.qfrc_smooth + d.qfrc_constraint
-    from mujoco_sim_tpu.ops import linalg as _linalg
-    L = _linalg.cholesky(MhB)
-    qacc = smooth.solve_chol(L, rhs)
+    from mujoco_sim_tpu.ops.pallas_chol import chol_solve, use_pallas_chol
+    if use_pallas_chol():
+        qacc = chol_solve(MhB, rhs)
+    else:
+        from mujoco_sim_tpu.ops import linalg as _linalg
+        L = _linalg.cholesky(MhB)
+        qacc = smooth.solve_chol(L, rhs)
     qvel = jnp.where(_dof_active(m, d), d.qvel + h * qacc, 0.0)
     qpos = integrate_mod.integrate_pos(m, d.qpos, qvel, h)
     return d.replace(qpos=qpos, qvel=qvel, act=_advance_act(m, d, h),
@@ -626,8 +643,13 @@ def _implicit(m: Model, d: Data, fast: bool) -> Data:
     MhB = d.qM + jnp.diag(h * damping)
     rhs = d.qfrc_smooth + d.qfrc_constraint
     if fast:
-        from mujoco_sim_tpu.ops import linalg as _linalg
-        qacc = _linalg.cho_solve(_linalg.cholesky(MhB), rhs)
+        from mujoco_sim_tpu.ops.pallas_chol import (chol_solve,
+                                                    use_pallas_chol)
+        if use_pallas_chol():
+            qacc = chol_solve(MhB, rhs)
+        else:
+            from mujoco_sim_tpu.ops import linalg as _linalg
+            qacc = _linalg.cho_solve(_linalg.cholesky(MhB), rhs)
     else:
         com = _com_dict(m, d)
         com_full = dict(com, cinert=_cinert(m, d))

@@ -40,7 +40,7 @@ PAIR_NCON = {
     (GeomType.PLANE, GeomType.CYLINDER): 4,
     (GeomType.PLANE, GeomType.BOX): 4,
     (GeomType.PLANE, GeomType.ELLIPSOID): 1,
-    (GeomType.PLANE, GeomType.MESH): 4,
+    (GeomType.PLANE, GeomType.MESH): 3,
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,

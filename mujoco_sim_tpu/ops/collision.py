@@ -384,17 +384,44 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     return dist8, pos8, nrm8
 
 
-def _plane_mesh(pp, pR, s1, mp, mR, verts, vmask):
-    """4 deepest hull vertices vs plane.  verts padded; vmask masks padding
-    (padding verts rotate arbitrarily with the mesh frame and must never
-    participate)."""
+def _plane_mesh(pp, pR, s1, mp, mR, verts, vmask, margin=0.0):
+    """<= 3 contacts replicating mjc_PlaneConvex's emission rule (probed
+    vs mujoco 3.10, scripts/probe_planeconvex.py): only vertices BELOW
+    the plane (+margin) emit; c0 = deepest vertex, c1 = below vertex
+    furthest from c0, c2 = below vertex furthest from the line (c0, c1).
+    A flat 4+-vertex resting face thus gets the oracle's exact 3-point
+    support polygon — the r1-r3 4-deepest manifold put a 4th support
+    under every resting mesh and drifted the yaw (manip parity 0.16
+    rad/50 steps).  verts padded; vmask masks padding."""
+    dtype = pp.dtype
+    big = jnp.asarray(1e9, dtype)
     n = pR[..., :, 2]
     pts = mp[..., None, :] + _rotate_rows_fwd(mR, verts)
     h = (n[..., None, :] * (pts - pp[..., None, :])).sum(-1)
-    h = jnp.where(vmask > 0.5, h, 1e9)
-    neg_h, idx = _top_k_small(-h, 4)
-    dist = -neg_h
-    pos = _select_rows(pts, idx)
+    h = jnp.where(vmask > 0.5, h, big)
+    below = h < jnp.asarray(margin, dtype)
+    nbelow = below.sum(axis=-1)
+    # c0: deepest vertex (always computed; act masks it when separated)
+    i0 = jnp.argmin(h, axis=-1)
+    p0 = _oh_pick_rows(pts, i0)
+    d0 = _oh_pick(h, i0)
+    # c1: furthest below vertex from c0 (c0 itself scores 0)
+    dist0 = jnp.linalg.norm(pts - p0[..., None, :], axis=-1)
+    s1c = jnp.where(below, dist0, -1.0)
+    i1 = jnp.argmax(s1c, axis=-1)
+    p1 = _oh_pick_rows(pts, i1)
+    d1 = jnp.where(nbelow >= 2, _oh_pick(h, i1), big)
+    # c2: furthest below vertex from the line (c0, c1)
+    u = (p1 - p0) / jnp.maximum(
+        jnp.linalg.norm(p1 - p0, axis=-1, keepdims=True), 1e-12)
+    dv = pts - p0[..., None, :]
+    perp = dv - (dv * u[..., None, :]).sum(-1)[..., None] * u[..., None, :]
+    ld = jnp.linalg.norm(perp, axis=-1)
+    s2c = jnp.where(below, ld, -1.0)
+    i2 = jnp.argmax(s2c, axis=-1)
+    d2 = jnp.where(nbelow >= 3, _oh_pick(h, i2), big)
+    dist = jnp.stack([d0, d1, d2], axis=-1)
+    pos = jnp.stack([p0, p1, _oh_pick_rows(pts, i2)], axis=-2)
     pos = pos - n[..., None, :] * (0.5 * dist)[..., None]
     nrm = jnp.broadcast_to(n[..., None, :], pos.shape)
     return dist, pos, nrm
@@ -1121,7 +1148,15 @@ def collision(m: Model, d: Data) -> Data:
                         lay.geom_hullid[g2]]
                     vmask = jnp.asarray(m.mesh_vert_mask, dtype)[
                         lay.geom_hullid[g2]]
-                    dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts, vmask)
+                    if fn is _plane_mesh:
+                        # mjc_PlaneConvex's below-plane test includes the
+                        # pair margin (probed; see _plane_mesh)
+                        dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts,
+                                            vmask,
+                                            margin=margin_all[sel][:, None])
+                    else:
+                        dist, pos, nrm = fn(p1, R1, s1, p2, R2, verts,
+                                            vmask)
                 else:
                     dist, pos, nrm = fn(p1, R1, s1, p2, R2, s2)
             marg = margin_all[sel][..., None]

@@ -310,9 +310,17 @@ def solve(m: Model, d: Data) -> Data:
         # small relative ridge keeps H SPD under f32 rounding
         ridge = 1e-7 * jnp.trace(H) / H.shape[0]
         H = H + ridge * jnp.eye(H.shape[0], dtype=H.dtype)
-        from mujoco_sim_tpu.ops import linalg
-        L = linalg.cholesky(H)
-        p = -smooth.solve_chol(L, grad)
+        from mujoco_sim_tpu.ops.pallas_chol import (chol_solve,
+                                                    use_pallas_chol)
+        if use_pallas_chol():
+            # fused factor+solve, true-f32 VPU: runs per Newton iteration,
+            # where the XLA blocked factor's ~400 tiny ops dominate the
+            # while body on the dispatch-bound flagship step (r4 profile)
+            p = -chol_solve(H, grad)
+        else:
+            from mujoco_sim_tpu.ops import linalg
+            L = linalg.cholesky(H)
+            p = -smooth.solve_chol(L, grad)
         p = jnp.where(jnp.isfinite(p), p, 0.0)
         alpha = line_search(a, p)
         a_new = a + alpha * p

