@@ -43,6 +43,8 @@ and reduces the intersection to <= 4 spread points.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -513,6 +515,20 @@ def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
 
         pos = (pts4[:, 0:1] * t1[None, :] + pts4[:, 1:2] * t2[None, :]
                + c_mid * n[None, :])
+        if os.environ.get("MST_SINGLE_WITNESS"):
+            # A/B probe (VERDICT r3 #7, hsrb4s decision round): emit ONE
+            # centroid witness per pair — the closest closed form to the
+            # oracle's single EPA witness for permanent deep contacts.
+            # Measured: hsrb4s err50 0.305 -> 0.301 (no movement): the
+            # residual is the ORACLE's wheels spinning off its EPA-
+            # internal ~2e-4 m witness noise, which no noise-free witness
+            # (point or polygon) reproduces.  Kept as the documented
+            # experiment switch, not a product mode.
+            w4 = (m4 & ok).astype(dtype)[:, None]
+            cnt = jnp.maximum(w4.sum(), 1.0)
+            centroid = (pos * w4).sum(0) / cnt
+            pos = jnp.broadcast_to(centroid, pos.shape)
+            m4 = m4 & jnp.asarray([True, False, False, False])
         dist = jnp.where(m4 & ok, -depth, jnp.asarray(1e9, dtype))
         sepd = jnp.where(enabled & (depth <= 0.0) & (depth > -1e8),
                          -depth, jnp.asarray(0.0, dtype))
