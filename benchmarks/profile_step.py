@@ -28,7 +28,8 @@ def main():
     import bench
 
     fn = {"box": bench.bench_box, "mobile": bench.bench_mobile,
-          "pr2": bench.bench_pr2, "spawn": bench.bench_spawn}[scenario]
+          "pr2": bench.bench_pr2, "spawn": bench.bench_spawn,
+          "manip": bench.bench_manip}[scenario]
 
     # monkeypatch the timing helper to run the warmed rollout under a trace
     tdir = os.environ.get("TRACE_DIR", "/tmp/jaxtrace")
