@@ -231,7 +231,7 @@ def bench_spawn(nenv=4096, nsteps=500, reps=5):
     return {"scenario": "spawn", "nenv": nenv, "rate": rate}
 
 
-def bench_manip(nenv=4096, nsteps=300, reps=5):
+def bench_manip(nenv=1024, nsteps=300, reps=5):
     """Config 5 single-chip analogue (BASELINE.md contact-rich
     manipulation): a 6-dof arm stirring 6 free convex-mesh objects
     (24-vert tumblers, 20-vert rock dodecahedra, cubes) inside a bin —
@@ -239,7 +239,13 @@ def bench_manip(nenv=4096, nsteps=300, reps=5):
     live at once, on real >=20-vert hulls (tests/fixtures/manip_bin6.xml;
     the r3 scene's 8-vert cubes barely stressed the hull narrowphase).
     The box scenario is a SMOKE test by comparison (<= 1 contact pair);
-    this is the number that reflects manipulation workloads."""
+    this is the number that reflects manipulation workloads.
+
+    nenv=1024 is the measured single-chip sweet spot: the step is
+    bandwidth-bound on the dense (nenv, nefc, nv) efc rows (60.0k
+    env-steps/s at 1024 vs 47.8k at 2048 and 32.9k at 4096, r4), and
+    the scene caps the row count via <size nconmax="32"> (max observed
+    ncon is 22 over 500 stirred steps)."""
     from mujoco_sim_tpu import engine
     from mujoco_sim_tpu.models.compile import load_model
     from mujoco_sim_tpu.models.model import Integrator

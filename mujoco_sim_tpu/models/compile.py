@@ -1109,7 +1109,12 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
             a0 = g.cand_adr + sslot * g.cap
             cand_pairid[a0:a0 + g.cap] = pid
     if ncon_budget is None:
-        ncon_budget = min(ncand, 64)
+        # <size nconmax> (parsed in mjcf.py) bounds the contact-slot
+        # budget like mujoco's legacy nconmax: large-batch scenes are
+        # bandwidth-bound on the dense (nenv, nefc, nv) efc rows, and a
+        # scene-appropriate capacity halves that traffic (r4, config-5)
+        sz = getattr(spec, "nconmax", -1)
+        ncon_budget = sz if sz and sz > 0 else min(ncand, 64)
     ncon_max = min(ncon_budget, ncand)
     from mujoco_sim_tpu.models.model import contact_rows_per, ConeType as _CT
     max_condim = int(max(pair_condim)) if pair_condim else 1

@@ -316,6 +316,7 @@ class SpecTree:
     actuators: list = dataclasses.field(default_factory=list)
     tendons: list = dataclasses.field(default_factory=list)
     base_dir: str = ""
+    nconmax: int = -1          # <size nconmax>: contact-slot capacity bound
 
 
 # ---------------------------------------------------------------------------
@@ -469,6 +470,12 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
         comp.boundinertia = _get_f(el, "boundinertia", comp.boundinertia)
         comp.balanceinertia = _get_b(el, "balanceinertia", comp.balanceinertia)
         comp.inertiafromgeom = el.get("inertiafromgeom", comp.inertiafromgeom)
+
+    # -- size (legacy capacity bounds; mujoco accepts the attribute and
+    # our compiler uses it as the top-K contact-slot budget — the analogue
+    # of tuning nconmax for a scene's realistic contact count)
+    for el in root.findall("size"):
+        spec.nconmax = int(float(el.get("nconmax", spec.nconmax)))
 
     # -- option
     opt = spec.option
