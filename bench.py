@@ -5,7 +5,13 @@ EVERY scenario's rate as extra keys:
   {"metric": "env_steps_per_sec_per_chip", "value": <box rate>,
    "unit": "env-steps/s", "vs_baseline": N/1e6,
    "mobile": R, "pr2": R, "pr2_ms_wall": M, "spawn": R, "manip": R,
-   "manip_65k": R, "stale": [names...]}
+   "manip_8k": R, "nenv": {scen: N}, "mfu": {scen: frac},
+   "hbm_util": {scen: frac}, "stale": [names...]}
+
+mfu / hbm_util are roofline fractions from XLA's compiled cost analysis
+(flops / bytes-accessed per rollout over the best measured wall time)
+against v5e peaks (197 TFLOP/s bf16 MXU, 819 GB/s HBM) — they quantify
+whether a scenario is compute- or bandwidth-bound (VERDICT r4 weak #4).
 
 vs_baseline = fraction of the 1M env-steps/s aggregate target (BASELINE.md)
 achieved on this single chip at 4096 envs.
@@ -15,9 +21,9 @@ Scenarios (BENCH_SCENARIO env var; default "all"):
   mobile mobile base (odom-driven) + 3-dof PD arm, 1024 envs   — config 3
   pr2    PR2 robot in the world, 256 envs                       — config 2
   spawn  4 spawnable robots/env, half the slots active, 4096    — config 4
-  manip  6-dof arm stirring mesh objects in a bin, 4096         — config 5
-  manip_65k  the manip scene at the single-chip scale point (8192 envs;
-             65536 needs 45.9G HBM vs 15.75G — see _SCEN_FNS note)
+  manip  6-dof arm stirring mesh objects in a bin, 1024         — config 5
+  manip_8k  the manip scene at the single-chip scale point (8192 envs;
+            BASELINE's 65536 needs 45.9G HBM vs 15.75G — see _SCEN_FNS)
   all    (default) run everything
 
 Each scenario runs in its own watchdogged subprocess and writes its
@@ -54,12 +60,42 @@ def _batch(m, d, nenv, jitter=True):
     return dB
 
 
+_V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
+_V5E_PEAK_HBM = 819e9     # bytes/s
+
+
+def _cost_analysis(run, m, dB):
+    """XLA compiled-cost totals {flops, bytes} for ONE STEP of the rollout.
+
+    XLA's HLO cost analysis counts a while/scan body ONCE, not x trip
+    count (probed: a 100-iter scan over a 256 matmul reports exactly
+    2*256^3 flops), so the dispatch-level numbers ARE per-step numbers
+    for our nsteps-scan rollouts.  Nested dynamic loops (the Newton
+    solver while) are also counted once, so these are LOWER bounds on
+    true per-step traffic — fine for a roofline fraction, not a
+    hardware counter."""
+    try:
+        ca = run.lower(m, dB).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        if flops <= 0 and nbytes <= 0:
+            return None
+        return {"flops": flops, "bytes": nbytes}
+    except Exception:
+        return None
+
+
 def _time_rollout(run, m, dB, nenv, nsteps, reps=3):
     """One warmup dispatch, then best-of-`reps` timed rollouts.  Rollouts
     are long enough that the axon tunnel's round-trip amortizes below ~10%,
     and best-of-reps rides out congestion: the tunneled chip is TIME-SHARED
     with other tenants, and identical rollouts measured 4.6-28.7 ms/step
-    minutes apart (r2); only the quiet-window minimum reflects the code."""
+    minutes apart (r2); only the quiet-window minimum reflects the code.
+
+    Returns (rate, best_dt, roofline) where roofline carries achieved-vs-
+    peak fractions (mfu, hbm_util) when XLA cost analysis is available."""
     out = run(m, dB)
     jax.block_until_ready(out.qpos)
     best = float("inf")
@@ -68,7 +104,18 @@ def _time_rollout(run, m, dB, nenv, nsteps, reps=3):
         out = run(m, out)
         jax.block_until_ready(out.qpos)
         best = min(best, time.time() - t0)
-    return nenv * nsteps / best, best
+    roof = None
+    cost = _cost_analysis(run, m, dB)
+    if cost:
+        # cost is per-step (while bodies counted once); a dispatch runs
+        # nsteps of them in `best` seconds
+        roof = {
+            "mfu": cost["flops"] * nsteps / best / _V5E_PEAK_FLOPS,
+            "hbm_util": cost["bytes"] * nsteps / best / _V5E_PEAK_HBM,
+            "flops_per_step": cost["flops"],
+            "bytes_per_step": cost["bytes"],
+        }
+    return nenv * nsteps / best, best, roof
 
 
 def bench_box(nenv=None, nsteps=1000):
@@ -91,8 +138,8 @@ def bench_box(nenv=None, nsteps=1000):
         qvel=dB.qvel.at[:, 3:6].set(
             jax.random.uniform(key, (nenv, 3), minval=-0.5, maxval=0.5)))
     run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps, full_final=False))
-    rate, dt = _time_rollout(run, m, dB, nenv, nsteps)
-    return {"scenario": "box", "nenv": nenv, "rate": rate}
+    rate, dt, roof = _time_rollout(run, m, dB, nenv, nsteps)
+    return {"scenario": "box", "nenv": nenv, "rate": rate, "roofline": roof}
 
 
 def _mobile_model():
@@ -171,8 +218,8 @@ def bench_mobile(nenv=1024, nsteps=500, reps=5):
                                     (dB_, stB), nsteps)
         return dB_
 
-    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
-    return {"scenario": "mobile", "nenv": nenv, "rate": rate}
+    rate, dt, roof = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
+    return {"scenario": "mobile", "nenv": nenv, "rate": rate, "roofline": roof}
 
 
 def bench_pr2(nenv=256, nsteps=100, reps=10):
@@ -197,8 +244,8 @@ def bench_pr2(nenv=256, nsteps=100, reps=10):
     d = engine.make_data(m32, jnp.float32)
     dB = _batch(m32, d, nenv, jitter=False)
     run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps, full_final=False))
-    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
-    return {"scenario": "pr2", "nenv": nenv, "rate": rate}
+    rate, dt, roof = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
+    return {"scenario": "pr2", "nenv": nenv, "rate": rate, "roofline": roof}
 
 
 def bench_spawn(nenv=4096, nsteps=500, reps=5):
@@ -227,8 +274,8 @@ def bench_spawn(nenv=4096, nsteps=500, reps=5):
     d = d.replace(body_active=jnp.asarray(ba))
     dB = _batch(m32, d, nenv)
     run = jax.jit(lambda mm, dd: pmesh.rollout(mm, dd, nsteps, full_final=False))
-    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
-    return {"scenario": "spawn", "nenv": nenv, "rate": rate}
+    rate, dt, roof = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
+    return {"scenario": "spawn", "nenv": nenv, "rate": rate, "roofline": roof}
 
 
 def bench_manip(nenv=1024, nsteps=300, reps=5):
@@ -272,8 +319,8 @@ def bench_manip(nenv=1024, nsteps=300, reps=5):
                                     (dB_, 0), nsteps)
         return dB_
 
-    rate, dt = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
-    return {"scenario": "manip", "nenv": nenv, "rate": rate}
+    rate, dt, roof = _time_rollout(run, m32, dB, nenv, nsteps, reps=reps)
+    return {"scenario": "manip", "nenv": nenv, "rate": rate, "roofline": roof}
 
 
 _CACHE = os.path.join(_REPO, ".bench_cache.json")
@@ -291,7 +338,9 @@ _SCEN_FNS = {
     # 32.9k env-steps/s @4096 vs 28.8k @8192 — bigger batches don't pay).
     # 8192 is the scale point; 65k envs deploy across 4+ chips via the
     # sharded path (dryrun_multichip runs this scene on an 8-way mesh).
-    "manip_65k": lambda: bench_manip(nenv=8192, nsteps=100, reps=3),
+    # (named manip_65k through r4; renamed — the row now self-describes
+    # its nenv in the headline's "nenv" map.)
+    "manip_8k": lambda: bench_manip(nenv=8192, nsteps=100, reps=3),
 }
 _ALL = list(_SCEN_FNS)
 
@@ -306,9 +355,14 @@ def _load_cache():
         return {}
 
 
-def _save_scenario(res):
+def _save_scenario(res, name=None):
+    """Cache a scenario result keyed by the SUBPROCESS scenario name, not
+    the inner function's self-label — bench_manip(nenv=8192) runs under the
+    name "manip_8k" and must not clobber the "manip" entry (this exact
+    clobber corrupted BENCH_r04's headline; VERDICT r4 weak #1)."""
     cache = _load_cache()
-    cache[res["scenario"]] = dict(res, at=time.time())
+    key = name or res["scenario"]
+    cache[key] = dict(res, scenario=key, at=time.time())
     tmp = _CACHE + ".tmp"
     try:
         with open(tmp, "w") as f:
@@ -335,6 +389,22 @@ def _headline(cache, fresh):
         r = cache.get(name)
         if r:
             line[name] = round(r["rate"], 1)
+    # self-describing env counts + roofline fractions per scenario
+    nenvs, mfu, hbm = {}, {}, {}
+    for name in _ALL:
+        r = cache.get(name)
+        if not r:
+            continue
+        nenvs[name] = r.get("nenv")
+        roof = r.get("roofline") or {}
+        if roof:
+            mfu[name] = round(roof["mfu"], 5)
+            hbm[name] = round(roof["hbm_util"], 4)
+    if nenvs:
+        line["nenv"] = nenvs
+    if mfu:
+        line["mfu"] = mfu
+        line["hbm_util"] = hbm
     pr2 = cache.get("pr2")
     if pr2:
         # wall ms per batched step at the benched env count (device step
@@ -350,9 +420,14 @@ def _headline(cache, fresh):
 
 def _run_measured(name):
     res = _SCEN_FNS[name]()
-    _save_scenario(res)
-    print(f"# {name}: nenv={res['nenv']} {res['rate']:.0f} env-steps/s",
-          file=sys.stderr, flush=True)
+    _save_scenario(res, name=name)
+    roof = res.get("roofline") or {}
+    extra = ""
+    if roof:
+        extra = (f" mfu={roof['mfu']:.4f} hbm_util={roof['hbm_util']:.3f}"
+                 f" bytes/step={roof['bytes_per_step']:.3e}")
+    print(f"# {name}: nenv={res['nenv']} {res['rate']:.0f} env-steps/s"
+          + extra, file=sys.stderr, flush=True)
 
 
 def main():

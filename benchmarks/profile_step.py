@@ -35,13 +35,18 @@ def main():
     tdir = os.environ.get("TRACE_DIR", "/tmp/jaxtrace")
     os.system(f"rm -rf {tdir}")
 
+    cost = {}
+
     def traced(run, m, dB, nenv, nsteps_, reps=3):
         out = run(m, dB)
         jax.block_until_ready(out.qpos)
         with jax.profiler.trace(tdir):
             out = run(m, out)
             jax.block_until_ready(out.qpos)
-        return 1.0, 1.0
+        c = bench._cost_analysis(run, m, dB)
+        if c:
+            cost.update(c)
+        return 1.0, 1.0, None
 
     bench._time_rollout = traced
     fn(nsteps=nsteps)
@@ -76,6 +81,15 @@ def main():
     print(f"{scenario}: device {total / 1e3 / nsteps:.3f} ms/step; leaves "
           f"{leafsum / 1e3 / nsteps:.3f} ms/step over {len(per)} distinct "
           f"ops ({nsteps} steps, {nev} events{' TRUNCATED' if nev >= 999_000 else ''})")
+    if cost and total > 0:
+        # per-step roofline vs v5e peaks from XLA cost analysis (while
+        # bodies counted once = per-step; nested Newton while is a lower
+        # bound — see bench._cost_analysis)
+        step_s = total / 1e6 / nsteps
+        print(f"  roofline: {cost['flops'] / 1e9:.3f} GFLOP/step "
+              f"({cost['flops'] / step_s / bench._V5E_PEAK_FLOPS * 100:.3f}% MXU), "
+              f"{cost['bytes'] / 1e6:.2f} MB/step "
+              f"({cost['bytes'] / step_s / bench._V5E_PEAK_HBM * 100:.1f}% HBM)")
     for name, us in conts.most_common(4):
         print(f"  [container] {us / nsteps:8.1f}us/step  {name[:60]}")
     for name, us in per.most_common(int(os.environ.get("TOP", 15))):

@@ -282,7 +282,9 @@ class SimServer:
             if op == "cmd_vel":
                 robot = req.get("robot")
                 tw = req.get("twist", [0, 0, 0, 0, 0, 0])
-                self.cmd_vel[robot] = list(tw)
+                # locked: _sim_worker reads cmd_vel under the same lock
+                with self._lock:
+                    self.cmd_vel[robot] = list(tw)
                 return {"ok": True}
             if op == "get_state":
                 return self._world_state(req.get("names"))
@@ -303,10 +305,20 @@ class SimServer:
                     err += abs(float(qpos[lay.jnt_qposadr[j]]) - init)
         return err
 
-    def _free_jnt_vel(self, bid: int):
+    def _snapshot(self):
+        """Consistent publisher snapshot: one locked read of the data ref
+        plus a copy of the spawned-name map.  Data is an immutable pytree,
+        so holding the ref is race-free thereafter; the lock only prevents
+        tearing between d and by_public_name (the reference's publisher
+        threads read m/d UNLOCKED, a benign-by-convention race we close —
+        PARITY §2.5)."""
+        with self._lock:
+            return self.sim.m, self.sim.d, dict(self.sim.by_public_name)
+
+    def _free_jnt_vel(self, bid: int, d):
         """Root free-joint twist of a body, if any (the reference reads
         d->qvel at the freejoint for ObjectState velocity)."""
-        m, d = self.sim.m, self.sim.d
+        m = self.sim.m
         lay = m.layout
         if lay.body_jntnum[bid] > 0:
             j0 = int(lay.body_jntadr[bid])
@@ -323,19 +335,19 @@ class SimServer:
 
     def _world_state(self, names=None, free_bodies_only=False,
                      classes=None) -> dict:
-        m, d = self.sim.m, self.sim.d
+        m, d, by_name = self._snapshot()
         xpos = np.asarray(d.xpos)
         xquat = np.asarray(d.xquat)
         active = np.asarray(d.body_active)
         out = []
         if names is None:
             sel = [m.names.body[i] for i in range(1, m.nbody)]
-            sel += list(self.sim.by_public_name)
+            sel += list(by_name)
         else:
             sel = names
         for name in sel:
             # spawned objects are addressed by their allocated public name
-            slot = self.sim.by_public_name.get(name)
+            slot = by_name.get(name)
             bid = slot.root_body if slot is not None else m.names.body_id(name)
             if bid < 0 or not active[bid]:
                 continue
@@ -346,7 +358,7 @@ class SimServer:
             entry = {"name": name, "pose": {
                 "position": xpos[bid].tolist(),
                 "orientation": xquat[bid].tolist()}}
-            vel = self._free_jnt_vel(bid)
+            vel = self._free_jnt_vel(bid, d)
             if vel is not None:
                 entry["velocity"] = vel
             out.append(entry)
@@ -355,7 +367,7 @@ class SimServer:
     def _base_pose(self) -> dict:
         """Odometry for robots with odom joints (publish_base_pose,
         mj_ros.cpp:1862-1931)."""
-        m, d = self.sim.m, self.sim.d
+        m, d, _ = self._snapshot()
         lay = m.layout
         qpos = np.asarray(d.qpos)
         qvel = np.asarray(d.qvel)
@@ -376,7 +388,7 @@ class SimServer:
     def _markers(self, classes=None, free_bodies_only=False) -> dict:
         """Marker-array equivalent: geom shapes + world transforms for viz
         clients (publish_marker_array, mj_ros.cpp:1706-1755)."""
-        m, d = self.sim.m, self.sim.d
+        m, d, _ = self._snapshot()
         lay = m.layout
         gx = np.asarray(d.geom_xpos)
         active = np.asarray(d.body_active)
@@ -399,7 +411,7 @@ class SimServer:
         return {"time": float(d.time), "markers": markers}
 
     def _joint_states(self, robot=None, classes=None) -> dict:
-        m, d = self.sim.m, self.sim.d
+        m, d, _ = self._snapshot()
         lay = m.layout
         qpos = np.asarray(d.qpos)
         qvel = np.asarray(d.qvel)
@@ -416,9 +428,20 @@ class SimServer:
         return {"time": float(d.time), "joints": joints}
 
     def _sensors(self) -> dict:
-        d = self.sim.d
-        return {"time": float(d.time),
-                "sensordata": np.asarray(d.sensordata).tolist()}
+        """Named per-sensor readout (reference publishes one named 3-D
+        vector per FORCE/TORQUE sensor, mj_ros.cpp:1933-1966; we name EVERY
+        sensor).  `sensors` maps name -> value slice via the model's
+        sensor_adr table; the flat `sensordata` stays for bulk clients."""
+        m, d, _ = self._snapshot()
+        data = np.asarray(d.sensordata)
+        adr = np.asarray(m.sensor_adr).astype(int)
+        named = {}
+        for i in range(m.nsensor):
+            lo = adr[i]
+            hi = adr[i + 1] if i + 1 < m.nsensor else m.nsensordata
+            named[m.names.sensor[i]] = data[lo:hi].tolist()
+        return {"time": float(d.time), "sensors": named,
+                "sensordata": data.tolist()}
 
     def _due_classes(self, topic: str, now: float, next_due: dict,
                      default_rate: float):

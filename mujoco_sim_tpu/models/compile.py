@@ -1112,9 +1112,14 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         # <size nconmax> (parsed in mjcf.py) bounds the contact-slot
         # budget like mujoco's legacy nconmax: large-batch scenes are
         # bandwidth-bound on the dense (nenv, nefc, nv) efc rows, and a
-        # scene-appropriate capacity halves that traffic (r4, config-5)
+        # scene-appropriate capacity halves that traffic (r4, config-5).
+        # nconmax can only LOWER the budget: legacy MJCF commonly sets a
+        # huge nconmax purely to size mujoco's arena, and honoring it
+        # upward would inflate the efc rows (callers wanting more slots
+        # pass ncon_budget explicitly)
         sz = getattr(spec, "nconmax", -1)
-        ncon_budget = sz if sz and sz > 0 else min(ncand, 64)
+        default = min(ncand, 64)
+        ncon_budget = min(sz, default) if sz and sz > 0 else default
     ncon_max = min(ncon_budget, ncand)
     from mujoco_sim_tpu.models.model import contact_rows_per, ConeType as _CT
     max_condim = int(max(pair_condim)) if pair_condim else 1

@@ -405,12 +405,16 @@ def _plane_mesh(pp, pR, s1, mp, mR, verts, vmask, margin=0.0):
     i0 = jnp.argmin(h, axis=-1)
     p0 = _oh_pick_rows(pts, i0)
     d0 = _oh_pick(h, i0)
-    # c1: furthest below vertex from c0 (c0 itself scores 0)
+    # c1: furthest below vertex from c0, scanning only STORED indices
+    # AFTER c0 (the probed mjc_PlaneConvex rule: its c1 loop starts at
+    # i0+1, so a farther below vertex stored BEFORE c0 is never picked)
     dist0 = jnp.linalg.norm(pts - p0[..., None, :], axis=-1)
-    s1c = jnp.where(below, dist0, -1.0)
+    after0 = jnp.arange(h.shape[-1]) > i0[..., None]
+    below1 = below & after0
+    s1c = jnp.where(below1, dist0, -1.0)
     i1 = jnp.argmax(s1c, axis=-1)
     p1 = _oh_pick_rows(pts, i1)
-    d1 = jnp.where(nbelow >= 2, _oh_pick(h, i1), big)
+    d1 = jnp.where(below1.sum(axis=-1) >= 1, _oh_pick(h, i1), big)
     # c2: furthest below vertex from the line (c0, c1)
     u = (p1 - p0) / jnp.maximum(
         jnp.linalg.norm(p1 - p0, axis=-1, keepdims=True), 1e-12)
@@ -419,7 +423,9 @@ def _plane_mesh(pp, pR, s1, mp, mR, verts, vmask, margin=0.0):
     ld = jnp.linalg.norm(perp, axis=-1)
     s2c = jnp.where(below, ld, -1.0)
     i2 = jnp.argmax(s2c, axis=-1)
-    d2 = jnp.where(nbelow >= 3, _oh_pick(h, i2), big)
+    # c2 needs the (c0, c1) line, so it also needs c1 to exist
+    d2 = jnp.where((nbelow >= 3) & (below1.sum(axis=-1) >= 1),
+                   _oh_pick(h, i2), big)
     dist = jnp.stack([d0, d1, d2], axis=-1)
     pos = jnp.stack([p0, p1, _oh_pick_rows(pts, i2)], axis=-2)
     pos = pos - n[..., None, :] * (0.5 * dist)[..., None]

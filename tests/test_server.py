@@ -228,6 +228,59 @@ def test_spawn_with_size_rgba_over_tcp(server):
     c.close()
 
 
+def test_named_sensor_stream():
+    """The sensors topic names every sensor and carries its value slice
+    (reference publishes named 3-D FORCE/TORQUE vectors per sensor,
+    mj_ros.cpp:1933-1966; VERDICT r4 #7)."""
+    import jax
+    from mujoco_sim_tpu import engine
+    from mujoco_sim_tpu.models.compile import load_model
+
+    xml = "tests/fixtures/force_sensor_srv.xml"
+    if not os.path.exists(xml):
+        with open(xml, "w") as f:
+            f.write("""
+<mujoco model="fsense">
+  <worldbody>
+    <body name="blk" pos="0 0 0.5">
+      <geom type="box" size=".1 .1 .1" mass="2"/>
+      <site name="s" pos="0 0 0"/>
+    </body>
+    <body name="faller" pos="1 0 2">
+      <freejoint/>
+      <geom type="sphere" size=".05" mass="0.1"/>
+    </body>
+  </worldbody>
+  <sensor>
+    <force name="f_blk" site="s"/>
+    <torque name="t_blk" site="s"/>
+    <clock name="clk"/>
+  </sensor>
+</mujoco>""")
+    m = load_model(xml)
+    sim = Simulation(m)
+    step = jax.jit(engine.step)
+    for _ in range(20):
+        sim.d = step(m, sim.d)
+    srv = SimServer(sim, port=PORT + 11)
+    srv.start(run_sim=False)
+    try:
+        c = SimClient(port=PORT + 11)
+        msg = next(iter(c.subscribe(["sensors"], rate=30.0)))
+        c.close()
+        named = msg["sensors"]["sensors"]
+        assert set(named) == {"f_blk", "t_blk", "clk"}
+        assert len(named["f_blk"]) == 3 and len(named["t_blk"]) == 3
+        assert len(named["clk"]) == 1
+        # the weight of the resting block shows up on the force sensor
+        assert abs(abs(named["f_blk"][2]) - 2 * 9.81) < 0.5, named["f_blk"]
+        # named slices tile the flat sensordata exactly
+        flat = msg["sensors"]["sensordata"]
+        assert named["f_blk"] + named["t_blk"] + named["clk"] == flat
+    finally:
+        srv.stop()
+
+
 def test_spawn_by_mesh_path_bridge(server):
     """The reference's spawn accepts mesh paths (mj_ros.cpp:1340-1363);
     static shapes resolve the path by basename against the classes
