@@ -37,7 +37,9 @@ class SimServer:
     def __init__(self, sim: Simulation, host="127.0.0.1", port=7500,
                  spec=None, robots=None, step_hz: float | None = None,
                  receive: dict | None = None, peer: tuple | None = None,
-                 receive_rate: float = 60.0, pub_config: dict | None = None):
+                 receive_rate: float = 60.0, pub_config: dict | None = None,
+                 asset_dirs: list | None = None,
+                 runtime_asset_instances: int = 2):
         """receive/peer implement the reference's multi-instance coupling
         (src/config/sim_1.yaml send:/receive:, mj_sim.cpp:847-960): `receive`
         maps body names (whose '<name>_ref' mocap twins exist in the model,
@@ -64,6 +66,11 @@ class SimServer:
         self.receive_rate = receive_rate
         # per-class publisher config (MjRos::set_params, mj_ros.cpp:380-454)
         self.pub_config = pub_config or {}
+        # runtime asset loading (slow path): dirs searched for spawn
+        # `mesh` paths not registered at compile (mj_ros.cpp:1340-1363)
+        self.asset_dirs = list(asset_dirs or [])
+        self.runtime_asset_instances = runtime_asset_instances
+        self._rt_count = 0
         self._body_class = self._classify_bodies()
         # body name -> mocap slot of its '_ref' twin
         self._recv_mocap = {}
@@ -221,6 +228,76 @@ class SimServer:
             f"[...paths...]}}) / the server's spawnable config, then spawn "
             f"by class name or mesh basename.")
 
+    def _find_asset(self, mesh: str):
+        """Resolve a spawn-request mesh path to a real file: absolute, or
+        relative against asset_dirs (the reference resolves against its
+        model directory)."""
+        if not mesh or not ("/" in mesh or "." in mesh):
+            return None
+        if os.path.isabs(mesh):
+            return mesh if os.path.exists(mesh) else None
+        for d in self.asset_dirs:
+            p = os.path.normpath(os.path.join(d, mesh))
+            if os.path.exists(p):
+                return p
+        return None
+
+    def register_runtime_asset(self, mesh: str, path: str,
+                               instances: int | None = None) -> str:
+        """Load a never-registered asset into the LIVE sim (slow path).
+
+        The reference contract (save -> modify -> reload ->
+        `add_old_state` transplant -> swap, mj_sim.cpp:465-558,804-845;
+        service behavior mj_ros.cpp:1340-1363): the running scene is
+        re-composed with `instances` masked spawn slots of the new asset
+        (scene .xml via scene.add_robot; raw .stl/.obj wrapped in a
+        free body), recompiled, survivors' state transplanted BIT-exact
+        (Simulation.hot_swap), and (m, d) swapped under the lock.  The
+        jitted step retraces once; registered-class spawns stay on the
+        zero-retrace fast path.  Returns the new class name."""
+        import copy as _copy
+        from mujoco_sim_tpu.engine import set_const
+        from mujoco_sim_tpu.models import mjcf, scene as scene_mod
+        from mujoco_sim_tpu.models.compile import compile_spec
+
+        if self.spec is None:
+            raise RuntimeError(
+                "runtime asset loading needs the server's scene spec "
+                "(SimServer(spec=...))")
+        cls = os.path.splitext(os.path.basename(mesh))[0]
+        n_inst = instances or self.runtime_asset_instances
+        spec2 = _copy.deepcopy(self.spec)
+        roots = []
+        if path.lower().endswith((".stl", ".obj")):
+            mname = f"rt{self._rt_count}_{cls}"
+            spec2.meshes.append(mjcf.MeshSpec(name=mname, file=path))
+            for i in range(n_inst):
+                name = f"rt{self._rt_count}_{i}_{cls}"
+                body = mjcf.BodySpec(name=name)
+                body.joints.append(mjcf.JointSpec(name=f"{name}_free",
+                                                  type="free"))
+                body.geoms.append(mjcf.GeomSpec(name=f"{name}_geom",
+                                                type="mesh", mesh=mname))
+                spec2.world.children.append(body)
+                roots.append(name)
+        else:
+            for i in range(n_inst):
+                scene_mod.add_robot(spec2, cls,
+                                    scene_mod.RobotConfig(path=path),
+                                    prefix=f"rt{self._rt_count}_{i}_")
+                roots.append(spec2.world.children[-1].name)
+        self._rt_count += 1
+        m2 = set_const(compile_spec(spec2))
+        # carry every existing class's slot roots forward by name
+        old_names = self.sim.m.names
+        spawnable = {c: [old_names.body[s.root_body] for s in lst]
+                     for c, lst in self.sim.slots.items()}
+        spawnable.setdefault(cls, []).extend(roots)
+        self.sim.hot_swap(m2, spawnable)
+        self.spec = spec2
+        self._body_class = self._classify_bodies()
+        return cls
+
     def _dispatch(self, req: dict) -> dict:
         op = req.get("op")
         try:
@@ -231,7 +308,19 @@ class SimServer:
                         info = ObjectInfo.from_dict(obj.get("info", obj))
                         pose = obj.get("pose")
                         vel = obj.get("velocity")
-                        cls = obj.get("class") or self._resolve_class(info)
+                        try:
+                            cls = obj.get("class") or \
+                                self._resolve_class(info)
+                        except KeyError:
+                            # runtime loading of an UNREGISTERED asset:
+                            # the reference reload-and-transplant path
+                            # (mj_ros.cpp:1340-1363); recompile + exact
+                            # state transplant, one retrace accepted
+                            path = self._find_asset(info.mesh)
+                            if path is None:
+                                raise
+                            cls = self.register_runtime_asset(
+                                info.mesh, path)
                         inertial = None
                         if info.inertial is not None and info.inertial.m > 0:
                             inertial = {"m": info.inertial.m,

@@ -833,16 +833,22 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
 
         # full-fidelity hull tables (vert_hi): decimation error rotates
         # the exact MTV at deep penetration (hsrb4s wheel-well, ~9 mm
-        # lost off the base hull flipped the axis 3 deg off the oracle)
-        keys = ('vert', 'vmask', 'fplane', 'fmask', 'fpoly',
-                'hedge', 'hemask', 'cyl')
+        # lost off the base hull flipped the axis 3 deg off the oracle).
+        # Only the (D, nhull) mesh one-hots and cyl descriptors are
+        # selected per lane; the tables themselves ride shared into the
+        # query and are gathered inside its gate (r5: the per-lane
+        # fpoly/hedge copies were the dominant HBM term at manip batch)
         ohA = OH @ extras['ohA']                         # (D, nhull)
         ohB = OH @ extras['ohB']
-        selA = [take(ohA, extras[k]) for k in keys]
-        selB = [take(ohB, extras[k]) for k in keys]
+        tabs = {k: extras[k] for k in
+                ('vert', 'vmask', 'fplane', 'fmask', 'fpoly',
+                 'hedge', 'hemask')}
         en = (OH @ use_exact.astype(dist.dtype)) > 0.5   # (D,)
-        d4, p4, n1, ok, sepd = jax.vmap(exact_pair_contacts)(
-            sel(p1), sel(R1), *selA, sel(p2), sel(R2), *selB, en)
+        d4, p4, n1, ok, sepd = jax.vmap(
+            exact_pair_contacts,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None))(
+            sel(p1), sel(R1), ohA, take(ohA, extras['cyl']),
+            sel(p2), sel(R2), ohB, take(ohB, extras['cyl']), en, tabs)
         # scatter back to pair slots
         okf = ok.astype(dist.dtype)
         hit = (OH.T @ okf) > 0.5                         # (P,)

@@ -125,24 +125,45 @@ def _best_axis(axes, amask, A, B):
     return depth, n
 
 
-def _topk_edge_dirs(he_w, hm, n, s, sign, K):
-    """Directions of the K edges nearest one hull's support plane along
-    n.  he_w (E, 2, 3) world endpoints, hm (E,) mask; plane offset s
-    (support extent along n); sign=+1 when the hull supports at max
-    (hull A), -1 at min (hull B).  ONE lax.top_k + one-hot gather: K
-    serial argmin passes each cost an argmax + one-hot reduction of
-    latency-bound size, and 2 hulls x rounds of them dominated the
-    gated query's device time."""
-    pe = (he_w * n[None, None, :]).sum(-1)                    # (E, 2)
+def _topk_edge_dirs(he_l, hm, n, s, sign, K, p, R):
+    """WORLD directions of the K edges nearest one hull's support plane
+    along n.  he_l (E, 2, 3) LOCAL endpoints, hm (E,) mask; plane offset
+    s (world support extent along n); sign=+1 when the hull supports at
+    max (hull A), -1 at min (hull B).
+
+    Scoring stays in the LOCAL frame (dot with R^T n + p.n) so the
+    (E, 2, 3) world endpoint table is never materialized — at manip
+    batch (1024 envs x 8 deep slots) the world transforms + their
+    products were a dominant HBM term (r5).  Only the K selected edge
+    DIRECTIONS are rotated.
+
+    Selection is K serial argmin passes, NOT lax.top_k: top_k lowers to
+    a full sort, and the 4 sorts (2 hulls x 2 refinement rounds)
+    measured 739us/step EACH on-chip (r5 profile) — 2.96 ms of the
+    21 ms manip step.  Each argmin pass is a fused reduce over (E,);
+    all K one-hot gathers batch into ONE (K, E) matmul.  (The r3 note
+    preferring top_k was measured latency-bound on the mostly-gated-off
+    PR2 bench.)"""
+    nloc = (R * n[:, None]).sum(0)                            # R^T n
+    pn = (p * n).sum()
+    pe = (he_l * nloc[None, None, :]).sum(-1) + pn            # (E, 2)
     dist = jnp.where(sign > 0, s - pe, pe - s)
     score = jnp.maximum(dist[:, 0], dist[:, 1])
     score = jnp.where(hm > 0.5, score, jnp.inf)
-    kk = min(K, score.shape[0])   # small hulls: fewer edges than K
-    _, idx = jax.lax.top_k(-score, kk)                        # (kk,)
-    oh = jax.nn.one_hot(idx, score.shape[0], dtype=he_w.dtype)  # (kk, E)
-    e = (oh[:, :, None, None] * he_w[None]).sum(1)            # (kk, 2, 3)
-    valid = ((oh * jnp.isfinite(score)[None, :]).sum(-1) > 0.5)
-    d = jnp.where(valid[:, None], e[:, 1] - e[:, 0], 0.0)     # (kk, 3)
+    E = score.shape[0]
+    kk = min(K, E)   # small hulls: fewer edges than K
+    ohs = []
+    sc = score
+    for _ in range(kk):
+        i = jnp.argmin(sc)
+        oh = jax.nn.one_hot(i, E, dtype=he_l.dtype)
+        ohs.append(jnp.where(jnp.isfinite(sc.min()), oh, 0.0))
+        sc = jnp.where(oh > 0.5, jnp.inf, sc)
+    oh = jnp.stack(ohs)                                       # (kk, E)
+    e = (oh @ he_l.reshape(E, -1)).reshape(kk, 2, 3)
+    valid = oh.sum(-1) > 0.5
+    dl = jnp.where(valid[:, None], e[:, 1] - e[:, 0], 0.0)    # (kk, 3)
+    d = _rot(R, dl)
     if kk < K:
         d = jnp.concatenate([d, jnp.zeros((K - kk, 3), d.dtype)])
     return d
@@ -153,8 +174,11 @@ _REFINE_ROUNDS = 2
 
 
 def _mtv(wA, vmA, wB, vmB, nfA, fmA, nfB, fmB,
-         heA, hmA, heB, hmB, cA, awA, cylA, cB, awB, cylB):
+         heA, hmA, heB, hmB, cA, awA, cylA, cB, awB, cylB, RA, RB):
     """Exact MTV: face-normal SAT + local edge-cross refinement rounds.
+    heA/heB are LOCAL edge-endpoint tables; cA/cB are the hull world
+    positions and RA/RB the rotations (edge scoring stays local — see
+    _topk_edge_dirs).
 
     All inputs world-space.  Returns (depth, n) with n unit from A
     toward B; depth < 0 means a separating axis exists.
@@ -184,8 +208,8 @@ def _mtv(wA, vmA, wB, vmB, nfA, fmA, nfB, fmB,
     for _ in range(_REFINE_ROUNDS):
         minA, maxA = _support_minmax(n[None, :], *A)
         minB, maxB = _support_minmax(n[None, :], *B)
-        dA = _topk_edge_dirs(heA, hmA, n, maxA[0], 1.0, _K_EDGE)
-        dB = _topk_edge_dirs(heB, hmB, n, minB[0], -1.0, _K_EDGE)
+        dA = _topk_edge_dirs(heA, hmA, n, maxA[0], 1.0, _K_EDGE, cA, RA)
+        dB = _topk_edge_dirs(heB, hmB, n, minB[0], -1.0, _K_EDGE, cB, RB)
         crR = jnp.cross(dA[:, None, :], dB[None, :, :]).reshape(-1, 3)
         crnR = jnp.linalg.norm(crR, axis=-1)
         mR = crnR > 1e-12
@@ -197,9 +221,16 @@ def _mtv(wA, vmA, wB, vmB, nfA, fmA, nfB, fmB,
     return depth.astype(dtype), n.astype(dtype)
 
 
-def _feature_poly(w, vm, n, s_ext, sign, fpl_w, fm, fpoly_w, rb,
-                  cen, aw, cyl):
+def _feature_poly(w, vm, n, s_ext, sign, fpl_w, fm, moh, fpoly_tab, p, R,
+                  rb, cen, aw, cyl):
     """Ordered 2D-able feature polygon (16, 3) world for one hull.
+
+    fpoly_tab is the SHARED (nh, F, 16, 3) local face-polygon table and
+    moh the (nh,) mesh one-hot: only the single best-aligned face's 16
+    verts are selected (moh x face one-hot over the flattened nh*F axis)
+    and rotated to world — transforming all F polygons per lane was the
+    dominant HBM term of the exact query at manip batch (r5: (lanes, 34,
+    16, 3) world tables).
 
     sign=+1: feature maximizes dot(v, n) at s_ext (hull A);
     sign=-1: feature minimizes it (hull B).  Face feature when the
@@ -227,8 +258,14 @@ def _feature_poly(w, vm, n, s_ext, sign, fpl_w, fm, fpoly_w, rb,
     face_ok = (cnt >= 3) & (_masked_max(fdot, fm > 0.5, axis=0) > _COS_FACE)
     # cylinders: only a CAP may be a face feature
     face_ok = jnp.where(is_cyl, jnp.abs(ca) > _COS_FACE, face_ok)
-    poly_face = (fpoly_w * jax.nn.one_hot(
-        fbest, fpoly_w.shape[0], dtype=w.dtype)[:, None, None]).sum(0)
+    # select the one face's local polygon from the shared table (mesh
+    # one-hot x face one-hot over the flattened axis), then transform
+    nh, F = fpoly_tab.shape[0], fpoly_tab.shape[1]
+    ohf = (moh[:, None] * jax.nn.one_hot(
+        fbest, F, dtype=w.dtype)[None, :]).reshape(nh * F)
+    poly_l = (ohf @ fpoly_tab.reshape(nh * F, -1)).reshape(
+        fpoly_tab.shape[2], 3)
+    poly_face = p[None, :] + _rot(R, poly_l)
 
     # segment feature: extremes of the window verts
     cw = jnp.where(feat, 1.0, 0.0)
@@ -389,15 +426,22 @@ def _reduce4(pts, cnt, rb):
     return out, ok & ~dup
 
 
-def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
-                        hedgeA, hmaskA, cylA,
-                        pB, RB, vertsB, vmaskB, fplaneB, fmaskB, fpolyB,
-                        hedgeB, hmaskB, cylB, enabled):
+def exact_pair_contacts(pA, RA, mohA, cylA, pB, RB, mohB, cylB, enabled,
+                        tables):
     """Oracle-form manifold for one (possibly deep) convex pair.
 
-    Local-frame hull tables + world poses; `enabled` gates the whole
-    query behind a one-iteration while_loop (disabled lanes cost one
-    predicate evaluation and return ok=False).
+    Per-lane inputs are only the world poses, the (nh,) mesh one-hots
+    and the cylinder descriptors; the hull tables ride in `tables`
+    (dict of SHARED stacked arrays: vert (nh, V, 3), vmask, fplane
+    (nh, F, 4), fmask, fpoly (nh, F, 16, 3), hedge (nh, E, 2, 3),
+    hemask) and are selected INSIDE the gated body — vmap this with
+    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None).  Through r4 the caller
+    one-hot-gathered every table per lane up front; at manip batch
+    (4096 envs x 8 deep slots) the per-lane fpoly copies alone were
+    ~2 x 214 MB/step of HBM traffic (r5), and the gathers also ran
+    when the gate was off.  `enabled` gates the whole query behind a
+    one-iteration while_loop (disabled lanes cost one predicate
+    evaluation and return ok=False).
 
     Returns (dist (4,), pos (4, 3), n (3,), ok, sepd): up to 4 active
     rows (dist < 0, the others 1e9), every active row sharing the exact
@@ -408,10 +452,14 @@ def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
     a lower bound on the true distance; support evaluations are exact
     even for the analytic-cylinder lanes, so the certificate direction
     is sound even where the axis set is incomplete)."""
-    dtype = vertsA.dtype
+    dtype = pA.dtype
+    nh = mohA.shape[0]
     miss = (jnp.full((4,), 1e9, dtype), jnp.zeros((4, 3), dtype),
             jnp.asarray([0.0, 0.0, 1.0], dtype), jnp.asarray(False),
             jnp.asarray(0.0, dtype))
+
+    def gather(moh, tab):
+        return (moh @ tab.reshape(nh, -1)).reshape(tab.shape[1:])
 
     def body(carry):
         # thread a CARRY dependence into the computation: a body with no
@@ -420,19 +468,27 @@ def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
         # hazard — see collision.py's outer gate).  0 * finite-sentinel
         # (carry dist row, init 1e9) is exact.
         zero = 0.0 * carry[0][0]
+        vertsA = gather(mohA, tables['vert'])
+        vmaskA = gather(mohA, tables['vmask'])
+        fplaneA = gather(mohA, tables['fplane'])
+        fmaskA = gather(mohA, tables['fmask'])
+        hedgeA = gather(mohA, tables['hedge'])
+        hmaskA = gather(mohA, tables['hemask'])
+        vertsB = gather(mohB, tables['vert'])
+        vmaskB = gather(mohB, tables['vmask'])
+        fplaneB = gather(mohB, tables['fplane'])
+        fmaskB = gather(mohB, tables['fmask'])
+        hedgeB = gather(mohB, tables['hedge'])
+        hmaskB = gather(mohB, tables['hemask'])
         wA = (pA[None, :] + zero) + _rot(RA, vertsA)
         wB = pB[None, :] + _rot(RB, vertsB)
         nfA = _rot(RA, fplaneA[:, :3])
         nfB = _rot(RB, fplaneB[:, :3])
-        heA = pA[None, None, :] + (
-            RA[None, None, :, :] * hedgeA[..., None, :]).sum(-1)
-        heB = pB[None, None, :] + (
-            RB[None, None, :, :] * hedgeB[..., None, :]).sum(-1)
         awA = RA[:, 2]            # cylinder axis = local +z
         awB = RB[:, 2]
         depth, n = _mtv(wA, vmaskA, wB, vmaskB, nfA, fmaskA, nfB, fmaskB,
-                        heA, hmaskA, heB, hmaskB,
-                        pA, awA, cylA, pB, awB, cylB)
+                        hedgeA, hmaskA, hedgeB, hmaskB,
+                        pA, awA, cylA, pB, awB, cylB, RA, RB)
         ok = enabled & (depth > 0.0) & (depth < 1e8)
 
         rbA = jnp.sqrt(_masked_max((vertsA ** 2).sum(-1), vmaskA > 0.5,
@@ -451,14 +507,12 @@ def exact_pair_contacts(pA, RA, vertsA, vmaskA, fplaneA, fmaskA, fpolyA,
         sB = jnp.where(cylB[0] > 0.5, (n * pB).sum() - extB, sB)
         c_mid = 0.5 * (sA + sB)
 
-        fpolyA_w = pA[None, None, :] + (
-            RA[None, None, :, :] * fpolyA[..., None, :]).sum(-1)
-        fpolyB_w = pB[None, None, :] + (
-            RB[None, None, :, :] * fpolyB[..., None, :]).sum(-1)
         polyA = _feature_poly(wA, vmaskA, n, sA, 1.0, nfA, fmaskA,
-                              fpolyA_w, rbA, pA, awA, cylA)
+                              mohA, tables['fpoly'], pA, RA,
+                              rbA, pA, awA, cylA)
         polyB = _feature_poly(wB, vmaskB, n, sB, -1.0, nfB, fmaskB,
-                              fpolyB_w, rbB, pB, awB, cylB)
+                              mohB, tables['fpoly'], pB, RB,
+                              rbB, pB, awB, cylB)
 
         # 2D frame on the contact plane; A's polygon is CCW about +n
         # (fpoly winds CCW about the outward face normal ~ +n for A);

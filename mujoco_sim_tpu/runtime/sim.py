@@ -122,6 +122,72 @@ def _mass_inertia_of(gtype: int, s: np.ndarray, density: float):
     raise ValueError(f"cannot derive inertia for geom type {t}")
 
 
+_JNT_WIDTHS = {int(JointType.FREE): (7, 6), int(JointType.BALL): (4, 3),
+               int(JointType.SLIDE): (1, 1), int(JointType.HINGE): (1, 1)}
+
+
+def transplant_state(old_m: Model, old_d: Data, new_m: Model,
+                     new_d: Data) -> Data:
+    """Name-matched exact state transplant across a model recompile (the
+    reference's `add_old_state`, mj_sim.cpp:465-558): every joint, body,
+    geom and actuator present in BOTH models carries its state over
+    bit-exactly (numpy copies, no arithmetic); entities only in the new
+    model keep their compiled defaults.  Copied state mirrors the
+    reference's list — time, qpos/qvel/qacc/qacc_warmstart/qfrc_applied
+    (by joint), xfrc_applied + active mask + runtime mass/inertia (by
+    body), runtime geom size/rbound/rgba (by geom), ctrl/act (by
+    actuator), mocap pose (by mocap body)."""
+    lo, ln = old_m.layout, new_m.layout
+    out = {k: np.array(getattr(new_d, k)) for k in
+           ("qpos", "qvel", "qacc", "qacc_warmstart", "qfrc_applied",
+            "xfrc_applied", "body_active", "body_mass", "body_inertia",
+            "geom_size", "geom_rbound", "geom_rgba", "ctrl", "act",
+            "mocap_pos", "mocap_quat")}
+    olds = {k: np.asarray(getattr(old_d, k)) for k in out}
+    for jname in old_m.names.joint:
+        j_o = old_m.names.joint_id(jname)
+        j_n = new_m.names.joint_id(jname)
+        if j_o < 0 or j_n < 0:
+            continue
+        nq_w, nv_w = _JNT_WIDTHS[int(lo.jnt_type[j_o])]
+        qa_o, qa_n = int(lo.jnt_qposadr[j_o]), int(ln.jnt_qposadr[j_n])
+        da_o, da_n = int(lo.jnt_dofadr[j_o]), int(ln.jnt_dofadr[j_n])
+        out["qpos"][qa_n:qa_n + nq_w] = olds["qpos"][qa_o:qa_o + nq_w]
+        for k in ("qvel", "qacc", "qacc_warmstart", "qfrc_applied"):
+            out[k][da_n:da_n + nv_w] = olds[k][da_o:da_o + nv_w]
+    for bname in old_m.names.body:
+        b_o = old_m.names.body_id(bname)
+        b_n = new_m.names.body_id(bname)
+        if b_o <= 0 or b_n <= 0:    # skip world
+            continue
+        for k in ("xfrc_applied", "body_active", "body_mass",
+                  "body_inertia"):
+            out[k][b_n] = olds[k][b_o]
+        mo, mn = int(lo.body_mocapid[b_o]), int(ln.body_mocapid[b_n])
+        if mo >= 0 and mn >= 0:
+            out["mocap_pos"][mn] = olds["mocap_pos"][mo]
+            out["mocap_quat"][mn] = olds["mocap_quat"][mo]
+    for gname in old_m.names.geom:
+        if not gname:
+            continue
+        g_o = old_m.names.geom_id(gname)
+        g_n = new_m.names.geom_id(gname)
+        if g_o < 0 or g_n < 0:
+            continue
+        for k in ("geom_size", "geom_rbound", "geom_rgba"):
+            out[k][g_n] = olds[k][g_o]
+    for aname in old_m.names.actuator:
+        a_o = old_m.names.actuator_id(aname)
+        a_n = new_m.names.actuator_id(aname)
+        if a_o < 0 or a_n < 0:
+            continue
+        out["ctrl"][a_n] = olds["ctrl"][a_o]
+        out["act"][a_n] = olds["act"][a_o]
+    leaves = {k: jnp.asarray(v, getattr(new_d, k).dtype)
+              for k, v in out.items()}
+    return new_d.replace(time=old_d.time, **leaves)
+
+
 def subtree_bodies(m: Model, root: int) -> np.ndarray:
     lay = m.layout
     out = [root]
@@ -324,6 +390,48 @@ class Simulation:
         return state
 
     # ------------------------------------------------------------------
+    def hot_swap(self, new_m: Model,
+                 spawnable: dict[str, list[str]] | None = None):
+        """Swap to a RECOMPILED model, transplanting survivors' state
+        exactly — the slow path behind runtime loading of unregistered
+        assets.
+
+        The reference mutates the live scene by save -> modify XML ->
+        reload -> `add_old_state` name-matched state transplant -> swap
+        the global (m, d) pointers (mj_sim.cpp:465-558,804-845); its
+        spawn service uses that path to load arbitrary asset files at
+        runtime (mj_ros.cpp:1340-1363).  Our fast path (registered
+        classes, masked slots) never retraces; this slow path accepts
+        the one retrace of the jitted step in exchange for the same
+        capability: every surviving joint/body/geom/actuator keeps its
+        state BIT-exactly (numpy copies by name matching, no recompute).
+
+        `spawnable` is the full slot registry for the new model;
+        occupied slots are re-claimed by their root-body name and keep
+        their public names."""
+        old_m, old_d = self.m, self.d
+        if old_d.qpos.ndim != 1:
+            raise ValueError("hot_swap operates on single-env Data")
+        occupied = {public: old_m.names.body[slot.root_body]
+                    for public, slot in self.by_public_name.items()}
+        joint_inits = self._joint_inits
+        dtype = old_d.qpos.dtype
+        self.__init__(new_m, spawnable=spawnable, dtype=dtype)
+        self._joint_inits = joint_inits
+        # re-claim occupied slots by root-body name (public names survive)
+        root2slot = {new_m.names.body[s.root_body]: s
+                     for lst in self.slots.values() for s in lst}
+        for public, rootname in occupied.items():
+            slot = root2slot.get(rootname)
+            if slot is None:
+                continue    # its class shrank away; object is gone
+            slot.in_use = True
+            slot.public_name = public
+            self.by_public_name[public] = slot
+            self.names.known.add(public)
+        self.d = transplant_state(old_m, old_d, new_m, self.d)
+        return self.d
+
     def reset(self, robot_joint_names: dict[str, list[str]] | None = None):
         """reset_robot semantics (mj_ros.cpp:569-609): robot joints to
         joint_inits (default 0), velocities/accelerations zeroed, then

@@ -51,10 +51,19 @@ def tabs(h):
         cyl=np.asarray(m.mesh_cyl[h], dt))
 
 A, B = tabs(h1), tabs(h2)
+nh = np.asarray(m.mesh_vert_hi).shape[0]
+tables = dict(vert=np.asarray(m.mesh_vert_hi, dt),
+              vmask=np.asarray(m.mesh_vert_hi_mask, dt),
+              fplane=np.asarray(m.mesh_fplane, dt),
+              fmask=np.asarray(m.mesh_fmask, dt),
+              fpoly=np.asarray(m.mesh_fpoly, dt),
+              hedge=np.asarray(m.mesh_hedge, dt),
+              hemask=np.asarray(m.mesh_hedge_mask, dt))
+moh1 = np.zeros(nh, dt); moh1[h1] = 1.0
+moh2 = np.zeros(nh, dt); moh2[h2] = 1.0
 d4, p4, n1, ok, _sep = exact = jax.jit(MF.exact_pair_contacts)(
-    pA, RA, A['v'], A['vm'], A['fp'], A['fm'], A['poly'], A['he'], A['hm'], A['cyl'],
-    pB, RB, B['v'], B['vm'], B['fp'], B['fm'], B['poly'], B['he'], B['hm'], B['cyl'],
-    np.asarray(True))
+    pA, RA, moh1, A['cyl'], pB, RB, moh2, B['cyl'],
+    np.asarray(True), tables)
 print("ours ok", bool(ok), "n", np.round(np.asarray(n1), 4))
 for i in range(4):
     if float(d4[i]) < 1e8:

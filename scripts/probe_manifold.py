@@ -61,15 +61,19 @@ def run_case(name, pos, quat):
     h2 = int(lay.geom_hullid[1])
     dtype = np.float64
 
+    nh = np.asarray(m.mesh_vert_hi).shape[0]
+    tables = dict(vert=np.asarray(m.mesh_vert_hi, dtype),
+                  vmask=np.asarray(m.mesh_vert_hi_mask, dtype),
+                  fplane=np.asarray(m.mesh_fplane, dtype),
+                  fmask=np.asarray(m.mesh_fmask, dtype),
+                  fpoly=np.asarray(m.mesh_fpoly, dtype),
+                  hedge=np.asarray(m.mesh_hedge, dtype),
+                  hemask=np.asarray(m.mesh_hedge_mask, dtype))
+
     def tabs(h):
-        return (np.asarray(m.mesh_vert_hi[h], dtype),
-                np.asarray(m.mesh_vert_hi_mask[h], dtype),
-                np.asarray(m.mesh_fplane[h], dtype),
-                np.asarray(m.mesh_fmask[h], dtype),
-                np.asarray(m.mesh_fpoly[h], dtype),
-                np.asarray(m.mesh_hedge[h], dtype),
-                np.asarray(m.mesh_hedge_mask[h], dtype),
-                np.asarray(m.mesh_cyl[h], dtype))
+        moh = np.zeros(nh, dtype)
+        moh[h] = 1.0
+        return moh, np.asarray(m.mesh_cyl[h], dtype)
 
     def rot(q):
         w, x, y, z = q
@@ -85,7 +89,7 @@ def run_case(name, pos, quat):
     TA = tabs(h1)
     TB = tabs(h2)
     d4, p4, n1, ok, _sep = jax.jit(exact_pair_contacts)(
-        pA, RA, *TA, pB, RB, *TB, np.asarray(True))
+        pA, RA, *TA, pB, RB, *TB, np.asarray(True), tables)
     d4, p4, n1 = np.asarray(d4), np.asarray(p4), np.asarray(n1)
     print(f"ours ok={bool(ok)} n={np.round(n1,4)}")
     for i in range(4):

@@ -49,16 +49,24 @@ def _rotm(q):
         [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
 
 
-def _tabs(m, h):
+def _tables(m):
     dt = np.float64
-    return (np.asarray(m.mesh_vert_hi[h], dt),
-            np.asarray(m.mesh_vert_hi_mask[h], dt),
-            np.asarray(m.mesh_fplane[h], dt),
-            np.asarray(m.mesh_fmask[h], dt),
-            np.asarray(m.mesh_fpoly[h], dt),
-            np.asarray(m.mesh_hedge[h], dt),
-            np.asarray(m.mesh_hedge_mask[h], dt),
-            np.asarray(m.mesh_cyl[h], dt))
+    return dict(vert=np.asarray(m.mesh_vert_hi, dt),
+                vmask=np.asarray(m.mesh_vert_hi_mask, dt),
+                fplane=np.asarray(m.mesh_fplane, dt),
+                fmask=np.asarray(m.mesh_fmask, dt),
+                fpoly=np.asarray(m.mesh_fpoly, dt),
+                hedge=np.asarray(m.mesh_hedge, dt),
+                hemask=np.asarray(m.mesh_hedge_mask, dt))
+
+
+def _tabs(m, h):
+    """(mesh one-hot, cyl descriptor) for hull h — per-lane query args."""
+    dt = np.float64
+    nh = np.asarray(m.mesh_vert_hi).shape[0]
+    moh = np.zeros(nh, dt)
+    moh[h] = 1.0
+    return moh, np.asarray(m.mesh_cyl[h], dt)
 
 
 def _case(tmp_path, pos, quat):
@@ -81,7 +89,7 @@ def _case(tmp_path, pos, quat):
     d4, p4, n1, ok, _sep = _jit_pair(
         np.zeros(3), np.eye(3), *TA,
         np.asarray(pos, np.float64), _rotm(np.asarray(quat, np.float64)),
-        *TB, np.asarray(True))
+        *TB, np.asarray(True), _tables(m))
     pts = [(float(d4[i]), np.asarray(p4[i]))
            for i in range(4) if float(d4[i]) < 1e8]
     return oracle, pts, np.asarray(n1), bool(ok)
@@ -161,7 +169,8 @@ def test_cylinder_side_deep_three_points():
     RB = dd.geom_xmat[1].reshape(3, 3)
     d4, p4, n1, ok, _sep = _jit_pair(
         np.zeros(3), np.eye(3), *TA,
-        dd.geom_xpos[1].copy(), RB.copy(), *TB, np.asarray(True))
+        dd.geom_xpos[1].copy(), RB.copy(), *TB, np.asarray(True),
+        _tables(m))
     pts = np.asarray(p4)[np.asarray(d4) < 1e8]
     assert bool(ok) and len(pts) == 3
     np.testing.assert_allclose(np.asarray(d4)[np.asarray(d4) < 1e8],

@@ -228,6 +228,86 @@ def test_spawn_with_size_rgba_over_tcp(server):
     c.close()
 
 
+def test_runtime_unregistered_asset_spawn(tmp_path):
+    """Spawning a NEVER-registered scene XML on a live server succeeds via
+    the recompile-and-transplant slow path (reference add_old_state
+    contract, mj_sim.cpp:465-558; service behavior mj_ros.cpp:1340-1363):
+    survivors' qpos/qvel/qacc_warmstart are BIT-preserved across the
+    model swap, and the registered-class fast path keeps working."""
+    world = scene.compose(
+        "/root/reference/model/world/empty.xml",
+        robots={"sball": scene.RobotConfig(path=BALL_XML)},
+        instances=2)
+    m = set_const(compile_spec(world))
+    sim = Simulation(m, spawnable={"sball": ["sball", "1_sball"]})
+    srv = SimServer(sim, port=PORT + 23, spec=world,
+                    asset_dirs=[str(tmp_path)])
+    srv.start(run_sim=False)
+    try:
+        c = SimClient(port=PORT + 23)
+        n0 = c.spawn_objects([{"info": {"name": "ball0", "type": 1},
+                               "class": "sball",
+                               "pose": [0.3, 0, 0.4, 1, 0, 0, 0]}])
+        sim.step(8)   # in flight: nonzero qvel + warmstart
+        old_m = sim.m
+
+        def snap(jn):
+            lay = sim.m.layout
+            j = sim.m.names.joint_id(jn)
+            qa, da = int(lay.jnt_qposadr[j]), int(lay.jnt_dofadr[j])
+            return (np.asarray(sim.d.qpos[qa:qa + 7]).copy(),
+                    np.asarray(sim.d.qvel[da:da + 6]).copy(),
+                    np.asarray(sim.d.qacc_warmstart[da:da + 6]).copy())
+
+        ball_jnt = old_m.names.joint[
+            sim.by_public_name[n0[0]].free_jnt]
+        before = snap(ball_jnt)
+
+        with open(tmp_path / "cup.xml", "w") as f:
+            f.write("""
+<mujoco model="cup">
+  <worldbody>
+    <body name="cup" pos="0 0 0.3">
+      <freejoint/>
+      <geom type="box" size=".05 .05 .08" mass="0.3"/>
+    </body>
+  </worldbody>
+</mujoco>""")
+        names = c.spawn_objects([{
+            "info": {"name": "mycup", "type": 3, "mesh": "cup.xml"},
+            "pose": [0, 0.5, 0.8, 1, 0, 0, 0]}])
+        assert len(names) == 1
+        assert sim.m is not old_m          # model swapped
+        assert "cup" in sim.slots
+
+        after = snap(ball_jnt)
+        for b, a in zip(before, after):
+            np.testing.assert_array_equal(b, a)   # BIT-preserved
+
+        # the new object simulates (falls)
+        z0 = float(sim.d.qpos[
+            sim.by_public_name[names[0]].qpos_adr + 2])
+        sim.step(30)
+        z1 = float(sim.d.qpos[
+            sim.by_public_name[names[0]].qpos_adr + 2])
+        assert z1 < z0
+
+        # fast path after the swap: registered class + second runtime
+        # instance both spawn without another recompile
+        m_now = sim.m
+        more = c.spawn_objects(
+            [{"info": {"name": "ball1", "type": 1}, "class": "sball",
+              "pose": [-0.3, 0, 0.4, 1, 0, 0, 0]},
+             {"info": {"name": "cup2", "type": 3, "mesh": "cup.xml"},
+              "pose": [0, -0.5, 0.8, 1, 0, 0, 0]}])
+        assert len(more) == 2
+        assert sim.m is m_now              # no recompile
+        c.destroy_objects(n0 + names + more)
+        c.close()
+    finally:
+        srv.stop()
+
+
 def test_named_sensor_stream():
     """The sensors topic names every sensor and carries its value slice
     (reference publishes named 3-D FORCE/TORQUE vectors per sensor,
