@@ -56,9 +56,21 @@ def export_usd(m, d, path: str, spec=None) -> str:
     w('def Xform "World"')
     w("{")
 
-    # precompute hull faces per mesh for Mesh prims
+    # visual-fidelity surfaces per mesh: the RAW indexed triangles stored
+    # at compile (Layout.mesh_vis*; may be non-convex — the reference
+    # exports real meshes with faces, script/mujoco_to_usd.py:95-125).
+    # Hull-recompute fallback only for models compiled before the tables.
     mesh_faces = {}
+    has_vis = hasattr(lay, "mesh_visvert")
     for mid in range(m.nmesh):
+        if has_vis and int(lay.mesh_visfacenum[mid]) > 0:
+            va = int(lay.mesh_visvertadr[mid])
+            vn = int(lay.mesh_visvertnum[mid])
+            fa = int(lay.mesh_visfaceadr[mid])
+            fn = int(lay.mesh_visfacenum[mid])
+            mesh_faces[mid] = (np.asarray(lay.mesh_visvert[va:va + vn]),
+                               np.asarray(lay.mesh_visface[fa:fa + fn]))
+            continue
         adr = int(lay.mesh_vertadr[mid])
         cnt = int(lay.mesh_vertnum[mid])
         verts = np.asarray(m.mesh_vert[adr:adr + cnt])
@@ -67,6 +79,65 @@ def export_usd(m, d, path: str, spec=None) -> str:
         except Exception:
             hv, faces = verts, np.zeros((0, 3), dtype=int)
         mesh_faces[mid] = (hv, faces)
+
+    # appearance: one Material prim per <material>, UsdPreviewSurface
+    # form; file textures become UsdUVTexture readers, builtin textures
+    # (checker/gradient/flat) record their parameters as custom attrs
+    nmat = len(getattr(lay, "mat_rgba", ()))
+    mat_names = {}
+    if nmat:
+        smats = list(getattr(spec, "materials", []) or [])
+        stexs = list(getattr(spec, "textures", []) or [])
+        _BUILTIN = {0: "none", 1: "gradient", 2: "checker", 3: "flat"}
+        w('    def Scope "Looks"')
+        w("    {")
+        for mi in range(nmat):
+            name = _sanitize(smats[mi].name if mi < len(smats)
+                             else f"mat{mi}")
+            mat_names[mi] = name
+            rgba = np.asarray(lay.mat_rgba[mi])
+            em, spc, shin, refl = np.asarray(lay.mat_scalar[mi])
+            w(f'        def Material "{name}"')
+            w("        {")
+            w(f"            token outputs:surface.connect = "
+              f"</World/Looks/{name}/Shader.outputs:surface>")
+            w(f'            def Shader "Shader"')
+            w("            {")
+            w('                uniform token info:id = '
+              '"UsdPreviewSurface"')
+            w(f"                color3f inputs:diffuseColor = "
+              f"{_v3(rgba)}")
+            w(f"                float inputs:opacity = {float(rgba[3])}")
+            w(f"                float inputs:metallic = {float(refl)}")
+            w(f"                float inputs:roughness = "
+              f"{1.0 - float(shin)}")
+            w("                token outputs:surface")
+            w("            }")
+            ti = int(lay.mat_texid[mi])
+            if ti >= 0:
+                tex = stexs[ti] if ti < len(stexs) else None
+                rgb12 = np.asarray(lay.tex_rgb12[ti])
+                builtin = _BUILTIN.get(int(lay.tex_builtin[ti]), "none")
+                w(f'            def Shader "Texture"')
+                w("            {")
+                if tex is not None and tex.file:
+                    w('                uniform token info:id = '
+                      '"UsdUVTexture"')
+                    w(f"                asset inputs:file = "
+                      f"@{tex.file}@")
+                else:
+                    w(f'                custom token mujoco:builtin = '
+                      f'"{builtin}"')
+                    w(f"                custom color3f mujoco:rgb1 = "
+                      f"{_v3(rgb12[:3])}")
+                    w(f"                custom color3f mujoco:rgb2 = "
+                      f"{_v3(rgb12[3:])}")
+                rep = np.asarray(lay.mat_texrepeat[mi])
+                w(f"                custom float2 mujoco:texrepeat = "
+                  f"({float(rep[0])}, {float(rep[1])})")
+                w("            }")
+            w("        }")
+        w("    }")
 
     geom_by_body = {}
     for g in range(m.ngeom):
@@ -87,6 +158,10 @@ def export_usd(m, d, path: str, spec=None) -> str:
             f'["xformOp:translate", "xformOp:orient"]',
             f"{indent}    color3f[] primvars:displayColor = [{_v3(rgba)}]",
         ]
+        mi = int(getattr(lay, "geom_matid", np.full(m.ngeom, -1))[g])
+        if mi in mat_names:
+            xf.append(f"{indent}    rel material:binding = "
+                      f"</World/Looks/{mat_names[mi]}>")
         if t == GeomType.BOX:
             w(f'{indent}def Cube "{name}"')
             w(indent + "{")

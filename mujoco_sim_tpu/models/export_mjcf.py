@@ -60,11 +60,13 @@ def export_mjcf(spec: mjcf.SpecTree, path: str, model=None, data=None,
                 live_pose[name] = qpos
 
     # assets
-    if spec.meshes:
+    textures = getattr(spec, "textures", [])
+    materials = getattr(spec, "materials", [])
+    if spec.meshes or textures or materials:
         asset = ET.SubElement(root, "asset")
         mesh_dir = os.path.join(os.path.dirname(os.path.abspath(path)),
                                 "assets")
-        if copy_meshes:
+        if copy_meshes and spec.meshes:
             os.makedirs(mesh_dir, exist_ok=True)
         for msp in spec.meshes:
             fn = os.path.basename(msp.file)
@@ -74,6 +76,32 @@ def export_mjcf(spec: mjcf.SpecTree, path: str, model=None, data=None,
             if not np.allclose(msp.scale, 1.0):
                 attrs["scale"] = _fmt(msp.scale)
             ET.SubElement(asset, "mesh", attrs)
+        for t in textures:
+            attrs = {"name": t.name, "type": t.type}
+            if t.builtin != "none":
+                attrs["builtin"] = t.builtin
+                attrs["rgb1"] = _fmt(t.rgb1)
+                attrs["rgb2"] = _fmt(t.rgb2)
+            if t.file:
+                attrs["file"] = t.file
+            if t.width:
+                attrs["width"] = str(t.width)
+            if t.height:
+                attrs["height"] = str(t.height)
+            ET.SubElement(asset, "texture", attrs)
+        for mt in materials:
+            attrs = {"name": mt.name}
+            if mt.texture:
+                attrs["texture"] = mt.texture
+            if not np.allclose(mt.texrepeat, 1.0):
+                attrs["texrepeat"] = _fmt(mt.texrepeat)
+            if mt.texuniform:
+                attrs["texuniform"] = "true"
+            if mt.reflectance:
+                attrs["reflectance"] = str(mt.reflectance)
+            if not np.allclose(mt.rgba, 1.0):
+                attrs["rgba"] = _fmt(mt.rgba)
+            ET.SubElement(asset, "material", attrs)
 
     wb = ET.SubElement(root, "worldbody")
 
@@ -102,6 +130,8 @@ def export_mjcf(spec: mjcf.SpecTree, path: str, model=None, data=None,
             attrs["conaffinity"] = str(g.conaffinity)
         if not np.allclose(g.rgba, [0.5, 0.5, 0.5, 1.0]):
             attrs["rgba"] = _fmt(g.rgba)
+        if getattr(g, "material", ""):
+            attrs["material"] = g.material
         if g.mass is not None:
             attrs["mass"] = _fmt(g.mass)
         ET.SubElement(parent, "geom", attrs)

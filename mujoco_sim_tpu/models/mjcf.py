@@ -72,6 +72,7 @@ class GeomSpec:
         default_factory=lambda: np.array([0.5, 0.5, 0.5, 1.0]))
     mesh: str = ""
     hfield: str = ""
+    material: str = ""
     group: int = 0
 
 
@@ -114,6 +115,38 @@ class MeshSpec:
     file: str = ""
     scale: np.ndarray = dataclasses.field(default_factory=lambda: np.ones(3))
     vertex: np.ndarray | None = None    # inline <mesh vertex="..."/> data
+
+
+@dataclasses.dataclass
+class TextureSpec:
+    """<asset><texture>: file-backed or builtin (checker/gradient/flat)."""
+
+    name: str = ""
+    type: str = "cube"
+    builtin: str = "none"
+    file: str = ""
+    rgb1: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.8, 0.8, 0.8]))
+    rgb2: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.5, 0.5, 0.5]))
+    width: int = 0
+    height: int = 0
+
+
+@dataclasses.dataclass
+class MaterialSpec:
+    """<asset><material>: appearance bound to geoms via material=."""
+
+    name: str = ""
+    texture: str = ""
+    texrepeat: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(2))
+    texuniform: bool = False
+    emission: float = 0.0
+    specular: float = 0.5
+    shininess: float = 0.5
+    reflectance: float = 0.0
+    rgba: np.ndarray = dataclasses.field(default_factory=lambda: np.ones(4))
 
 
 @dataclasses.dataclass
@@ -307,6 +340,8 @@ class SpecTree:
     option: OptionSpec = dataclasses.field(default_factory=OptionSpec)
     world: BodySpec = dataclasses.field(default_factory=lambda: BodySpec(name="world"))
     meshes: list = dataclasses.field(default_factory=list)
+    textures: list = dataclasses.field(default_factory=list)
+    materials: list = dataclasses.field(default_factory=list)
     hfields: list = dataclasses.field(default_factory=list)
     keys: list = dataclasses.field(default_factory=list)
     equalities: list = dataclasses.field(default_factory=list)
@@ -547,6 +582,27 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
                                        sep=" ").reshape(-1, 3)
             spec.meshes.append(MeshSpec(name=name, file=el.get("file", ""),
                                         scale=scale, vertex=vertex))
+        for el in asset.findall("texture"):
+            spec.textures.append(TextureSpec(
+                name=el.get("name") or el.get("type", ""),
+                type=el.get("type", "cube"),
+                builtin=el.get("builtin", "none"),
+                file=el.get("file", ""),
+                rgb1=_get_v(el, "rgb1", np.array([0.8, 0.8, 0.8])),
+                rgb2=_get_v(el, "rgb2", np.array([0.5, 0.5, 0.5])),
+                width=int(_get_f(el, "width", 0)),
+                height=int(_get_f(el, "height", 0))))
+        for el in asset.findall("material"):
+            spec.materials.append(MaterialSpec(
+                name=el.get("name", ""),
+                texture=el.get("texture", ""),
+                texrepeat=_get_v(el, "texrepeat", np.ones(2)),
+                texuniform=_get_b(el, "texuniform", False),
+                emission=_get_f(el, "emission", 0.0),
+                specular=_get_f(el, "specular", 0.5),
+                shininess=_get_f(el, "shininess", 0.5),
+                reflectance=_get_f(el, "reflectance", 0.0),
+                rgba=_get_v(el, "rgba", np.ones(4))))
         for el in asset.findall("hfield"):
             hf = HFieldSpec(name=el.get("name", ""))
             hf.size = _get_v(el, "size", np.ones(4))[:4]
@@ -672,6 +728,7 @@ def parse_mjcf_tree(root: ET.Element, base_dir: str) -> SpecTree:
             g.rgba = rgba
         g.mesh = el.get("mesh", "")
         g.hfield = el.get("hfield", "")
+        g.material = el.get("material", "")
         g.group = int(_get_f(el, "group", 0))
         if g.type == "mesh" or (g.mesh and el.get("type") is None):
             g.type = "mesh"

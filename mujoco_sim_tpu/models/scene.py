@@ -161,6 +161,13 @@ def add_robot(world: mjcf.SpecTree, robot_name: str, cfg: RobotConfig,
                 rspec.base_dir, rspec.compiler.meshdir, msp.file)
             world.meshes.append(msp)
             existing.add(msp.name)
+    # appearance assets merge with dedup by name (shared, not per-instance)
+    have_tex = {t.name for t in world.textures}
+    world.textures.extend(t for t in rspec.textures
+                          if t.name not in have_tex)
+    have_mat = {mt.name for mt in world.materials}
+    world.materials.extend(mt for mt in rspec.materials
+                           if mt.name not in have_mat)
     world.equalities.extend(rspec.equalities)
     world.excludes.extend(rspec.excludes)
     world.sensors.extend(rspec.sensors)

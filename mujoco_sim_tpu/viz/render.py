@@ -103,21 +103,33 @@ def render_frame(m, d, path: str, *, rtf: float | None = None,
                 edgecolor="k"))
             centers.append(p)
         elif t == GeomType.MESH:
-            # full hull-face render (reference renders the real mesh via
-            # GL, mj_visual.cpp:141-189; scatter was the r2 placeholder).
-            # mesh_fpoly carries each merged hull face as an ordered ring
-            # padded by repeating its last vertex — strip the pad.
-            hid = int(lay.geom_hullid[g])
-            fpoly = np.asarray(m.mesh_fpoly[hid])
-            fmask = np.asarray(m.mesh_fmask[hid]) > 0.5
+            # RAW triangle surface when the compile stored it (visual
+            # fidelity: non-convex assets like the cup render true — the
+            # reference renders the real mesh via GL, mj_visual.cpp:
+            # 141-189); hull-face rings otherwise (r2-r4 behavior)
+            mid_ = int(lay.geom_dataid[g])
+            fn = (int(lay.mesh_visfacenum[mid_])
+                  if hasattr(lay, "mesh_visfacenum") else 0)
             faces = []
-            for ring in fpoly[fmask]:
-                keep = [ring[0]]
-                for v in ring[1:]:
-                    if not np.allclose(v, keep[-1]):
-                        keep.append(v)
-                world = (R @ np.asarray(keep).T).T + p
-                faces.append(list(world))
+            if fn > 0:
+                va = int(lay.mesh_visvertadr[mid_])
+                vn = int(lay.mesh_visvertnum[mid_])
+                fa = int(lay.mesh_visfaceadr[mid_])
+                verts = np.asarray(lay.mesh_visvert[va:va + vn])
+                world = (R @ verts.T).T + p
+                tri = np.asarray(lay.mesh_visface[fa:fa + fn])
+                faces = [list(world[f3]) for f3 in tri]
+            else:
+                hid = int(lay.geom_hullid[g])
+                fpoly = np.asarray(m.mesh_fpoly[hid])
+                fmask = np.asarray(m.mesh_fmask[hid]) > 0.5
+                for ring in fpoly[fmask]:
+                    keep = [ring[0]]
+                    for v in ring[1:]:
+                        if not np.allclose(v, keep[-1]):
+                            keep.append(v)
+                    wr = (R @ np.asarray(keep).T).T + p
+                    faces.append(list(wr))
             ax.add_collection3d(Poly3DCollection(
                 faces, facecolor=color, alpha=alpha, linewidths=0.2,
                 edgecolor="k"))
