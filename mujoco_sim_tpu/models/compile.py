@@ -529,9 +529,17 @@ def compile_spec(spec: mjcf.SpecTree, ncon_budget: int | None = None,
         # These are only touched inside the deep-pair gate, so their
         # larger padding never costs the hot shallow-SAT path.
         maxvhi = max(len(v) for v, _ in hull_hi_entries)
-        mesh_vert_hi = np.full((nhull, maxvhi, 3), 1e6)
+        # pads REPEAT the first real vertex (not a 1e6 sentinel): the
+        # exact query's support min/max then needs no mask, so XLA fuses
+        # the (C, V) axis-support product straight into each reduction —
+        # the 8 masked select_reduces re-reading the materialized product
+        # were ~15 ms/step at manip 4096 envs (r5 profile).  The mask
+        # stays for the feature-classification step (duplicate verts
+        # would inflate its in-window count).
+        mesh_vert_hi = np.zeros((nhull, maxvhi, 3))
         mesh_vert_hi_mask = np.zeros((nhull, maxvhi))
         for hi, (verts, _) in enumerate(hull_hi_entries):
+            mesh_vert_hi[hi] = verts[0]
             mesh_vert_hi[hi, :len(verts)] = verts
             mesh_vert_hi_mask[hi, :len(verts)] = 1.0
         # merged-face polygon tables for the face-clip manifold

@@ -281,7 +281,8 @@ class Model:
     # FULL (undecimated) hull verts for the deep-pair exact manifold:
     # 32-vert decimation error (mm) rotates the exact MTV at cm-scale
     # penetration.  Only read inside the deep-pair gate.
-    mesh_vert_hi: jax.Array       # (nhull, maxvhi, 3), pad 1e6
+    mesh_vert_hi: jax.Array       # (nhull, maxvhi, 3), pad = 1st vertex
+    #   (repeat-pad: support min/max runs UNMASKED — ops/manifold.py)
     mesh_vert_hi_mask: jax.Array  # (nhull, maxvhi)
     # full-hull edge endpoint pairs (exact-MTV top-K edge refinement)
     mesh_hedge: jax.Array         # (nhull, maxhe, 2, 3), pad 1e6

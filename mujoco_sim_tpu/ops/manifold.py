@@ -95,13 +95,24 @@ def _cyl_ext(axes, aw, r, hh):
 
 def _support_minmax(axes, w, vm, cen, aw, cyl):
     """Support extents [min, max] of one hull along unit axes (C, 3).
+    UNMASKED reductions: the vert_hi tables pad by repeating the first
+    real vertex (models/compile.py), so pads never win — the masked
+    select form forced XLA to materialize the (C, V) product and re-read
+    it per reduction (~15 ms/step at manip 4096, r5); `vm` stays in the
+    signature for the support-tuple plumbing but is unused here.
     Cylinder-flagged hulls (cyl[0] > 0.5) use the exact analytic support
     instead of their prism vertex cloud — the 16-gon facet quantization
     both misstates the depth (~2% of r) and rotates the MTV onto facet
     normals."""
+    # NB two A/B'd variants both lost on-chip (r5): (a) masked
+    # select-reductions (the r1-r4 form) added 8 full re-reads of the
+    # materialized (C, V) product (~2.3 ms/step at manip 4096); (b) a
+    # single +-axes max reduction (min(p) = -max(-p)) doubled the
+    # product compute and measured 71.2k -> 62.4k env-steps/s @1024.
+    # The unmasked two-reduction form below is the measured optimum.
     p = (axes[:, None, :] * w[None, :, :]).sum(-1)            # (C, V)
-    mx = _masked_max(p, vm[None, :] > 0.5)
-    mn = _masked_min(p, vm[None, :] > 0.5)
+    mx = p.max(axis=-1)
+    mn = p.min(axis=-1)
     ext = _cyl_ext(axes, aw, cyl[1], cyl[2])
     dc = (axes * cen[None, :]).sum(-1)
     mx = jnp.where(cyl[0] > 0.5, dc + ext, mx)
