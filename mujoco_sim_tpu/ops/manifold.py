@@ -104,15 +104,22 @@ def _support_minmax(axes, w, vm, cen, aw, cyl):
     instead of their prism vertex cloud — the 16-gon facet quantization
     both misstates the depth (~2% of r) and rotates the MTV onto facet
     normals."""
-    # NB two A/B'd variants both lost on-chip (r5): (a) masked
-    # select-reductions (the r1-r4 form) added 8 full re-reads of the
-    # materialized (C, V) product (~2.3 ms/step at manip 4096); (b) a
-    # single +-axes max reduction (min(p) = -max(-p)) doubled the
-    # product compute and measured 71.2k -> 62.4k env-steps/s @1024.
-    # The unmasked two-reduction form below is the measured optimum.
-    p = (axes[:, None, :] * w[None, :, :]).sum(-1)            # (C, V)
-    mx = p.max(axis=-1)
-    mn = p.min(axis=-1)
+    # TPU path: fused pallas kernel (ops/pallas_support.py) keeps the
+    # (C, V) product in VMEM and emits both reductions in one pass.
+    # XLA-path note — two A/B'd variants both lost on-chip (r5): (a)
+    # masked select-reductions (the r1-r4 form) added 8 full re-reads of
+    # the materialized (C, V) product (~2.3 ms/step at manip 4096); (b)
+    # a single +-axes max reduction (min(p) = -max(-p)) doubled the
+    # product compute (71.2k -> 62.4k env-steps/s @1024).  The unmasked
+    # two-reduction form is the measured XLA optimum.
+    from mujoco_sim_tpu.ops.pallas_support import (support_minmax,
+                                                   use_pallas_support)
+    if use_pallas_support() and axes.shape[0] >= 32:
+        mn, mx = support_minmax(axes, w)
+    else:
+        p = (axes[:, None, :] * w[None, :, :]).sum(-1)        # (C, V)
+        mx = p.max(axis=-1)
+        mn = p.min(axis=-1)
     ext = _cyl_ext(axes, aw, cyl[1], cyl[2])
     dc = (axes * cen[None, :]).sum(-1)
     mx = jnp.where(cyl[0] > 0.5, dc + ext, mx)
