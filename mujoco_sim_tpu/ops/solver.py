@@ -177,8 +177,6 @@ def solve(m: Model, d: Data) -> Data:
         crows, noncone = _cone_plan(m)
         D_nc = jnp.where(jnp.asarray(noncone), d.efc_D, 0.0)
         cone = _EllipticCone(m, d, crows)
-        Jc = J[crows]                       # (K, rp, nv) static row gather
-        arefc = aref[crows]
     else:
         D_nc = d.efc_D
 
@@ -187,34 +185,48 @@ def solve(m: Model, d: Data) -> Data:
     # guard: warmstart of wrong scale falls back to smooth
     a0 = jnp.where(jnp.any(jnp.isnan(a0)), a_smooth, a0)
 
-    def grad_hess(a):
-        x = J @ a - aref
-        f, curv = _row_force_and_curv(m, d, x, D_nc)
-        grad = M @ (a - a_smooth) + J.T @ f
-        H = M + jnp.einsum("iv,i,iw->vw", J, curv, J)
-        if elliptic:
-            xc = Jc @ a - arefc             # (K, rp)
-            _, gc, Hc = cone.terms(xc)
-            grad = grad + jnp.einsum("krv,kr->v", Jc, gc)
-            H = H + jnp.einsum("krv,krs,ksw->vw", Jc, Hc, Jc)
-        return grad, H
-
-    def total_cost(a):
-        x = J @ a - aref
+    # jar x = J a - aref is CARRIED through the Newton loop and updated
+    # as x += alpha * Jp (exact: J(a + alpha p) - aref = x + alpha Jp).
+    # Through r4 every cost/gradient evaluation recomputed J @ a — at
+    # the contact-rich manip batch each (nenv, nefc, nv) J stream is
+    # ~22 MB/1024 envs and the solver streamed J ~6x per Newton
+    # iteration (2x total_cost, J@a, J.T f, Hessian, J@p); the r5
+    # carried form streams it twice (J.T f + Hessian; J@p in the line
+    # search), and all cost evaluations are (nefc,) elementwise.
+    def rowcost_sum(x):
         c = jnp.sum(_row_cost(m, d, x, D_nc))
         if elliptic:
-            xc = Jc @ a - arefc
-            cc, _, _ = cone.terms(xc)
+            cc, _, _ = cone.terms(x[crows])
             c = c + jnp.sum(cc)
-        da = a - a_smooth
-        return 0.5 * da @ (M @ da) + c
+        return c
 
-    def line_search(a, p):
+    def grad_hess(a, x):
+        f, curv = _row_force_and_curv(m, d, x, D_nc)
+        Mda = M @ (a - a_smooth)
+        grad = Mda + J.T @ f
+        H = M + jnp.einsum("iv,i,iw->vw", J, curv, J)
+        if elliptic:
+            Jc = J[crows]                   # (K, rp, nv) static row gather
+            _, gc, Hc = cone.terms(x[crows])
+            grad = grad + jnp.einsum("krv,kr->v", Jc, gc)
+            H = H + jnp.einsum("krv,krs,ksw->vw", Jc, Hc, Jc)
+        return grad, H, Mda
+
+    def line_search(a, p, x0, Mda):
+        """Returns (alpha, Jp, cost(alpha), cost(0.5)) — the two candidate
+        costs are evaluated on x0 + alpha*Jp and the scalar M-quadratic
+        (cost_M(alpha) = c0M + alpha p'Mda + 0.5 alpha^2 p'Mp), so the
+        Newton body never re-forms J @ a."""
         Jp = J @ p
         Mp = M @ p
         pMp = p @ Mp
-        pM_da = p @ (M @ (a - a_smooth))
-        x0 = J @ a - aref
+        pM_da = p @ Mda
+        c0M = 0.5 * ((a - a_smooth) @ Mda)
+
+        def phi_cost(alpha):
+            return (c0M + alpha * pM_da + 0.5 * alpha * alpha * pMp
+                    + rowcost_sum(x0 + alpha * Jp))
+
         if elliptic:
             Jpc = Jp[crows]                 # (K, rp)
             x0c = x0[crows]
@@ -258,7 +270,9 @@ def solve(m: Model, d: Data) -> Data:
                 c1, b1, (jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32),
                          jnp.asarray(1e30, dtype)))
             alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
-            return jnp.clip(alpha, 0.0, 8.0)
+            alpha = jnp.clip(alpha, 0.0, 8.0)
+            return alpha, Jp, phi_cost(alpha), phi_cost(
+                jnp.asarray(0.5, dtype))
 
         # elliptic: phi is convex but has cone-zone kinks where pure 1D
         # Newton oscillates (r2); phi' is nondecreasing, so bracket its
@@ -302,11 +316,12 @@ def solve(m: Model, d: Data) -> Data:
             (lo, hi, alpha0, jnp.asarray(1e30, dtype),
              jnp.asarray(0, jnp.int32)))
         alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
-        return jnp.clip(alpha, 0.0, 256.0)
+        alpha = jnp.clip(alpha, 0.0, 256.0)
+        return alpha, Jp, phi_cost(alpha), phi_cost(jnp.asarray(0.5, dtype))
 
     def newton_body(carry):
-        a, it, prev_cost, _ = carry
-        grad, H = grad_hess(a)
+        a, x, it, prev_cost, _ = carry
+        grad, H, Mda = grad_hess(a, x)
         # small relative ridge keeps H SPD under f32 rounding
         ridge = 1e-7 * jnp.trace(H) / H.shape[0]
         H = H + ridge * jnp.eye(H.shape[0], dtype=H.dtype)
@@ -322,45 +337,50 @@ def solve(m: Model, d: Data) -> Data:
             L = linalg.cholesky(H)
             p = -smooth.solve_chol(L, grad)
         p = jnp.where(jnp.isfinite(p), p, 0.0)
-        alpha = line_search(a, p)
-        a_new = a + alpha * p
-        new_cost = total_cost(a_new)
+        alpha, Jp, new_cost, half_cost = line_search(a, p, x, Mda)
         # never accept an ascent step: the 1D Newton line search can
         # overshoot across cone-zone kinks (elliptic); fall back to a
-        # halved plain step, else reject and stop
-        half = a + 0.5 * p
-        half_cost = total_cost(half)
+        # halved plain step, else reject and stop.  alpha_eff keeps the
+        # carried jar x consistent with the accepted a on every branch.
         use_half = (new_cost > prev_cost) & (half_cost < prev_cost)
-        a_new = jnp.where(use_half, half, a_new)
+        alpha_eff = jnp.where(use_half, jnp.asarray(0.5, dtype), alpha)
         new_cost = jnp.where(use_half, half_cost, new_cost)
         worse = new_cost > prev_cost
-        a_new = jnp.where(worse, a, a_new)
+        alpha_eff = jnp.where(worse, jnp.asarray(0.0, dtype), alpha_eff)
         new_cost = jnp.where(worse, prev_cost, new_cost)
+        a_new = a + alpha_eff * p
+        x_new = x + alpha_eff * Jp
         improved = prev_cost - new_cost
         done = improved < m.opt.tolerance * jnp.maximum(1.0, jnp.abs(new_cost))
-        return a_new, it + 1, new_cost, done
+        return a_new, x_new, it + 1, new_cost, done
 
     def newton_cond(carry):
-        a, it, cost, done = carry
+        a, x, it, cost, done = carry
         return (it < m.opt.solver_iterations) & jnp.logical_not(done)
 
     # best-of-two init like the reference solver: warmstart vs smooth
-    c_warm = total_cost(a0)
-    c_smooth = total_cost(a_smooth)
+    # (the two J @ a streams here run once per solve, not per iteration)
+    x_warm = J @ a0 - aref
+    x_smooth = J @ a_smooth - aref
+    da_w = a0 - a_smooth
+    c_warm = 0.5 * (da_w @ (M @ da_w)) + rowcost_sum(x_warm)
+    c_smooth = rowcost_sum(x_smooth)
     take_warm = c_warm <= c_smooth
     a0 = jnp.where(take_warm, a0, a_smooth)
+    x0 = jnp.where(take_warm, x_warm, x_smooth)
     c0 = jnp.where(take_warm, c_warm, c_smooth)
 
-    a, _, _, _ = jax.lax.while_loop(
+    a, x, _, _, _ = jax.lax.while_loop(
         newton_cond, newton_body,
-        (a0, jnp.asarray(0, jnp.int32), c0, jnp.asarray(False)))
+        (a0, x0, jnp.asarray(0, jnp.int32), c0, jnp.asarray(False)))
 
-    efc_force, qfrc_constraint = constraint_force_from_qacc(m, d, a)
+    efc_force, qfrc_constraint = constraint_force_from_qacc(m, d, a, jar=x)
     return d.replace(qacc=a, qfrc_constraint=qfrc_constraint,
                      efc_force=efc_force)
 
 
-def constraint_force_from_qacc(m: Model, d: Data, qacc: jax.Array):
+def constraint_force_from_qacc(m: Model, d: Data, qacc: jax.Array,
+                               jar: jax.Array | None = None):
     """Constraint force for a GIVEN qacc — the inverse constraint solver
     (mj_invConstraint): jar = J qacc - aref, force = -dcost/djar per row
     (one-sided clamp / frictionloss tails / elliptic cone zones).  Used
@@ -377,12 +397,14 @@ def constraint_force_from_qacc(m: Model, d: Data, qacc: jax.Array):
         D_nc = jnp.where(jnp.asarray(noncone), d.efc_D, 0.0)
     else:
         D_nc = d.efc_D
-    x = J @ qacc - aref
+    # `jar` (J qacc - aref) may be passed by the forward solver, which
+    # carries it through the Newton loop — skips one full J stream
+    x = (J @ qacc - aref) if jar is None else jar
     f, _ = _row_force_and_curv(m, d, x, D_nc)
     efc_force = -f
     if elliptic:
         cone = _EllipticCone(m, d, crows)
-        xc = J[crows] @ qacc - aref[crows]
+        xc = x[crows]
         _, gc, _ = cone.terms(xc)
         efc_force = efc_force.at[jnp.asarray(crows.reshape(-1))].set(
             -gc.reshape(-1))
