@@ -225,6 +225,31 @@ def _mtv(wA, vmA, wB, vmB, nfA, fmA, nfB, fmB,
     amask = jnp.concatenate([fmA > 0.5, fmB > 0.5])
     depth, n = _best_axis(axes, amask, A, B)
 
+    from mujoco_sim_tpu.ops.pallas_refine import (refine_rounds,
+                                                  use_pallas_refine)
+    if use_pallas_refine():
+        # TPU: ONE fused kernel runs both refinement rounds in VMEM
+        # (top-K edge selection, cross table, support scan, axis pick) —
+        # the XLA form's cross-table copies, axis transposes and argmin
+        # loops were ~2.3 ms/step at manip 1024 (r5 profile)
+        depth, n = refine_rounds(wA, wB, heA, heB, hmA, hmB, RA, RB,
+                                 cA, cB, cylA, cylB, depth, n,
+                                 _K_EDGE, _REFINE_ROUNDS)
+        return depth.astype(dtype), n.astype(dtype)
+
+    depth, n = refine_rounds_xla(wA, vmA, wB, vmB, heA, hmA, heB, hmB,
+                                 cA, awA, cylA, cB, awB, cylB, RA, RB,
+                                 depth, n)
+    return depth.astype(dtype), n.astype(dtype)
+
+
+def refine_rounds_xla(wA, vmA, wB, vmB, heA, hmA, heB, hmB,
+                      cA, awA, cylA, cB, awB, cylB, RA, RB, depth, n):
+    """XLA form of the edge-cross refinement rounds (CPU path; the
+    reference semantics the pallas kernel must match —
+    tests/test_pallas_refine.py)."""
+    A = (wA, vmA, cA, awA, cylA)
+    B = (wB, vmB, cB, awB, cylB)
     for _ in range(_REFINE_ROUNDS):
         minA, maxA = _support_minmax(n[None, :], *A)
         minB, maxB = _support_minmax(n[None, :], *B)
@@ -238,7 +263,7 @@ def _mtv(wA, vmA, wB, vmB, nfA, fmA, nfB, fmB,
         better = depthR < depth
         depth = jnp.where(better, depthR, depth)
         n = jnp.where(better, nR, n)
-    return depth.astype(dtype), n.astype(dtype)
+    return depth, n
 
 
 def _feature_poly(w, vm, n, s_ext, sign, fpl_w, fm, moh, fpoly_tab, p, R,
