@@ -219,24 +219,27 @@ def _mtv(wA, vmA, wB, vmB, nfA, fmA, nfB, fmB,
     contact by cm (armar6 arm pairs: 0.5 deg of axis error displaced
     the witness 5 cm)."""
     dtype = wA.dtype
+    from mujoco_sim_tpu.ops.pallas_refine import (mtv_query,
+                                                  use_pallas_refine)
+    if use_pallas_refine():
+        # TPU: ONE fused kernel runs the whole query in VMEM — coarse
+        # face-normal SAT + both refinement rounds (top-K edge
+        # selection, cross table, support scan, axis pick).  The XLA
+        # form's cross-table copies, axis transposes and argmin loops
+        # were ~2.3 ms/step at manip 1024 (r5 profile), and the
+        # coarse pass's separate pallas_support staging co-lived with
+        # the round kernels' and overflowed XLA's scoped VMEM at PR2
+        # hull sizes (compile failure).
+        depth, n = mtv_query(wA, wB, heA, heB, hmA, hmB,
+                             nfA, nfB, fmA, fmB, RA, RB, cA, cB,
+                             cylA, cylB, _K_EDGE, _REFINE_ROUNDS)
+        return depth.astype(dtype), n.astype(dtype)
+
     A = (wA, vmA, cA, awA, cylA)
     B = (wB, vmB, cB, awB, cylB)
     axes = jnp.concatenate([nfA, -nfB], axis=0)               # (C, 3)
     amask = jnp.concatenate([fmA > 0.5, fmB > 0.5])
     depth, n = _best_axis(axes, amask, A, B)
-
-    from mujoco_sim_tpu.ops.pallas_refine import (refine_rounds,
-                                                  use_pallas_refine)
-    if use_pallas_refine():
-        # TPU: ONE fused kernel runs both refinement rounds in VMEM
-        # (top-K edge selection, cross table, support scan, axis pick) —
-        # the XLA form's cross-table copies, axis transposes and argmin
-        # loops were ~2.3 ms/step at manip 1024 (r5 profile)
-        depth, n = refine_rounds(wA, wB, heA, heB, hmA, hmB, RA, RB,
-                                 cA, cB, cylA, cylB, depth, n,
-                                 _K_EDGE, _REFINE_ROUNDS)
-        return depth.astype(dtype), n.astype(dtype)
-
     depth, n = refine_rounds_xla(wA, vmA, wB, vmB, heA, hmA, heB, hmB,
                                  cA, awA, cylA, cB, awB, cylB, RA, RB,
                                  depth, n)

@@ -1,25 +1,46 @@
-"""Pallas TPU kernel: fused edge-cross refinement rounds for the exact MTV.
+"""Pallas TPU kernel: the exact-MTV query (coarse SAT + edge-cross rounds).
 
-The exact deep-pair manifold (ops/manifold.py:_mtv) follows its coarse
-face-normal SAT with _REFINE_ROUNDS rounds of: select the _K_EDGE edges
-nearest each hull's support plane, cross every A-edge direction with
-every B-edge direction, and re-minimize the support gap over the 256
-normalized cross axes.  As XLA ops the round materializes the
+The exact deep-pair manifold (ops/manifold.py:_mtv) computes the exact
+minimum-translation vector as a coarse face-normal SAT over both hulls'
+merged-face normals followed by _REFINE_ROUNDS rounds of: select the
+_K_EDGE edges nearest each hull's support plane, cross every A-edge
+direction with every B-edge direction, and re-minimize the support gap
+over the 256 normalized cross axes.
+
+As XLA ops this was the dominant cost of the contact-rich manip step
+(r5 profile, 1024 envs x 8 deep slots): the round materialized a
 (lanes, 16, 16, 3) cross table in a lane-hostile layout (622us/step of
-pure copies at manip 1024, r5 profile), stages (lanes, 256, 3) axis
-transposes around the support kernel (534us of reshapes), and runs the
-K serial argmin passes as 4 unrolled loops (856us) plus their one-hot
-copies (470us).
+pure copies), staged (lanes, C, 3) axis transposes around the support
+kernel (534us of reshapes), and ran the K argmin passes as 4 unrolled
+loops (856us) plus their one-hot copies (470us).  Worse, the coarse
+pass's pallas_call staging co-lived with the round kernels' inside the
+gated while body and overflowed XLA's 16 MB scoped-VMEM budget at PR2
+hull sizes (C=288 face axes, V=80) — a compile-time failure of the
+flagship step.
 
-Here ONE kernel per 128-lane tile runs both rounds end to end in VMEM:
-support extents along the current axis, per-hull top-K edge selection
-(serial argmin over the masked edge scores, local-frame scoring exactly
-as ops/manifold._topk_edge_dirs), world edge directions, the 16x16
-cross table, normalization, the support scan over both hulls (analytic
-cylinder overrides included), and the first-minimum axis pick with the
-fwd-before-rev tie order of ops/manifold._best_axis.  HBM traffic per
-round drops to the per-lane inputs (verts, edge tables, poses) and the
-(1 + 3, L) outputs.
+Here ONE kernel per 128-lane tile runs the WHOLE query in VMEM: the
+coarse masked face-normal scan, then both refinement rounds end to end
+(support extents along the current axis, per-hull top-K edge selection
+with local-frame scoring exactly as ops/manifold._topk_edge_dirs, world
+edge directions, the 16x16 cross table, normalization, the support
+scan over both hulls with analytic cylinder overrides, and the
+first-minimum axis pick with the fwd-before-rev tie order of
+ops/manifold._best_axis).  HBM traffic per lane drops to the hull/edge/
+face tables and a 4-float result, and no other custom call shares the
+gate's scoped staging.
+
+Mosaic notes (learned here the hard way):
+- mixed None+slice indexing (w[c][None, lo:hi, :]) lowers to a gather
+  the TPU backend rejects — use lax.slice_in_dim;
+- loops (rounds, vert chunks) must be lax.fori_loops reading from refs:
+  unrolled python loops get no stack live-range reuse and OOM the
+  scoped VMEM (the vert chunks alone peaked 12.6 MB at V=80);
+- every per-lane vector in a loop carry (and, for safety, throughout)
+  is kept 2-D (1, L) — 1-D (L,) carries crash the Mosaic layout pass
+  (layout.h Check failed: arr.size() >= layout_rank);
+- the kernel's own stack still peaks ~20 MB at PR2 sizes, over the
+  default 16 MB limit — raised via CompilerParams.vmem_limit_bytes
+  (v5e has 128 MB VMEM/core).
 
 Like ops/pallas_support.py the public wrapper is a jax.custom_vmap whose
 batching rule flattens leading axes onto the lane axis (the manifold
@@ -40,99 +61,138 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_VCHUNK = 64        # verts per support-product chunk: (256, 64, 128) f32
-                    # = 8.4 MB VMEM peak
+_VCHUNK = 32        # verts per support-product chunk: (C, 32, 128) f32
 
 
-def _make_kernel(V: int, E: int, K: int, rounds: int):
+def _rows(x, n):
+    """Split a (n, L) array into n (1, L) row slices (2-D everywhere —
+    see the Mosaic notes in the module docstring)."""
+    return [jax.lax.slice_in_dim(x, c, c + 1, axis=0) for c in range(n)]
+
+
+def _make_kernel(V: int, E: int, F: int, K: int, rounds: int):
     C = K * K
     inf = float("inf")   # python scalar: jnp.float32(...) outside the
                          # kernel body is a captured constant pallas rejects
 
     def topk_dirs(he, hm, r9, p3, n3, s, sign):
         """World directions of the K edges nearest the support plane.
-        he: list of 6 (E, L) endpoint-component slices (j*3+c); returns
-        3 (K, L) world direction components."""
+        he: list of 6 (E, L) endpoint-component slices (j*3+c); n3/p3
+        lists of (1, L); s (1, L); returns 3 (K, L) world direction
+        components."""
         # local-frame scoring: nloc = R^T n, pe = he . nloc + p.n
         nloc = [r9[0 * 3 + c] * n3[0] + r9[1 * 3 + c] * n3[1]
-                + r9[2 * 3 + c] * n3[2] for c in range(3)]
+                + r9[2 * 3 + c] * n3[2] for c in range(3)]      # (1, L)
         pn = p3[0] * n3[0] + p3[1] * n3[1] + p3[2] * n3[2]
-        pe0 = (he[0] * nloc[0][None] + he[1] * nloc[1][None]
-               + he[2] * nloc[2][None] + pn[None])
-        pe1 = (he[3] * nloc[0][None] + he[4] * nloc[1][None]
-               + he[5] * nloc[2][None] + pn[None])
-        d0 = jnp.where(sign > 0, s[None] - pe0, pe0 - s[None])
-        d1 = jnp.where(sign > 0, s[None] - pe1, pe1 - s[None])
+        pe0 = he[0] * nloc[0] + he[1] * nloc[1] + he[2] * nloc[2] + pn
+        pe1 = he[3] * nloc[0] + he[4] * nloc[1] + he[5] * nloc[2] + pn
+        d0 = (s - pe0) if sign > 0 else (pe0 - s)
+        d1 = (s - pe1) if sign > 0 else (pe1 - s)
         score = jnp.maximum(d0, d1)
         score = jnp.where(hm > 0.5, score, inf)
         iota = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
         dls = [[], [], []]
         for _ in range(K):
-            mn = score.min(axis=0)                             # (L,)
-            ridx = jnp.where(score <= mn[None], iota, E).min(axis=0)
-            oh = (iota == ridx[None]).astype(jnp.float32)      # (E, L)
+            mn = score.min(axis=0, keepdims=True)              # (1, L)
+            ridx = jnp.where(score <= mn, iota, E).min(axis=0,
+                                                       keepdims=True)
+            oh = (iota == ridx).astype(jnp.float32)            # (E, L)
             ok = jnp.isfinite(mn)
             for c in range(3):
-                dl = ((he[3 + c] - he[c]) * oh).sum(axis=0)
+                dl = ((he[3 + c] - he[c]) * oh).sum(axis=0, keepdims=True)
                 dls[c].append(jnp.where(ok, dl, 0.0))
             score = jnp.where(oh > 0.5, inf, score)
-        dl = [jnp.stack(dls[c]) for c in range(3)]             # (K, L)
+        dl = [jnp.concatenate(dls[c], axis=0) for c in range(3)]  # (K, L)
         # world: d_c = sum_j R[c, j] dl_j
-        return [r9[c * 3 + 0][None] * dl[0] + r9[c * 3 + 1][None] * dl[1]
-                + r9[c * 3 + 2][None] * dl[2] for c in range(3)]
-
-    def scan_minmax(u, w):
-        """u: 3 x (C, L) unit axes; w: 3 x (V, L) verts -> (min, max)
-        support products, chunked over V to bound the VMEM peak."""
-        mx = jnp.full(u[0].shape, -inf)
-        mn = jnp.full(u[0].shape, inf)
-        for lo in range(0, V, _VCHUNK):
-            hi = min(lo + _VCHUNK, V)
-            p = (u[0][:, None, :] * w[0][None, lo:hi, :]
-                 + u[1][:, None, :] * w[1][None, lo:hi, :]
-                 + u[2][:, None, :] * w[2][None, lo:hi, :])
-            mx = jnp.maximum(mx, p.max(axis=1))
-            mn = jnp.minimum(mn, p.min(axis=1))
-        return mn, mx
-
-    def cyl_override(u, aw, cen, cyl, mn, mx):
-        """Analytic cylinder support extents along axes u (flag in
-        cyl[0], radius cyl[1], half-height cyl[2])."""
-        da = u[0] * aw[0][None] + u[1] * aw[1][None] + u[2] * aw[2][None]
-        dperp = jnp.sqrt(jnp.clip(1.0 - da * da, 0.0, None))
-        ext = cyl[2][None] * jnp.abs(da) + cyl[1][None] * dperp
-        dc = (u[0] * cen[0][None] + u[1] * cen[1][None]
-              + u[2] * cen[2][None])
-        is_cyl = (cyl[0] > 0.5)[None]
-        return (jnp.where(is_cyl, dc - ext, mn),
-                jnp.where(is_cyl, dc + ext, mx))
+        return [r9[c * 3 + 0] * dl[0] + r9[c * 3 + 1] * dl[1]
+                + r9[c * 3 + 2] * dl[2] for c in range(3)]
 
     def kernel(wa_ref, wb_ref, hea_ref, heb_ref, hma_ref, hmb_ref,
+               nfa_ref, nfb_ref, fma_ref, fmb_ref,
                ra_ref, rb_ref, pa_ref, pb_ref, cyla_ref, cylb_ref,
-               d0_ref, n0_ref, d_out, n_out):
+               d_out, n_out):
         wa = [wa_ref[c] for c in range(3)]                     # (V, L)
         wb = [wb_ref[c] for c in range(3)]
         hea = [hea_ref[c] for c in range(6)]                   # (E, L)
         heb = [heb_ref[c] for c in range(6)]
         hma = hma_ref[...]
         hmb = hmb_ref[...]
-        ra = [ra_ref[c] for c in range(9)]                     # (L,)
-        rb = [rb_ref[c] for c in range(9)]
-        pa = [pa_ref[c] for c in range(3)]
-        pb = [pb_ref[c] for c in range(3)]
-        cyla = [cyla_ref[c] for c in range(3)]
-        cylb = [cylb_ref[c] for c in range(3)]
+        ra = _rows(ra_ref[...], 9)                             # (1, L)
+        rb = _rows(rb_ref[...], 9)
+        pa = _rows(pa_ref[...], 3)
+        pb = _rows(pb_ref[...], 3)
+        cyla = _rows(cyla_ref[...], 3)
+        cylb = _rows(cylb_ref[...], 3)
         awa = [ra[2], ra[5], ra[8]]                            # R[:, 2]
         awb = [rb[2], rb[5], rb[8]]
-        depth = d0_ref[0]                                      # (L,)
-        n = [n0_ref[c] for c in range(3)]
 
-        for _ in range(rounds):
+        def scan_minmax(u, w_ref):
+            """u: 3 x (C', L) unit axes; w_ref (3, V, L) vert ref ->
+            (min, max) support products, V chunks as a fori_loop."""
+            def chunk_body(i, carry):
+                mn, mx = carry
+                wc = [w_ref[c, pl.ds(i * _VCHUNK, _VCHUNK)][None]
+                      for c in range(3)]
+                p = (u[0][:, None, :] * wc[0] + u[1][:, None, :] * wc[1]
+                     + u[2][:, None, :] * wc[2])
+                return (jnp.minimum(mn, p.min(axis=1)),
+                        jnp.maximum(mx, p.max(axis=1)))
+
+            return jax.lax.fori_loop(
+                0, V // _VCHUNK, chunk_body,
+                (jnp.full(u[0].shape, inf), jnp.full(u[0].shape, -inf)))
+
+        def cyl_override(u, aw, cen, cyl, mn, mx):
+            """Analytic cylinder support extents along axes u (flag in
+            cyl[0], radius cyl[1], half-height cyl[2])."""
+            da = u[0] * aw[0] + u[1] * aw[1] + u[2] * aw[2]
+            dperp = jnp.sqrt(jnp.clip(1.0 - da * da, 0.0, None))
+            ext = cyl[2] * jnp.abs(da) + cyl[1] * dperp
+            dc = u[0] * cen[0] + u[1] * cen[1] + u[2] * cen[2]
+            is_cyl = cyl[0] > 0.5
+            return (jnp.where(is_cyl, dc - ext, mn),
+                    jnp.where(is_cyl, dc + ext, mx))
+
+        def best_gap(u, valid):
+            """Best (smallest) support gap over +-axes u (3 x (C', L),
+            validity (C', L)); returns (depth (1, L), n 3 x (1, L)) with
+            the fwd-before-rev first-minimum tie order of
+            ops/manifold._best_axis."""
+            mnA, mxA = scan_minmax(u, wa_ref)
+            mnA, mxA = cyl_override(u, awa, pa, cyla, mnA, mxA)
+            mnB, mxB = scan_minmax(u, wb_ref)
+            mnB, mxB = cyl_override(u, awb, pb, cylb, mnB, mxB)
+            fwd = mxA - mnB                    # penetration along +axis
+            rev = mxB - mnA                    # penetration along -axis
+            comb = jnp.where(valid, jnp.minimum(fwd, rev), inf)
+            depthR = comb.min(axis=0, keepdims=True)           # (1, L)
+            iota = jax.lax.broadcasted_iota(jnp.int32, comb.shape, 0)
+            ridx = jnp.where(comb <= depthR, iota,
+                             comb.shape[0]).min(axis=0, keepdims=True)
+            ohc = (iota == ridx).astype(jnp.float32)           # (C', L)
+            fsel = (ohc * fwd).sum(axis=0, keepdims=True)
+            rsel = (ohc * rev).sum(axis=0, keepdims=True)
+            sgn = jnp.where(fsel <= rsel, 1.0, -1.0)
+            nR = [sgn * (ohc * u[c]).sum(axis=0, keepdims=True)
+                  for c in range(3)]
+            return depthR, nR
+
+        # ---- coarse pass: both hulls' merged-face normals (A's as-is,
+        # B's negated — matching _mtv's concat([nfA, -nfB]) axis order)
+        nfa = nfa_ref[...]                                     # (3, F, L)
+        nfb = nfb_ref[...]
+        uc = [jnp.concatenate([nfa[c], -nfb[c]], axis=0) for c in range(3)]
+        vc = jnp.concatenate([fma_ref[...], fmb_ref[...]], axis=0) > 0.5
+        depth, n = best_gap(uc, vc)
+
+        def round_body(_, carry):
+            depth, n0c, n1c, n2c = carry                       # (1, L)
+            n = [n0c, n1c, n2c]
             # support extents of each hull along the current axis
-            pna = n[0][None] * wa[0] + n[1][None] * wa[1] + n[2][None] * wa[2]
-            pnb = n[0][None] * wb[0] + n[1][None] * wb[1] + n[2][None] * wb[2]
-            sA = pna.max(axis=0)
-            sB = pnb.min(axis=0)
+            pna = n[0] * wa[0] + n[1] * wa[1] + n[2] * wa[2]   # (V, L)
+            pnb = n[0] * wb[0] + n[1] * wb[1] + n[2] * wb[2]
+            sA = pna.max(axis=0, keepdims=True)                # (1, L)
+            sB = pnb.min(axis=0, keepdims=True)
             daA = n[0] * awa[0] + n[1] * awa[1] + n[2] * awa[2]
             extA = (cyla[2] * jnp.abs(daA)
                     + cyla[1] * jnp.sqrt(jnp.clip(1.0 - daA * daA, 0.0,
@@ -146,7 +206,7 @@ def _make_kernel(V: int, E: int, K: int, rounds: int):
             dcB = n[0] * pb[0] + n[1] * pb[1] + n[2] * pb[2]
             sB = jnp.where(cylb[0] > 0.5, dcB - extB, sB)
 
-            dA = topk_dirs(hea, hma, ra, pa, n, sA, 1.0)       # 3 x (K, L)
+            dA = topk_dirs(hea, hma, ra, pa, n, sA, 1.0)   # 3 x (K, L)
             dB = topk_dirs(heb, hmb, rb, pb, n, sB, -1.0)
 
             # 16x16 cross table -> (C, L)
@@ -158,39 +218,26 @@ def _make_kernel(V: int, E: int, K: int, rounds: int):
                   outer(dA[0], dB[1]) - outer(dA[1], dB[0])]
             crn = jnp.sqrt(cr[0] * cr[0] + cr[1] * cr[1] + cr[2] * cr[2])
             valid = crn > 1e-12
-            inv = 1.0 / jnp.maximum(crn, 1e-12)
-            u = [cr[c] * inv for c in range(3)]
+            invn = 1.0 / jnp.maximum(crn, 1e-12)
+            u = [cr[c] * invn for c in range(3)]
 
-            mnA, mxA = scan_minmax(u, wa)
-            mnA, mxA = cyl_override(u, awa, pa, cyla, mnA, mxA)
-            mnB, mxB = scan_minmax(u, wb)
-            mnB, mxB = cyl_override(u, awb, pb, cylb, mnB, mxB)
-            fwd = mxA - mnB                    # penetration along +axis
-            rev = mxB - mnA                    # penetration along -axis
-            comb = jnp.where(valid, jnp.minimum(fwd, rev), inf)
-            depthR = comb.min(axis=0)                          # (L,)
-            iota = jax.lax.broadcasted_iota(jnp.int32, comb.shape, 0)
-            ridx = jnp.where(comb <= depthR[None], iota, C).min(axis=0)
-            ohc = (iota == ridx[None]).astype(jnp.float32)     # (C, L)
-            fsel = (ohc * fwd).sum(axis=0)
-            rsel = (ohc * rev).sum(axis=0)
-            # fwd precedes rev in _best_axis's interleaved argmin order
-            sgn = jnp.where(fsel <= rsel, 1.0, -1.0)
-            nR = [sgn * (ohc * u[c]).sum(axis=0) for c in range(3)]
+            depthR, nR = best_gap(u, valid)
             better = depthR < depth
             depth = jnp.where(better, depthR, depth)
             n = [jnp.where(better, nR[c], n[c]) for c in range(3)]
+            return depth, n[0], n[1], n[2]
 
-        d_out[0] = depth
-        for c in range(3):
-            n_out[c] = n[c]
+        depth, nn0, nn1, nn2 = jax.lax.fori_loop(
+            0, rounds, round_body, (depth, n[0], n[1], n[2]))
+        d_out[...] = depth
+        n_out[...] = jnp.concatenate([nn0, nn1, nn2], axis=0)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _build(V: int, E: int, K: int, rounds: int, interpret: bool):
-    kernel = _make_kernel(V, E, K, rounds)
+def _build(V: int, E: int, F: int, K: int, rounds: int, interpret: bool):
+    kernel = _make_kernel(V, E, F, K, rounds)
 
     def call(args, L):
         specs = [pl.BlockSpec(a.shape[:-1] + (_LANES,),
@@ -206,20 +253,27 @@ def _build(V: int, E: int, K: int, rounds: int, interpret: bool):
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((3, _LANES), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)],
+            # v5e has 128 MB VMEM/core; the default 16 MB scoped limit
+            # rejects the kernel stack at large-hull sizes (PR2: V=74,
+            # E=216, F=144)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20),
             interpret=interpret,
         )(*args)
 
     # chunk the lane axis per pallas_call: XLA stages the custom-call
-    # operands/results in scoped VMEM (see ops/pallas_support.py)
-    bytes_per_lane = 4 * (6 * V + 14 * E + 32)
+    # operands/results in scoped VMEM, so each call's staging must stay
+    # well under the 16 MB scoped limit
+    bytes_per_lane = 4 * (6 * V + 14 * E + 8 * F + 32)
     chunk = max(_LANES,
-                (40 * 2 ** 20 // bytes_per_lane) // _LANES * _LANES)
+                (8 * 2 ** 20 // bytes_per_lane) // _LANES * _LANES)
 
-    def single(wa, wb, hea, heb, hma, hmb, ra, rb, pa, pb, cyla, cylb,
-               d0, n0):
+    def single(wa, wb, hea, heb, hma, hmb, nfa, nfb, fma, fmb,
+               ra, rb, pa, pb, cyla, cylb):
         """Leading axis N = flattened lanes; shapes per lane:
-        wa/wb (V, 3), hea/heb (E, 2, 3), hma/hmb (E,), ra/rb (3, 3),
-        pa/pb (3,), cyla/cylb (3,), d0 (), n0 (3,)."""
+        wa/wb (V, 3), hea/heb (E, 2, 3), hma/hmb (E,), nfa/nfb (F, 3)
+        world face normals, fma/fmb (F,) face masks, ra/rb (3, 3),
+        pa/pb (3,), cyla/cylb (3,)."""
         N = wa.shape[0]
         pad = (-N) % _LANES
 
@@ -237,14 +291,16 @@ def _build(V: int, E: int, K: int, rounds: int, interpret: bool):
                 prep(jnp.transpose(heb, (0, 2, 3, 1)), (6, E)),
                 prep(hma, (E,)),
                 prep(hmb, (E,)),
+                prep(jnp.transpose(nfa, (0, 2, 1)), (3, F)),
+                prep(jnp.transpose(nfb, (0, 2, 1)), (3, F)),
+                prep(fma, (F,)),
+                prep(fmb, (F,)),
                 prep(ra, (9,)),
                 prep(rb, (9,)),
                 prep(pa, (3,)),
                 prep(pb, (3,)),
                 prep(cyla, (3,)),
-                prep(cylb, (3,)),
-                prep(d0[:, None], (1,)),
-                prep(n0, (3,))]
+                prep(cylb, (3,))]
         Np = N + pad
         ds, ns = [], []
         for lo in range(0, Np, chunk):
@@ -264,8 +320,7 @@ def _build(V: int, E: int, K: int, rounds: int, interpret: bool):
         for a, bt in zip(args, in_batched):
             if not bt:
                 a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
-            flat.append(a.reshape((axis_size * a.shape[1],) + a.shape[2:])
-                        if a.ndim > 1 else a.reshape(axis_size))
+            flat.append(a.reshape((axis_size * a.shape[1],) + a.shape[2:]))
         d, nn = fn(*flat)
         return (d.reshape(axis_size, -1), nn.reshape(axis_size, -1, 3)), \
             (True, True)
@@ -273,18 +328,23 @@ def _build(V: int, E: int, K: int, rounds: int, interpret: bool):
     return fn
 
 
-def refine_rounds(wA, wB, heA, heB, hmA, hmB, RA, RB, pA, pB,
-                  cylA, cylB, depth0, n0, K, rounds, interpret=False):
-    """Run `rounds` edge-cross refinement rounds; returns (depth, n).
+def mtv_query(wA, wB, heA, heB, hmA, hmB, nfA, nfB, fmA, fmB,
+              RA, RB, pA, pB, cylA, cylB, K, rounds, interpret=False):
+    """Exact-MTV query: coarse face-normal SAT + `rounds` edge-cross
+    refinement rounds in one fused kernel; returns (depth, n).
 
     Single-lane shapes: wA/wB (V, 3) world verts (repeat-padded), heA/heB
-    (E, 2, 3) LOCAL edge endpoints, hmA/hmB (E,) masks, RA/RB (3, 3),
-    pA/pB (3,), cylA/cylB (3,) [flag, radius, halfheight], depth0 (),
-    n0 (3,).  Composable with (nested) vmap over any leading axes.
+    (E, 2, 3) LOCAL edge endpoints, hmA/hmB (E,) masks, nfA/nfB (F, 3)
+    WORLD merged-face normals, fmA/fmB (F,) face masks, RA/RB (3, 3),
+    pA/pB (3,), cylA/cylB (3,) [flag, radius, halfheight].  Composable
+    with (nested) vmap over any leading axes.
     """
-    V, E = wA.shape[-2], heA.shape[-3]
-    Vp = -(-V // 8) * 8
+    V, E, F = wA.shape[-2], heA.shape[-3], nfA.shape[-2]
+    # V pads to a _VCHUNK multiple (the in-kernel support scan reads
+    # fixed-size ref chunks); repeat-padding keeps extents exact
+    Vp = -(-V // _VCHUNK) * _VCHUNK
     Ep = -(-E // 8) * 8
+    Fp = -(-F // 8) * 8
 
     def padv(w):
         if Vp == V:
@@ -300,12 +360,22 @@ def refine_rounds(wA, wB, heA, heB, hmA, hmB, RA, RB, pA, pB,
         return (jnp.concatenate([he, z], axis=-3),
                 jnp.concatenate([hm, zm], axis=-1))
 
+    def padf(nf, fm):
+        if Fp == F:
+            return nf, fm
+        z = jnp.zeros(nf.shape[:-2] + (Fp - F, 3), nf.dtype)
+        zm = jnp.zeros(fm.shape[:-1] + (Fp - F,), fm.dtype)
+        return (jnp.concatenate([nf, z], axis=-2),
+                jnp.concatenate([fm, zm], axis=-1))
+
     wA, wB = padv(wA), padv(wB)
     heA, hmA = pade(heA, hmA)
     heB, hmB = pade(heB, hmB)
-    fn = _build(Vp, Ep, int(K), int(rounds), bool(interpret))
-    args = (wA, wB, heA, heB, hmA, hmB, RA, RB, pA, pB, cylA, cylB,
-            depth0, n0)
+    nfA, fmA = padf(nfA, fmA)
+    nfB, fmB = padf(nfB, fmB)
+    fn = _build(Vp, Ep, Fp, int(K), int(rounds), bool(interpret))
+    args = (wA, wB, heA, heB, hmA, hmB, nfA, nfB, fmA, fmB,
+            RA, RB, pA, pB, cylA, cylB)
     lead = wA.shape[:-2]
     if not lead:
         args = tuple(a[None] for a in args)

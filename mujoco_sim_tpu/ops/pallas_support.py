@@ -78,10 +78,12 @@ def _build(C: int, V: int, interpret: bool):
     # XLA stages the whole custom-call result in scoped VMEM; at big
     # flattened batch (manip: 32768 lanes) the (C, N) outputs blow the
     # 16 MB limit, so the lane axis is chunked per pallas_call.  Budget
-    # ~6 MB across the 2 outputs + staged inputs per chunk.
+    # 8 MB of staged inputs+outputs per chunk: the r5 40 MB budget OOMed
+    # the scoped staging at PR2 hull sizes (C=288 face axes, V=80,
+    # 2048 lanes -> 24.3 MB "allocating on stack for body custom-call").
     bytes_per_lane = 4 * (5 * C + 3 * V)
     chunk = max(_LANES,
-                (40 * 2 ** 20 // bytes_per_lane) // _LANES * _LANES)
+                (8 * 2 ** 20 // bytes_per_lane) // _LANES * _LANES)
 
     def single(axes, w):
         """axes (N, C, 3), w (N, V, 3) -> (mn (N, C), mx (N, C))."""
