@@ -717,20 +717,30 @@ def _mesh_mesh(p1, R1, verts1, planes1, vmask1,
     # rejecting far-away corners (phantom lever arms, hsrb4s diagnosis)
     rb1 = jnp.sqrt(((verts1 * verts1).sum(-1) * vmask1).max(-1))
     rb2 = jnp.sqrt(((verts2 * verts2).sum(-1) * vmask2).max(-1))
-    # verts of 1 in hull 2 (shared reference face)
+    # verts of 1 in hull 2 (shared reference face), and verts of 2 in
+    # hull 1 — BOTH directions ride ONE ref-face-depth call by stacking
+    # along the pair axis (the shared mesh_vert_pad/mesh_face_pad tables
+    # make the (V, F) shapes identical): one pallas launch + one staging
+    # chain instead of two (the pair was 2 x 92us + staging on the PR2
+    # step, r5 profile)
     vw1 = p1[..., None, :] + _rotate_rows_fwd(R1, verts1)
     loc2 = _rotate_rows(R2, vw1 - p2[..., None, :])
-    d_a, top, nref2, sepA = _hull_ref_face_depth(loc2, planes2, 2, vmask1,
-                                                 lateral_filter=True,
-                                                 lateral_slack=0.15 * rb2)
-    pos_a = _select_rows(vw1, top)
-    n_a = -((R2 * nref2[..., None, :]).sum(-1))
-    # verts of 2 in hull 1
     vw2 = p2[..., None, :] + _rotate_rows_fwd(R2, verts2)
     loc1 = _rotate_rows(R1, vw2 - p1[..., None, :])
-    d_b, top2, nref1, sepB = _hull_ref_face_depth(loc1, planes1, 2, vmask2,
-                                                  lateral_filter=True,
-                                                  lateral_slack=0.15 * rb1)
+    locs = jnp.concatenate([loc2, loc1], axis=-3)
+    plns = jnp.concatenate([planes2, planes1], axis=-3)
+    msks = jnp.concatenate([vmask1, vmask2], axis=-2)
+    slk = jnp.concatenate([0.15 * rb2, 0.15 * rb1], axis=-1)
+    d2, top2s, nref, sep2 = _hull_ref_face_depth(locs, plns, 2, msks,
+                                                 lateral_filter=True,
+                                                 lateral_slack=slk)
+    P = loc2.shape[-3]
+    d_a, d_b = d2[..., :P, :], d2[..., P:, :]
+    top, top2 = top2s[..., :P, :], top2s[..., P:, :]
+    nref2, nref1 = nref[..., :P, :], nref[..., P:, :]
+    sepA, sepB = sep2[..., :P], sep2[..., P:]
+    pos_a = _select_rows(vw1, top)
+    n_a = -((R2 * nref2[..., None, :]).sum(-1))
     pos_b = _select_rows(vw2, top2)
     n_b = (R1 * nref1[..., None, :]).sum(-1)
     # joint face-SAT over BOTH hulls: one separating face on either side
